@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cells.CellIndex
+import graft.cells.CellIndex.BBox
+import graft.functions.geo
+
+/**
+ * Planet-clone ingest + bbox extract — the Spark-native restatement of the
+ * reference's LOAD (vex.c:818-831) and EXTRACT (vex.c:837-957) pipelines.
+ *
+ * The reference's pointer-chased index becomes columns + joins:
+ *  - per-entity `cell` / `xbin` / `ybin` columns (computed by the codegen
+ *    cell encoder) replace the in-memory grid; partition pruning + parquet
+ *    min-max skipping on these columns replace the cell chains;
+ *  - the way -> first-node binning (vex.c:511, J5) is an ingest-time equi
+ *    join; the relation -> first-member anchor (vex.c:302-320, J6) likewise;
+ *  - the extract is: rectangle predicate (J1/J4 pruned scans), way-refs
+ *    explode + dedup (J2/J3), staged union.
+ */
+object PlanetExtract {
+
+  /** Ingested tables: each carries (xbin, ybin, cell); relations' bins are
+    * null when unindexed (single-member / relation-type first member). */
+  final case class PlanetTables(nodes: DataFrame, ways: DataFrame,
+                                relations: DataFrame)
+
+  private def withBins(df: DataFrame, cell: Column): DataFrame =
+    df.withColumn("cell", cell)
+      .withColumn("xbin", shiftright(col("cell"), CellIndex.GridBits))
+      .withColumn("ybin", col("cell").bitwiseAND(lit(CellIndex.GridDim - 1)))
+
+  /**
+   * Ingest raw planet tables.
+   * @param strictB1 replicate reference bug B1 (way-first-member relations
+   *   anchored at nodes[cumulative-ref-offset], vex.c:311-313). The strict
+   *   path needs a global ordered window (compat/test only — NOT the scale
+   *   path); fixed mode (default) anchors at the way's real first node and
+   *   is pure equi-joins.
+   */
+  def ingest(nodesRaw: DataFrame, waysRaw: DataFrame, relsRaw: DataFrame,
+             strictB1: Boolean = false): PlanetTables = {
+    val nodes = withBins(nodesRaw, geo.grid_cell(col("lon"), col("lat")))
+
+    // J5: way cell = cell of FIRST node (reference semantics: a way lives in
+    // exactly one cell, vex.c:511 + TODO vex.c:883)
+    val firstNodeCell = nodes.select(col("id").as("_fn_id"),
+                                     col("cell").as("_fn_cell"))
+    val ways = withBins(
+      waysRaw.withColumn("_first_ref", element_at(col("refs"), 1))
+        .join(firstNodeCell, col("_first_ref") === col("_fn_id"), "left"),
+      coalesce(col("_fn_cell"), lit(0)))   // absent node => zeroed coord => cell 0
+      .drop("_first_ref", "_fn_id", "_fn_cell")
+
+    // J6: relation anchor. mtype: 0=node, 1=way, 2=relation.
+    val m1 = element_at(col("members"), 1)
+    val relsBase = relsRaw
+      .withColumn("_n_mem", size(col("members")))
+      .withColumn("_m1_type", m1.getField("mtype"))
+      .withColumn("_m1_ref", m1.getField("ref"))
+
+    val anchoredViaNode = relsBase
+      .where(col("_n_mem") >= 2 && col("_m1_type") === 0)
+      .join(firstNodeCell, col("_m1_ref") === col("_fn_id"), "left")
+      .withColumn("_cell", coalesce(col("_fn_cell"), lit(0)))
+      .drop("_fn_id", "_fn_cell")
+
+    val anchoredViaWay = {
+      val base = relsBase.where(col("_n_mem") >= 2 && col("_m1_type") === 1)
+      if (strictB1) {
+        // B1: anchor node id = way's node_ref_offset (cumulative count of
+        // refs over ways loaded before it, i.e. lower ids)
+        val offsets = waysRaw.select(col("id").as("_w_id"), size(col("refs")).as("_len"))
+          .withColumn("_nro", coalesce(sum(col("_len"))
+            .over(Window.orderBy("_w_id").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col("_w_id"), col("_nro"))
+        base.join(offsets, col("_m1_ref") === col("_w_id"), "left")
+          .join(firstNodeCell, col("_nro") === col("_fn_id"), "left")
+          .withColumn("_cell", coalesce(col("_fn_cell"), lit(0)))
+          .drop("_w_id", "_nro", "_fn_id", "_fn_cell")
+      } else {
+        // fixed: anchor at the way's actual first node = the way's own cell
+        val wayCells = ways.select(col("id").as("_w_id"), col("cell").as("_w_cell"))
+        base.join(wayCells, col("_m1_ref") === col("_w_id"), "left")
+          .withColumn("_cell", coalesce(col("_w_cell"), lit(0)))
+          .drop("_w_id", "_w_cell")
+      }
+    }
+
+    val unindexed = relsBase
+      .where(col("_n_mem") <= 1 || col("_m1_type") === 2)
+      .withColumn("_cell", lit(null).cast("int"))
+
+    val rels = withBins(
+      anchoredViaNode.unionByName(anchoredViaWay).unionByName(unindexed),
+      col("_cell"))
+      .drop("_cell", "_n_mem", "_m1_type", "_m1_ref")
+
+    PlanetTables(nodes, ways, rels)
+  }
+
+  /** Rectangle predicate over (xbin, ybin) — two range filters per wrap
+    * rectangle, OR-combined. Plain column ranges: parquet row-group stats
+    * and partition pruning both apply (SURVEY.md §4 row 1). */
+  def bboxPredicate(b: BBox, strictCompat: Boolean = false): Column =
+    CellIndex.coverRects(b, strictCompat).map { case ((x0, x1), (y0, y1)) =>
+      col("xbin").between(x0, x1) && col("ybin").between(y0, y1)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /**
+   * Staged bbox extract (J1 ∘ J2 ∘ J3 + J4): returns (kind, id, cell) rows —
+   * identical row set and tile assignments as the reference's PBF output
+   * (order-insensitive; the reference's emission order is a storage quirk,
+   * SURVEY.md §8 Q4).
+   *
+   * Semantics replicated on purpose (Q2): cell-granular, NO exact bbox
+   * refinement — whole ways anchored in covered cells, ALL their nodes even
+   * outside the bbox, ways with first node elsewhere missed. For refined
+   * extracts see [[bboxRefined]].
+   */
+  def bbox(t: PlanetTables, b: BBox, strictCompat: Boolean = false): DataFrame = {
+    val pred = bboxPredicate(b, strictCompat)
+    val selWays = t.ways.where(pred)
+    // J2 prep + J3: union of selected ways' refs, emit-once
+    val wayNodeIds = selWays.select(explode(col("refs")).as("id")).distinct()
+    val selNodes = t.nodes.join(wayNodeIds, "id")          // J2 equi join
+    selNodes.select(lit("node").as("kind"), col("id"), col("cell"))
+      .unionByName(selWays.select(lit("way").as("kind"), col("id"), col("cell")))
+      .unionByName(t.relations.where(pred)
+        .select(lit("relation").as("kind"), col("id"), col("cell")))
+  }
+
+  /** Engine-extension extract: cell pruning THEN exact refinement — nodes
+    * strictly inside the bbox, ways intersecting it via any node. */
+  def bboxRefined(t: PlanetTables, b: BBox): DataFrame = {
+    val inBox = col("lon") >= b.minLon && col("lon") <= b.maxLon &&
+                col("lat") >= b.minLat && col("lat") <= b.maxLat
+    val nodesIn = t.nodes.where(bboxPredicate(b)).where(inBox)
+    val nodeIds = nodesIn.select(col("id").as("_nid"))
+    val waysIn = t.ways
+      .select(col("*"), explode(col("refs")).as("_ref"))
+      .join(nodeIds, col("_ref") === col("_nid"), "left_semi")
+      .dropDuplicates("id")
+    nodesIn.select(lit("node").as("kind"), col("id"), col("cell"))
+      .unionByName(waysIn.select(lit("way").as("kind"), col("id"), col("cell")))
+  }
+}
