@@ -87,6 +87,28 @@ object Fixtures {
     bos.toByteArray
   }
 
+  /** Smooth variant (gradient + low-amplitude noise) for the lossy-re-encode
+    * fixture subset: JPEG at high quality keeps these above the 40dB PSNR
+    * invariant bound, unlike the full-noise PNGs. */
+  def makeSmoothPng(id: Long, seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val r = rng(id ^ 0x50F7L, seed)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val blue = ((x + y) * 255 / (w + h)) + r.nextInt(5) - 2
+        img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) |
+          math.max(0, math.min(255, blue)))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** One image row; pure function of (id, seed, withBytes). */
   def imageRow(id: Long, seed: Long = DefaultSeed, withBytes: Boolean = true,
                centers: Array[(Double, Double)] = null): ImageRow = {

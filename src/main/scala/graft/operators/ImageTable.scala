@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cells.CellIndex
+import graft.cells.CellIndex.BBox
+import graft.functions.geo
+import graft.plans.SnapshotLog
+import graft.plans.SnapshotLog.PartitionLineage
+
+/**
+ * The graft's primary table: images(image_id, bytes, w, h, fmt, caption,
+ * phash) where phash is the packed reference coord (hi 32 = x, lo 32 = y,
+ * FIXTURES.md §1 — exactly the reference's coord_t, vex.c:74-83).
+ *
+ * Ingest = geocode (derive lon/lat/cells/tiles from phash via the codegen
+ * encoder) -> skew census -> salt hot cells -> write Hive-partitioned
+ * parquet on (p_cell, p_salt) -> commit snapshot with per-partition lineage
+ * + metrics. The partition key p_cell is a coarse Morton prefix — the
+ * Iceberg-partition-transform analogue of the reference's 14-bit grid
+ * (vex.c:25-27); p_salt spreads hot cells (AQE handles residual skew at
+ * query time, explicit salt handles it at REST — file sizes stay bounded).
+ *
+ * Scale notes (100 TB): partition resolution `pRes` controls directory
+ * fan-out (4^pRes cells); salting bounds the largest partition; queries
+ * prune on p_cell ranges (Morton prefix property) and never mention salt,
+ * so pruning is unaffected by the salt dimension.
+ */
+object ImageTable {
+
+  /** Default partition-prefix resolution: 4^5 = 1024 possible cells. */
+  val DefaultPRes = 5
+
+  /** Derive geocoded columns from phash. Pure column expressions (WSCG). */
+  def derive(images: DataFrame, pRes: Int = DefaultPRes): DataFrame =
+    images
+      .withColumn("lon", geo.lon_of(col("phash")))
+      .withColumn("lat", geo.lat_of(col("phash")))
+      .withColumn("cell", geo.grid_cell_packed(col("phash")))
+      .withColumn("xbin", shiftright(col("cell"), CellIndex.GridBits))
+      .withColumn("ybin", col("cell").bitwiseAND(lit(CellIndex.GridDim - 1)))
+      .withColumn("cell_r7", geo.cell_packed(col("phash"), 7))
+      .withColumn("cell_r8", geo.cell_packed(col("phash"), 8))
+      .withColumn("cell_r9", geo.cell_packed(col("phash"), 9))
+      .withColumn("p_cell", geo.cell_packed(col("phash"), pRes))
+
+  /**
+   * Ingest with explicit hot-cell salting + snapshot commit.
+   * @param saltThreshold rows per (p_cell) above which the cell is salted;
+   *   bucket count scales with the overage so no partition exceeds ~threshold.
+   */
+  def ingest(images: DataFrame, path: String, pRes: Int = DefaultPRes,
+             saltThreshold: Long = 500000, maxSalt: Int = 64): SnapshotLog.Snapshot = {
+    val spark = images.sparkSession
+    val derived = derive(images, pRes)
+
+    // skew census: tiny aggregate (one row per occupied coarse cell)
+    val census = derived.groupBy("p_cell").count()
+    val salts = census.select(col("p_cell").as("_pc"),
+      least(greatest(ceil(col("count") / saltThreshold), lit(1)), lit(maxSalt))
+        .cast("int").as("_nsalt"))
+
+    val salted = derived
+      .join(broadcast(salts), col("p_cell") === col("_pc"), "left")
+      .withColumn("p_salt",
+        pmod(xxhash64(col("image_id")), coalesce(col("_nsalt"), lit(1))).cast("int"))
+      .drop("_pc", "_nsalt")
+
+    val t0 = System.nanoTime()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    salted.write.mode("overwrite")
+      .partitionBy("p_cell", "p_salt").parquet(path)
+    val writeSec = (System.nanoTime() - t0) / 1e9
+
+    commitFromTable(spark, path, writeSec)
+  }
+
+  /** Build lineage records by scanning the just-written table (one cheap
+    * aggregate over parquet) and commit the snapshot. */
+  private def commitFromTable(spark: SparkSession, path: String,
+                              writeSec: Double): SnapshotLog.Snapshot = {
+    val written = spark.read.parquet(path)
+    val lineage = written.groupBy("p_cell", "p_salt").agg(
+        count(lit(1)).as("rows"),
+        // order-insensitive content checksum: sum of per-row hashes
+        sum(pmod(xxhash64(col("image_id"), col("phash")), lit(1000000007L))).as("checksum"),
+        min("image_id").as("min_id"), max("image_id").as("max_id"))
+      .collect()
+      .map(r => PartitionLineage(
+        s"p_cell=${r.getAs[Number](0).longValue}/p_salt=${r.getAs[Number](1).intValue}",
+        r.getLong(2), r.getLong(3), r.getString(4), r.getString(5), writeSec))
+      .toSeq
+    val totalRows = lineage.map(_.rows).sum
+    SnapshotLog.commit(path, "images", lineage, Map(
+      "total_rows" -> totalRows.toDouble,
+      "partitions" -> lineage.size.toDouble,
+      "write_sec" -> writeSec,
+      "rows_per_sec" -> (if (writeSec > 0) totalRows / writeSec else 0.0)))
+  }
+
+  /**
+   * Resumable ingest: skip input whose target coarse cell is already fully
+   * committed in the latest snapshot (per-partition lineage = the resume
+   * ledger). Partitions interrupted mid-write (present on disk but absent
+   * from the manifest) are re-written idempotently via dynamic partition
+   * overwrite. Returns (snapshot, partitionsWritten).
+   */
+  def ingestResume(images: DataFrame, path: String, pRes: Int = DefaultPRes,
+                   saltThreshold: Long = 500000): (SnapshotLog.Snapshot, Long) = {
+    val spark = images.sparkSession
+    val committedCells = SnapshotLog.latest(path).toSeq
+      .flatMap(_.partitions.map(_.partition.split("/")(0).stripPrefix("p_cell=").toLong))
+      .toSet
+    val derived = derive(images, pRes)
+    val remaining =
+      if (committedCells.isEmpty) derived
+      else derived.where(!col("p_cell").isin(committedCells.toSeq: _*))
+    if (remaining.isEmpty) {
+      return (SnapshotLog.latest(path).get, 0L)
+    }
+    val census = remaining.groupBy("p_cell").count()
+    val salts = census.select(col("p_cell").as("_pc"),
+      least(greatest(ceil(col("count") / saltThreshold), lit(1)), lit(64))
+        .cast("int").as("_nsalt"))
+    val salted = remaining
+      .join(broadcast(salts), col("p_cell") === col("_pc"), "left")
+      .withColumn("p_salt",
+        pmod(xxhash64(col("image_id")), coalesce(col("_nsalt"), lit(1))).cast("int"))
+      .drop("_pc", "_nsalt")
+    val t0 = System.nanoTime()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    salted.write.mode("overwrite").partitionBy("p_cell", "p_salt").parquet(path)
+    val writeSec = (System.nanoTime() - t0) / 1e9
+    val newLineage = salted.groupBy("p_cell", "p_salt").agg(
+        count(lit(1)).as("rows"),
+        sum(pmod(xxhash64(col("image_id"), col("phash")), lit(1000000007L))).as("checksum"),
+        min("image_id").as("min_id"), max("image_id").as("max_id"))
+      .collect()
+      .map(r => PartitionLineage(
+        s"p_cell=${r.getAs[Number](0).longValue}/p_salt=${r.getAs[Number](1).intValue}",
+        r.getLong(2), r.getLong(3), r.getString(4), r.getString(5), writeSec))
+      .toSeq
+    val snap = SnapshotLog.commit(path, "images", newLineage, Map(
+      "total_rows" -> newLineage.map(_.rows).sum.toDouble,
+      "resumed" -> 1.0, "write_sec" -> writeSec))
+    (snap, newLineage.size.toLong)
+  }
+
+  /** Read only partitions committed in the latest snapshot (stragglers from
+    * a crashed write are invisible — snapshot isolation for readers). */
+  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+    val committed = SnapshotLog.committedPartitions(path)
+      .map(_.split("/")(0).stripPrefix("p_cell=").toLong).toSeq
+    val df = spark.read.parquet(path)
+    if (committed.isEmpty) df.where(lit(false))
+    else df.where(col("p_cell").isin(committed: _*))
+  }
+
+  // ---- queries over the images table ---------------------------------------
+
+  /** bbox predicate: Morton-prefix ranges on the PARTITION column (directory
+    * pruning) AND the exact bin rectangle (row-group pruning + row filter). */
+  def bboxPredicate(b: BBox, pRes: Int = DefaultPRes): Column = {
+    val prefixPred = CellIndex.coverMortonRanges(b, pRes)
+      .map { case (lo, hi) => col("p_cell").between(lo, hi) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val rectPred = CellIndex.coverRects(b)
+      .map { case ((x0, x1), (y0, y1)) =>
+        col("xbin").between(x0, x1) && col("ybin").between(y0, y1) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    prefixPred && rectPred
+  }
+
+  /** Cell-granular bbox extract (reference Q2 semantics: whole covered
+    * cells). Returns image rows + their tile (cell) assignment. */
+  def extractBBox(images: DataFrame, b: BBox): DataFrame =
+    images.where(bboxPredicate(b))
+
+  /** Exact bbox extract: cell pruning then coordinate refinement. */
+  def extractBBoxExact(images: DataFrame, b: BBox): DataFrame =
+    extractBBox(images, b).where(
+      col("lon") >= b.minLon && col("lon") <= b.maxLon &&
+      col("lat") >= b.minLat && col("lat") <= b.maxLat)
+
+  /** Polygon extract: bbox-of-polygon cell pruning + exact ray-casting
+    * refinement (codegen PointInPolygon). poly = flat [lon,lat,...]. */
+  def extractPolygon(images: DataFrame, poly: Array[Double]): DataFrame = {
+    val lons = poly.indices.collect { case i if i % 2 == 0 => poly(i) }
+    val lats = poly.indices.collect { case i if i % 2 == 1 => poly(i) }
+    val b = BBox(lons.min, lats.min, lons.max, lats.max)
+    extractBBox(images, b)
+      .where(geo.point_in_polygon(col("lon"), col("lat"), poly))
+  }
+}

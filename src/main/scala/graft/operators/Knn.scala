@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cells.CellIndex
+
+/**
+ * k-nearest-neighbor join: cell-disk expansion + distance-bounded top-k
+ * window (the kNN shape the design derives from the reference's grid,
+ * SURVEY.md §2.3 last row / §7.6).
+ *
+ * Rounds r ∈ {1,4,16}: per-query disk(r) cells become a broadcast literal
+ * table equi-joined on `cell` — a PRUNED probe (partition/row-group skipping
+ * applies), never a full scan. A query resolves when it has ≥ k candidates
+ * whose k-th distance is below the geometric guarantee radius of disk(r)
+ * (any point outside the disk is at least r·minCellExtent away). Stragglers
+ * (sparse regions) fall back to one broadcast range join over the remaining
+ * queries — rare by construction on skewed data.
+ *
+ * Distance = equirectangular meters (CellIndex.distMeters), deterministic
+ * ties broken by point id.
+ */
+object Knn {
+
+  final case class Query(qid: Long, lon: Double, lat: Double)
+
+  /** Guaranteed minimum distance (meters) from a query anywhere in its cell
+    * to any point OUTSIDE disk(r): r full cell extents on the tighter axis.
+    * cos evaluated at the far edge of the disk (worst case). */
+  def diskBoundMeters(qlat: Double, r: Int): Double = {
+    val dLat = 180.0 / CellIndex.GridDim          // cell height in degrees
+    val dLon = 360.0 / CellIndex.GridDim
+    val farLat = math.min(89.99, math.abs(qlat) + (r + 1) * dLat)
+    val width = dLon * math.cos(math.toRadians(farLat))
+    r * math.min(dLat, width) * CellIndex.MetersPerDegree
+  }
+
+  private def distCol = {
+    val meanLat = radians((col("qlat") + col("lat")) / 2)
+    val dx = (col("lon") - col("qlon")) * cos(meanLat)
+    val dy = col("lat") - col("qlat")
+    sqrt(dx * dx + dy * dy) * lit(CellIndex.MetersPerDegree)
+  }
+
+  /**
+   * @param points DataFrame with (id: long, lon, lat, cell: int) — e.g. the
+   *   derived images table (with image_id projected to an id) or planet nodes.
+   * @return (qid, id, dist, rank) — exactly k rows per query (fewer iff the
+   *   whole table has < k rows).
+   */
+  def knn(points: DataFrame, queries: Seq[Query], k: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    require(k >= 1)
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+
+    var unresolved = queries
+    var resolvedParts = List.empty[DataFrame]
+
+    for (r <- Seq(1, 4, 16) if unresolved.nonEmpty) {
+      val cand = unresolved.flatMap { q =>
+        CellIndex.disk(CellIndex.xBin(q.lon), CellIndex.yBin(q.lat), r)
+          .map(c => (q.qid, q.lon, q.lat, c))
+      }.toDF("qid", "qlon", "qlat", "cell")
+      val topk = points
+        .join(broadcast(cand), "cell")
+        .withColumn("dist", distCol)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("qid", "qlon", "qlat", "id", "dist", "rank")
+        .cache()
+      // resolution check: k-th neighbor inside the guarantee radius
+      val stats = topk.groupBy("qid", "qlat")
+        .agg(count(lit(1)).as("n"), max("dist").as("kth")).collect()
+      val resolved = stats.filter { s =>
+        s.getLong(2) >= k && s.getDouble(3) <= diskBoundMeters(s.getDouble(1), r)
+      }.map(_.getLong(0)).toSet
+      if (resolved.nonEmpty) {
+        resolvedParts ::= topk.where(col("qid").isin(resolved.toSeq: _*))
+          .select("qid", "id", "dist", "rank")
+        unresolved = unresolved.filterNot(q => resolved(q.qid))
+      }
+      topk.unpersist(blocking = false)
+    }
+
+    if (unresolved.nonEmpty) {
+      // fallback: exact top-k over the full table for the stragglers
+      val qdf = unresolved.map(q => (q.qid, q.lon, q.lat)).toDF("qid", "qlon", "qlat")
+      val full = points.crossJoin(broadcast(qdf))
+        .withColumn("dist", distCol)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("qid", "id", "dist", "rank")
+      resolvedParts ::= full
+    }
+
+    resolvedParts.reduce(_ unionByName _)
+  }
+}

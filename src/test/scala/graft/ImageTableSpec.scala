@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.cells.CellIndex
+import graft.cells.CellIndex.BBox
+import graft.fixtures.Fixtures
+import graft.functions.PointInPolygon
+import graft.operators.{ImageTable, Knn}
+import graft.plans.SnapshotLog
+
+/** Images-table pipeline: geocoding parity with the reference math, salted
+  * partitioned ingest with snapshot lineage, resume, bbox/polygon extracts,
+  * kNN vs brute-force oracle. */
+class ImageTableSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val N = 20000
+  private lazy val rows = Fixtures.localImages(N, withBytes = false)
+  private lazy val imagesDF = rows.toDF()
+  private lazy val tmp = Files.createTempDirectory("graft_images_").toString
+
+  private lazy val snap = ImageTable.ingest(imagesDF, s"$tmp/images",
+    saltThreshold = 500, maxSalt = 8)
+  private lazy val table = {
+    snap
+    ImageTable.readCommitted(spark, s"$tmp/images").cache()
+  }
+
+  test("derive: geocoding and tile assignment match the reference math per row") {
+    val sample = ImageTable.derive(imagesDF).limit(5000).collect()
+    sample.foreach { r =>
+      val phash = r.getAs[Long]("phash")
+      val x = CellIndex.unpackX(phash); val y = CellIndex.unpackY(phash)
+      assert(r.getAs[Double]("lon") == CellIndex.getLon(x))
+      assert(r.getAs[Double]("lat") == CellIndex.getLat(y))
+      assert(r.getAs[Int]("cell") ==
+        CellIndex.gridCell(CellIndex.bin(x), CellIndex.bin(y)))
+      assert(r.getAs[Long]("cell_r9") == CellIndex.cellId(x, y, 9))
+      // prefix property ties the partition key to the fine cells
+      assert(r.getAs[Long]("cell_r7") == (r.getAs[Long]("cell_r9") >>> 4))
+      assert(r.getAs[Long]("p_cell") == (r.getAs[Long]("cell_r7") >>> 4))
+    }
+  }
+
+  test("ingest commits a snapshot whose lineage accounts for every row") {
+    assert(snap.id == 0 && snap.parent == -1)
+    assert(snap.partitions.map(_.rows).sum == N)
+    assert(snap.metrics("total_rows") == N.toDouble)
+    assert(table.count() == N)
+    // lineage checksum matches a recomputation from the table
+    val recomputed = table.groupBy("p_cell", "p_salt")
+      .agg(sum(pmod(xxhash64(col("image_id"), col("phash")), lit(1000000007L))).as("ck")).collect()
+      .map(r => s"p_cell=${r.getAs[Number](0).longValue}/p_salt=${r.getAs[Number](1).intValue}" -> r.getLong(2)).toMap
+    snap.partitions.foreach { p =>
+      assert(recomputed(p.partition) == p.checksum, s"checksum ${p.partition}")
+    }
+  }
+
+  test("hot cells are salted into multiple buckets; cold cells are not") {
+    val perCell = snap.partitions
+      .groupBy(_.partition.split("/")(0))
+      .view.mapValues(ps => (ps.size, ps.map(_.rows).sum)).toMap
+    val hot = perCell.filter(_._2._2 > 500)
+    assert(hot.nonEmpty, "fixture produced no hot cell — weak skew")
+    hot.foreach { case (cell, (nSalts, rows)) =>
+      assert(nSalts > 1, s"hot cell $cell (${rows} rows) not salted")
+    }
+    val cold = perCell.filter(_._2._2 <= 500)
+    assert(cold.nonEmpty)
+    // salted partitions stay bounded (threshold x small constant slack)
+    snap.partitions.foreach(p => assert(p.rows <= 500 * 3, s"${p.partition} too big"))
+  }
+
+  test("resume: second half of the input lands without touching committed partitions") {
+    val dir = s"$tmp/resume"
+    // first run sees only images whose p_cell is "even" (simulated partial load)
+    val derived = ImageTable.derive(imagesDF)
+    val firstHalf = imagesDF.join(
+      derived.where(pmod(col("p_cell"), lit(2)) === 0).select("image_id"), "image_id")
+    val s1 = ImageTable.ingest(firstHalf, dir, saltThreshold = 500, maxSalt = 8)
+    val c1 = SnapshotLog.committedPartitions(dir)
+    // resume with the FULL input: only the odd cells are written
+    val (s2, written) = ImageTable.ingestResume(imagesDF, dir, saltThreshold = 500)
+    assert(s2.id == s1.id + 1 && s2.parent == s1.id)
+    assert(written > 0)
+    val s2cells = s2.partitions.map(_.partition).toSet
+    assert(c1.subsetOf(s2cells), "resume dropped committed partitions")
+    // final table is complete, no dupes
+    val fin = ImageTable.readCommitted(spark, dir)
+    assert(fin.count() == N)
+    assert(fin.select("image_id").distinct().count() == N)
+    // third run: nothing left to do
+    val (s3, w3) = ImageTable.ingestResume(imagesDF, dir, saltThreshold = 500)
+    assert(w3 == 0 && s3.id == s2.id)
+  }
+
+  test("bbox extracts: cell-granular matches per-row binning; exact matches coordinates") {
+    val c = Fixtures.cityCenters(Fixtures.DefaultSeed)(0)
+    val b = BBox(c._1 - 0.7, c._2 - 0.5, c._1 + 0.7, c._2 + 0.5)
+    val cells = CellIndex.coverCells(b).toSet
+    val expectedCellGranular = rows.filter { r =>
+      cells.contains(CellIndex.gridCell(
+        CellIndex.bin(CellIndex.unpackX(r.phash)),
+        CellIndex.bin(CellIndex.unpackY(r.phash))))
+    }.map(_.image_id).toSet
+    val got = ImageTable.extractBBox(table, b)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    assert(got == expectedCellGranular)
+
+    val exact = ImageTable.extractBBoxExact(table, b)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    val expectedExact = rows.filter { r =>
+      val lon = CellIndex.getLon(CellIndex.unpackX(r.phash))
+      val lat = CellIndex.getLat(CellIndex.unpackY(r.phash))
+      lon >= b.minLon && lon <= b.maxLon && lat >= b.minLat && lat <= b.maxLat
+    }.map(_.image_id).toSet
+    assert(exact == expectedExact)
+    assert(exact.subsetOf(got))
+  }
+
+  test("polygon extract matches brute-force ray casting") {
+    val c = Fixtures.cityCenters(Fixtures.DefaultSeed)(1)
+    // concave polygon around city 1
+    val poly = Array(
+      c._1 - 1.0, c._2 - 1.0,  c._1 + 1.0, c._2 - 1.0,
+      c._1 + 1.0, c._2 + 1.0,  c._1,       c._2,          // notch
+      c._1 - 1.0, c._2 + 1.0)
+    val px = Array(poly(0), poly(2), poly(4), poly(6), poly(8))
+    val py = Array(poly(1), poly(3), poly(5), poly(7), poly(9))
+    val expected = rows.filter { r =>
+      PointInPolygon.contains(px, py,
+        CellIndex.getLon(CellIndex.unpackX(r.phash)),
+        CellIndex.getLat(CellIndex.unpackY(r.phash)))
+    }.map(_.image_id).toSet
+    val got = ImageTable.extractPolygon(table, poly)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "weak fixture: empty polygon extract")
+  }
+
+  test("kNN matches the brute-force oracle (dense city + sparse ocean queries)") {
+    val cs = Fixtures.cityCenters(Fixtures.DefaultSeed)
+    val queries = Seq(
+      Knn.Query(1, cs(0)._1, cs(0)._2),          // hot cluster: resolves round 1
+      Knn.Query(2, cs(3)._1 + 0.2, cs(3)._2),
+      Knn.Query(3, 170.0, 85.0),                 // sparse corner: expansion/fallback
+      Knn.Query(4, 90.0, 45.0))
+    val k = 10
+    val pts = table.select(col("image_id"), col("lon"), col("lat"), col("cell"))
+      .withColumn("id", expr("cast(substring(image_id, 5) as long)"))
+    val got = Knn.knn(pts, queries, k).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    val coords = rows.map { r =>
+      (r.image_id.stripPrefix("img_").toLong,
+       CellIndex.getLon(CellIndex.unpackX(r.phash)),
+       CellIndex.getLat(CellIndex.unpackY(r.phash)))
+    }
+    queries.foreach { q =>
+      val brute = coords.map { case (id, lon, lat) =>
+        (id, CellIndex.distMeters(q.lon, q.lat, lon, lat))
+      }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+      assert(got(q.qid) == brute, s"qid=${q.qid}")
+    }
+  }
+}
