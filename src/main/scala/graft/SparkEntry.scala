@@ -1,13 +1,420 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cells.CellIndex
+import graft.cells.CellIndex.BBox
+import graft.fixtures.Fixtures
+import graft.functions.geo
+import graft.operators._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator
+ * (SURVEY.md §2 inventory + pipeline extensions), each with a DuckDB oracle
+ * where ANSI-SQL-expressible. Geometry queries derive deterministic lon/lat
+ * from testdata columns (positive quadrant: C-truncation == floor == DuckDB
+ * TRUNC, so the unsigned-shift bin math is SQL-replicable); the Spark side
+ * runs the REAL codegen expressions, the SQL side recomputes the math
+ * independently — a cross-engine differential test of the encoder.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic point cloud from events: lon in [1,171], lat in [1,81]. */
+  private def eventPoints(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events").select(
+      col("event_id"),
+      (pmod(col("event_id") * 37, lit(17000L)) / 100.0 + 1.0).as("lon"),
+      (pmod(col("event_id") * 101, lit(8000L)) / 100.0 + 1.0).as("lat"))
+  private val eventPointsSql =
+    """SELECT event_id,
+      |       (event_id * 37 % 17000) / 100.0 + 1.0 AS lon,
+      |       (event_id * 101 % 8000) / 100.0 + 1.0 AS lat
+      |FROM events""".stripMargin
+
+  /** SQL twin of the level-0 bin math, valid for POSITIVE coords only. */
+  private val xbinSql = "CAST(TRUNC(lon * 2147483647.0 / 180.0) AS BIGINT) // 262144"
+  private val ybinSql = "CAST(TRUNC(lat * 2147483647.0 / 90.0) AS BIGINT) // 262144"
+
+  // the test bbox used by extract queries (constants baked into both sides)
+  private val qBox = BBox(40.0, 20.0, 60.0, 35.0)
+
+  // triangle for the point-in-polygon query (generic slopes, CCW)
+  private val tri = Array(30.013, 10.007, 80.021, 15.013, 50.017, 70.003)
+
+  // kNN query points
+  private val knnQs = Seq(Knn.Query(1, 50.005, 25.005),
+                          Knn.Query(2, 150.005, 70.005),
+                          Knn.Query(3, 10.005, 75.005))
+
+  /** Flagship: the full images pipeline at small scale — synthesize the
+    * graft input table, geocode with the codegen encoder, bbox-extract,
+    * aggregate per tile. */
+  def entry(spark: SparkSession): DataFrame = {
+    val images = Fixtures.images(spark, 20000, withBytes = false).toDF()
+    val c = Fixtures.cityCenters(Fixtures.DefaultSeed)(0)
+    ImageTable.extractBBox(ImageTable.derive(images),
+        BBox(c._1 - 1.5, c._2 - 1.0, c._1 + 1.5, c._2 + 1.0))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("cell"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- encoder / tiling (F1-F2, S4) ---------------------------------------
+    "q_tile_assign" -> ((s, dir) => {
+      eventPoints(s, dir)
+        .select(geo.grid_cell(col("lon"), col("lat")).cast("long").as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("cell")).limit(50)
+    }),
+    "q_cell_occupancy" -> ((s, dir) => {    // A1 fill-factor analogue
+      eventPoints(s, dir)
+        .agg(countDistinct(geo.grid_cell(col("lon"), col("lat")).cast("long")).as("used_cells"),
+             count(lit(1)).as("total_rows"))
+    }),
+    // ---- bbox extracts (P1, J1) ----------------------------------------------
+    "q_bbox_cell_granular" -> ((s, dir) => {
+      val pred = CellIndex.coverRects(qBox).map { case ((x0, x1), (y0, y1)) =>
+        val cell = geo.grid_cell(col("lon"), col("lat"))
+        shiftright(cell, 14).between(x0, x1) &&
+          cell.bitwiseAND(lit(16383)).between(y0, y1)
+      }.reduce(_ || _)
+      eventPoints(s, dir).where(pred).select("event_id").orderBy("event_id")
+    }),
+    "q_bbox_exact" -> ((s, dir) => {
+      eventPoints(s, dir).where(
+        col("lon") >= qBox.minLon && col("lon") <= qBox.maxLon &&
+        col("lat") >= qBox.minLat && col("lat") <= qBox.maxLat)
+        .select("event_id").orderBy("event_id")
+    }),
+    "q_bbox_morton_ranges" -> ((s, dir) => {   // hierarchical-cell range scan
+      val c9 = geo.cell_at(col("lon"), col("lat"), 9)
+      val pred = CellIndex.coverMortonRanges(qBox, 9)
+        .map { case (lo, hi) => c9.between(lo, hi) }
+        .reduceOption(_ || _).getOrElse(lit(false))
+      eventPoints(s, dir).where(pred).select("event_id").orderBy("event_id")
+    }),
+    // ---- polygon refinement (PIP) --------------------------------------------
+    "q_polygon_extract" -> ((s, dir) => {
+      eventPoints(s, dir)
+        .where(geo.point_in_polygon(col("lon"), col("lat"), tri))
+        .select("event_id").orderBy("event_id")
+    }),
+    // ---- kNN (ring expansion + window top-k) ----------------------------------
+    "q_knn" -> ((s, dir) => {
+      val pts = eventPoints(s, dir)
+        .select(col("event_id").as("id"), col("lon"), col("lat"),
+                geo.grid_cell(col("lon"), col("lat")).as("cell"))
+      Knn.knn(pts, knnQs, 10)
+        .select(col("qid"), col("id"), col("rank").cast("long").as("rnk"))
+        .orderBy("qid", "rnk")
+    }),
+    // ---- joins & dedup shapes (J2/J3/J7) --------------------------------------
+    "q_join_expand" -> ((s, dir) => {       // J2: 1:N expansion join
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_semijoin" -> ((s, dir) => {          // J1 as semi-join
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders").where(col("o_totalprice") > 150000.0)
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q_emit_once" -> ((s, dir) => {         // J3: emit-once dedup
+      tbl(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min("event_id").as("first_event"))
+        .orderBy("user_id", "event_type")
+    }),
+    "q_intersections" -> ((s, dir) => {     // J7: shared-vertex detection
+      tbl(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(countDistinct("l_orderkey").as("n_orders"))
+        .where(col("n_orders") >= 2)
+        .orderBy("l_partkey")
+    }),
+    // ---- aggregation / sort / top-k (A3-A5, O2) --------------------------------
+    "q_agg_partial" -> ((s, dir) => {       // A3/partial-agg shape
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+             sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_tag_stats" -> ((s, dir) => {         // A4: token frequency, top-100 by weight
+      tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .withColumn("weight", (length(col("w")) + 2) * col("n"))
+        .orderBy(desc("weight"), col("w")).limit(100)
+        .select("w", "n", "weight")
+    }),
+    "q_window_rank" -> ((s, dir) => {       // §2.5 window/top-k per key
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      tbl(s, dir, "lineitem")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("rnk").cast("long").as("rnk"))
+        .orderBy("l_suppkey", "rnk", "l_orderkey")
+    }),
+    "q_topk" -> ((s, dir) =>                // O2: global top-k
+      tbl(s, dir, "part")
+        .orderBy(desc("p_retailprice"), col("p_partkey"))
+        .limit(100)
+        .select("p_partkey", "p_name")),
+    // ---- text pipeline -----------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents"))
+        .orderBy("h")),
+    "q_token_count" -> ((s, dir) =>
+      TextOps.withTokenCounts(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("tokens_ws").cast("long").as("tokens_ws"))
+        .orderBy("doc_id")),
+    "q_quality" -> ((s, dir) =>
+      TextOps.withQuality(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+                col("quality_pts"))
+        .orderBy("doc_id")),
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.withLangId(tbl(s, dir, "documents"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")),
+    "q_fingerprint" -> ((s, dir) =>         // rows-only (xxhash64 not in DuckDB)
+      TextOps.withFingerprints(tbl(s, dir, "documents"))
+        .select("doc_id", "fp").orderBy("doc_id")),
+    "q_minhash_sig" -> ((s, dir) =>         // rows-only
+      Dedup.withMinhash(tbl(s, dir, "documents"), nGram = 3, nHashes = 4)
+        .select("doc_id", "sig_0", "sig_1", "sig_2", "sig_3").orderBy("doc_id")),
+    "q_simhash" -> ((s, dir) =>             // rows-only
+      Dedup.withSimhash(tbl(s, dir, "documents"))
+        .select("doc_id", "simhash").orderBy("doc_id")),
+    "q_ngram_jaccard" -> ((s, dir) =>       // rows-only (pairs >= 0.2 at sf)
+      Dedup.ngramJaccard(tbl(s, dir, "documents").limit(500), nGram = 2,
+          threshold = 0.05)
+        .agg(count(lit(1)).as("pairs"), max("jaccard").as("max_j"))),
+    // ---- embeddings --------------------------------------------------------------
+    "q_embed_topk" -> ((s, dir) => {
+      val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(tbl(s, dir, "embeddings"), q, 20)
+        .select(col("vec_id"))
+    }),
+    "q_embed_knn_join" -> ((s, dir) => {    // exact small-fanout knn join
+      import org.apache.spark.sql.expressions.Window
+      val e = tbl(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val w = Window.partitionBy("a_id").orderBy(desc("cos"), col("b_id"))
+      probes.crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")))
+        .where(col("a_id") =!= col("b_id"))
+        .withColumn("cos", graft.functions.vec.cosine(col("ea"), col("eb")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("a_id"), col("b_id"), col("rank").cast("long").as("rnk"))
+        .orderBy("a_id", "rnk")
+    }),
+    "q_embed_lsh_ann" -> ((s, dir) => {     // rows-only (approximate)
+      val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      Similarity.lshTopK(tbl(s, dir, "embeddings"), q, 10,
+          nTables = 8, bitsPerTable = 8)
+        .select(col("vec_id"))
+    }),
+    // ---- raster / multimodal (rows-only: testdata has no image bytes) -----------
+    "q_raster_decode" -> ((s, dir) => {
+      val imgs = Fixtures.images(s, 500, withBytes = true).toDF()
+      Raster.decodeStats(imgs).toDF()
+        .agg(count(lit(1)).as("n"), sum(when(col("ok"), 1).otherwise(0)).as("n_ok"))
+    }),
+    "q_image_extract" -> ((s, dir) => {     // rows-only flagship pipeline
+      entry(s)
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val rects = CellIndex.coverRects(qBox)
+    val rectSql = rects.map { case ((x0, x1), (y0, y1)) =>
+      s"(xbin BETWEEN $x0 AND $x1 AND ybin BETWEEN $y0 AND $y1)"
+    }.mkString(" OR ")
+    // morton ranges at res 9 are equivalent to the res-9 bin rectangle
+    val xb9 = "CAST(TRUNC(lon * 2147483647.0 / 180.0) AS BIGINT) // 8388608"
+    val yb9 = "CAST(TRUNC(lat * 2147483647.0 / 90.0) AS BIGINT) // 8388608"
+    val r9 = (v: Double, isLon: Boolean) =>
+      (if (isLon) CellIndex.toX(v) else CellIndex.toY(v)) >>> 23
+    // triangle CCW cross-product strict-inside test (generic points only)
+    val Array(x1, y1, x2, y2, x3, y3) = tri
+    val triSql =
+      s"""((($x2-$x1)*(lat-$y1) - (($y2-$y1))*(lon-$x1)) > 0 AND
+         | (($x3-$x2)*(lat-$y2) - (($y3-$y2))*(lon-$x2)) > 0 AND
+         | (($x1-$x3)*(lat-$y3) - (($y1-$y3))*(lon-$x3)) > 0)""".stripMargin
+    val distSql = (qlon: Double, qlat: Double) =>
+      s"SQRT(POW((lon - $qlon) * COS(RADIANS(($qlat + lat) / 2)), 2) + " +
+        s"POW(lat - $qlat, 2)) * 111319.49079327358"
+    val knnUnion = knnQs.map(q =>
+      s"SELECT ${q.qid} AS qid, event_id AS id, ${distSql(q.lon, q.lat)} AS dist FROM pts")
+      .mkString(" UNION ALL ")
+    val langs = Seq("de", "en", "es", "fr", "it")
+    val stopLists = Map(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+      "fr" -> Seq("le", "la", "les", "et", "des", "est", "que", "dans", "pour", "une"),
+      "es" -> Seq("el", "la", "los", "que", "de", "y", "en", "es", "por", "una"),
+      "it" -> Seq("il", "la", "che", "di", "e", "un", "per", "non", "sono", "con"))
+    val scoreSql = langs.map { l =>
+      val arr = stopLists(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(words, [$arr])) AS s_$l"
+    }.mkString(", ")
+    val bestSql = "GREATEST(s_de, s_en, s_es, s_fr, s_it)"
+    val caseSql = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+
+    Map(
+      "q_tile_assign" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |bins AS (SELECT $xbinSql AS xbin, $ybinSql AS ybin FROM pts)
+           |SELECT xbin * 16384 + ybin AS cell, count(*) AS n
+           |FROM bins GROUP BY 1 ORDER BY n DESC, cell LIMIT 50""".stripMargin,
+      "q_cell_occupancy" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |bins AS (SELECT $xbinSql AS xbin, $ybinSql AS ybin FROM pts)
+           |SELECT count(DISTINCT xbin * 16384 + ybin) AS used_cells,
+           |       count(*) AS total_rows FROM bins""".stripMargin,
+      "q_bbox_cell_granular" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |bins AS (SELECT event_id, $xbinSql AS xbin, $ybinSql AS ybin FROM pts)
+           |SELECT event_id FROM bins WHERE $rectSql ORDER BY event_id""".stripMargin,
+      "q_bbox_exact" ->
+        s"""WITH pts AS ($eventPointsSql)
+           |SELECT event_id FROM pts
+           |WHERE lon >= ${qBox.minLon} AND lon <= ${qBox.maxLon}
+           |  AND lat >= ${qBox.minLat} AND lat <= ${qBox.maxLat}
+           |ORDER BY event_id""".stripMargin,
+      "q_bbox_morton_ranges" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |bins AS (SELECT event_id, $xb9 AS xb9, $yb9 AS yb9 FROM pts)
+           |SELECT event_id FROM bins
+           |WHERE xb9 BETWEEN ${r9(qBox.minLon, true)} AND ${r9(qBox.maxLon, true)}
+           |  AND yb9 BETWEEN ${r9(qBox.minLat, false)} AND ${r9(qBox.maxLat, false)}
+           |ORDER BY event_id""".stripMargin,
+      "q_polygon_extract" ->
+        s"""WITH pts AS ($eventPointsSql)
+           |SELECT event_id FROM pts WHERE $triSql ORDER BY event_id""".stripMargin,
+      "q_knn" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |scored AS ($knnUnion),
+           |ranked AS (SELECT qid, id,
+           |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+           |  FROM scored)
+           |SELECT qid, id, rnk FROM ranked WHERE rnk <= 10
+           |ORDER BY qid, rnk""".stripMargin,
+      "q_join_expand" ->
+        """SELECT c_mktsegment, count(*) AS n,
+          |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "q_semijoin" ->
+        """SELECT l_returnflag, count(*) AS n FROM lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q_emit_once" ->
+        """SELECT user_id, event_type, min(event_id) AS first_event
+          |FROM events GROUP BY user_id, event_type
+          |ORDER BY user_id, event_type""".stripMargin,
+      "q_intersections" ->
+        """SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders
+          |FROM lineitem GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 2
+          |ORDER BY l_partkey""".stripMargin,
+      "q_agg_partial" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+          |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+          |       count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q_tag_stats" ->
+        """WITH words AS (
+          |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |SELECT w, count(*) AS n, (length(w) + 2) * count(*) AS weight
+          |FROM words WHERE length(w) > 0
+          |GROUP BY w ORDER BY weight DESC, w LIMIT 100""".stripMargin,
+      "q_window_rank" ->
+        """WITH ranked AS (
+          |  SELECT l_suppkey, l_orderkey,
+          |    row_number() OVER (PARTITION BY l_suppkey
+          |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+          |  FROM lineitem)
+          |SELECT l_suppkey, l_orderkey, rnk FROM ranked WHERE rnk <= 3
+          |ORDER BY l_suppkey, rnk, l_orderkey""".stripMargin,
+      "q_topk" ->
+        """SELECT p_partkey, p_name FROM part
+          |ORDER BY p_retailprice DESC, p_partkey LIMIT 100""".stripMargin,
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dupes
+          |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+      "q_token_count" ->
+        """SELECT doc_id,
+          |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tokens_ws
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_quality" ->
+        """WITH q AS (
+          |  SELECT doc_id,
+          |    len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
+          |    CASE WHEN len(list_filter(string_split(text, ' '), t -> length(t) > 0)) > 0
+          |      THEN CAST(length(text) - len(list_filter(string_split(text, ' '), t -> length(t) > 0)) + 1 AS DOUBLE)
+          |           / len(list_filter(string_split(text, ' '), t -> length(t) > 0))
+          |      ELSE 0.0 END AS mean_word_len,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          |      / GREATEST(length(text), 1) AS alpha_ratio,
+          |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+          |      / GREATEST(length(text), 1) AS punct_ratio,
+          |    CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS DOUBLE)
+          |      / GREATEST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)), 1) AS distinct_ratio
+          |  FROM documents)
+          |SELECT doc_id, n_words,
+          |  (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 3000 ELSE 0 END +
+          |   CASE WHEN mean_word_len BETWEEN 2.5 AND 12.0 THEN 2000 ELSE 0 END +
+          |   CASE WHEN alpha_ratio > 0.6 THEN 2000 ELSE 0 END +
+          |   CASE WHEN punct_ratio < 0.2 THEN 1000 ELSE 0 END +
+          |   CAST(TRUNC(distinct_ratio * 2000) AS BIGINT)) AS quality_pts
+          |FROM q ORDER BY doc_id""".stripMargin,
+      "q_lang_id" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_distinct(list_filter(
+           |    string_split_regex(lower(text), '[^a-z]+'), t -> length(t) > 0)) AS words
+           |  FROM documents),
+           |scored AS (SELECT doc_id, $scoreSql FROM toks),
+           |best AS (SELECT doc_id, s_de, s_en, s_es, s_fr, s_it, $bestSql AS m FROM scored)
+           |SELECT CASE WHEN m = 0 THEN 'und' $caseSql END AS lang_pred,
+           |       count(*) AS n
+           |FROM best GROUP BY 1 ORDER BY lang_pred""".stripMargin,
+      "q_embed_knn_join" ->
+        """WITH pairs AS (
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          |         list_cosine_similarity(a.embedding, b.embedding) AS cos
+          |  FROM embeddings a, embeddings b
+          |  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+          |ranked AS (SELECT a_id, b_id,
+          |  row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
+          |  FROM pairs)
+          |SELECT a_id, b_id, rnk FROM ranked WHERE rnk <= 5
+          |ORDER BY a_id, rnk""".stripMargin,
+      "q_embed_topk" ->
+        """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          |SELECT vec_id FROM embeddings, q
+          |ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+          |LIMIT 20""".stripMargin
+    )
+  }
 }

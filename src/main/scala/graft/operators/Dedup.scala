@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec
+
+/**
+ * Deduplication suite for the documents table (doc_id, text, ...) and the
+ * embeddings table (vec_id, embedding) — the large-scale training-data
+ * pipeline ops. Every variant is shuffle-conscious:
+ *  - exact: one hash aggregate on a text digest (never shuffles full text
+ *    twice; the digest is the shuffle key);
+ *  - MinHash-LSH: shingle -> minhash signature -> band buckets -> candidate
+ *    pairs only within buckets -> exact Jaccard verification (no O(n^2));
+ *  - SimHash: 64-bit signature, near-dups via band equi-join + Hamming check;
+ *  - n-gram Jaccard: exact, via shingle-postings join (pairs sharing >= 1
+ *    shingle), scales with true overlap not with n^2;
+ *  - embedding near-dup: hyperplane-LSH buckets + exact cosine verify.
+ */
+object Dedup {
+
+  /** Word n-gram shingles of `text`, as a deduplicated array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " +")
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))),
+      s => length(s) > 0))
+  }
+
+  /** Exact dedup: groups identical texts by digest; keeps the smallest id as
+    * canonical. Returns (hash, keep_id, dupes). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dupes"))
+
+  /** Exact dedup, survivors only: one row per distinct text. */
+  def exactSurvivors(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature columns sig_0..sig_{h-1}: min over shingles of a
+    * seeded 64-bit hash. */
+  def withMinhash(docs: DataFrame, nGram: Int, nHashes: Int): DataFrame = {
+    val sh = shingles(col("text"), nGram)
+    val base = docs.withColumn("_sh", sh)
+    (0 until nHashes).foldLeft(base) { (df, j) =>
+      df.withColumn(s"sig_$j",
+        array_min(transform(col("_sh"), s => xxhash64(s, lit(j)))))
+    }
+  }
+
+  /**
+   * MinHash-LSH near-dup pairs: signatures banded into `bands` groups of
+   * rows; docs sharing any band bucket become candidates; candidates are
+   * verified with EXACT Jaccard over shingle sets. Returns
+   * (a_id, b_id, jaccard) with a_id < b_id and jaccard >= threshold.
+   */
+  def minhashLsh(docs: DataFrame, nGram: Int = 3, nHashes: Int = 16,
+                 bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(nHashes % bands == 0)
+    val rowsPerBand = nHashes / bands
+    val sigs = withMinhash(docs, nGram, nHashes)
+      .select(col("doc_id"), col("_sh"), array((0 until nHashes).map(j => col(s"sig_$j")): _*).as("_sig"))
+    val banded = sigs.withColumn("_band", explode(
+      array((0 until bands).map { b =>
+        struct(lit(b).as("b"),
+          xxhash64(concat_ws(",", (0 until rowsPerBand)
+            .map(r => col("_sig")(b * rowsPerBand + r).cast("string")): _*)).as("k"))
+      }: _*)))
+      .select(col("doc_id"), col("_sh"), col("_band.b").as("_b"), col("_band.k").as("_k"))
+    val a = banded.select(col("_b"), col("_k"), col("doc_id").as("a_id"), col("_sh").as("_sha"))
+    val b = banded.select(col("_b"), col("_k"), col("doc_id").as("b_id"), col("_sh").as("_shb"))
+    val cand = a.join(b, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand.withColumn("inter", size(array_intersect(col("_sha"), col("_shb"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("_sha")) + size(col("_shb")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** 64-bit SimHash over word hashes: bit i = sign of the sum of per-word
+    * (+1/-1) votes. One explode + hash-aggregate pass: 64 map-side-combined
+    * sums, NOT 64 re-walks of the token array. */
+  def withSimhash(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(array_distinct(filter(split(col("text"), " +"),
+        w => length(w) > 0))).as("_w"))
+      .withColumn("_h", xxhash64(col("_w")))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_v$i"))
+    val votes = tokens.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sim = (0 until 64).map(i =>
+        when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    docs.join(votes.select(col("doc_id"), sim.as("simhash")), "doc_id")
+  }
+
+  /** SimHash near-dups: 4x16-bit band blocking + Hamming distance check.
+    * Hamming via bit_count(xor). Returns pairs with hamming <= maxHamming. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sh = withSimhash(docs).select(col("doc_id"), col("simhash"))
+    val banded = sh.withColumn("_band", explode(array((0 until 4).map { b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("k"))
+    }: _*)))
+      .select(col("doc_id"), col("simhash"), col("_band.b").as("_b"), col("_band.k").as("_k"))
+    val a = banded.select(col("_b"), col("_k"), col("doc_id").as("a_id"), col("simhash").as("_sa"))
+    val b = banded.select(col("_b"), col("_k"), col("doc_id").as("b_id"), col("simhash").as("_sb"))
+    a.join(b, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Exact n-gram Jaccard over ALL pairs sharing at least one shingle —
+    * postings join: |A∩B| from the shingle index, sizes joined in. */
+  def ngramJaccard(docs: DataFrame, nGram: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), nGram).as("_sh"))
+      .withColumn("_size", size(col("_sh")))
+    val postings = sh.select(col("doc_id"), col("_size"), explode(col("_sh")).as("_s"))
+    val a = postings.select(col("_s"), col("doc_id").as("a_id"), col("_size").as("_na"))
+    val b = postings.select(col("_s"), col("doc_id").as("b_id"), col("_size").as("_nb"))
+    a.join(b, "_s").where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "_na", "_nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter") / (col("_na") + col("_nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Embedding near-dup: hyperplane-LSH bucket join + exact cosine verify.
+    * Multiple independent signature tables raise recall. */
+  def embeddingNearDup(embs: DataFrame, cosThreshold: Double = 0.95,
+                       nTables: Int = 4, bitsPerTable: Int = 12,
+                       dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val planes = vec.randomPlanes(bitsPerTable, dim, seed + t)
+      embs.select(col("vec_id"), col("embedding"),
+        lit(t).as("_t"), vec.hyperplane_sig(col("embedding"), planes).as("_sig"))
+    }.reduce(_ unionByName _)
+    val a = tables.select(col("_t"), col("_sig"), col("vec_id").as("a_id"),
+      col("embedding").as("_ea"))
+    val b = tables.select(col("_t"), col("_sig"), col("vec_id").as("b_id"),
+      col("embedding").as("_eb"))
+    a.join(b, Seq("_t", "_sig")).where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", vec.cosine(col("_ea"), col("_eb")))
+      .where(col("cos") >= cosThreshold)
+      .select("a_id", "b_id", "cos")
+  }
+}

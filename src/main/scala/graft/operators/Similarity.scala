@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (array<float>). Three tiers:
+ *  - bruteForceTopK: exact baseline — one codegen cosine scan + TakeOrdered;
+ *  - lshTopK: hyperplane-LSH bucket probe (scale path; touches only
+ *    signature-colliding rows);
+ *  - ivfTopK: inverted-file probe — coarse centroids (k-means-style, built
+ *    once), query probes the nprobe nearest lists only.
+ */
+object Similarity {
+
+  /** Exact cosine top-k for one query vector: scan + orderBy + limit
+    * (Spark plans TakeOrderedAndProject — no full sort). */
+  def bruteForceTopK(embs: DataFrame, query: Array[Float], k: Int): DataFrame =
+    embs.select(col("vec_id"), vec.cosine_to(col("embedding"), query).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+
+  /** Multi-table LSH probe: candidates = rows sharing any signature with the
+    * query; exact cosine re-rank of candidates only. Approximate — recall
+    * grows with nTables / falls with bitsPerTable. */
+  def lshTopK(embs: DataFrame, query: Array[Float], k: Int,
+              nTables: Int = 8, bitsPerTable: Int = 10,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val sigTables = (0 until nTables).map { t =>
+      val planes = vec.randomPlanes(bitsPerTable, dim, seed + t)
+      val qSig = sigOf(query, planes)
+      embs.where(vec.hyperplane_sig(col("embedding"), planes) === qSig)
+    }
+    val cand = sigTables.reduce(_ unionByName _).dropDuplicates("vec_id")
+    bruteForceTopK(cand, query, k)
+  }
+
+  /** Driver-side signature of a literal vector (must match HyperplaneSig). */
+  def sigOf(v: Array[Float], planes: Array[Array[Float]]): Long = {
+    var sig = 0L
+    planes.indices.foreach { b =>
+      var dot = 0.0
+      val len = math.min(v.length, planes(b).length)
+      var i = 0
+      while (i < len) { dot += v(i) * planes(b)(i); i += 1 }
+      if (dot > 0) sig |= (1L << b)
+    }
+    sig
+  }
+
+  /** IVF index: Lloyd-iterated coarse centroids + per-row list assignment.
+    * Returns (assignments with `list_id`, centroids driver-side). */
+  def ivfBuild(embs: DataFrame, nLists: Int, iters: Int = 3,
+               dim: Int = 64, seed: Long = 7L): (DataFrame, Array[Array[Float]]) = {
+    // init: deterministic sample of nLists rows as centroids
+    var centroids = embs.select("embedding")
+      .orderBy(xxhash64(col("vec_id"), lit(seed)))
+      .limit(nLists).collect()
+      .map(_.getSeq[Float](0).toArray)
+    (0 until iters).foreach { _ =>
+      val assigned = assign(embs, centroids)
+      // new centroid = mean of list members (aggregate over exploded dims)
+      val means = assigned.groupBy("list_id")
+        .agg(array((0 until dim).map(i => avg(col("embedding")(i))): _*).as("c"))
+        .collect().map(r => r.getAs[Number](0).intValue ->
+          r.getSeq[Double](1).map(_.toFloat).toArray).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    (assign(embs, centroids), centroids)
+  }
+
+  private def assign(embs: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    // argmax over per-centroid cosine columns (static unroll, codegen'd)
+    val scored = centroids.zipWithIndex.foldLeft(embs) { case (df, (c, i)) =>
+      df.withColumn(s"_c$i", vec.cosine_to(col("embedding"), c))
+    }
+    val best = centroids.indices
+      .map(i => struct(col(s"_c$i").as("s"), lit(i).as("i")))
+      .reduce((a, b) => when(a.getField("s") >= b.getField("s"), a).otherwise(b))
+    scored.withColumn("list_id", best.getField("i"))
+      .drop(centroids.indices.map(i => s"_c$i"): _*)
+  }
+
+  /** IVF probe: rank lists by centroid similarity, scan only the top
+    * `nprobe` lists, exact re-rank within them. */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Float]],
+              query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val len = math.min(a.length, b.length)
+      var i = 0
+      while (i < len) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
+    }
+    val lists = centroids.indices.sortBy(i => -cos(centroids(i), query)).take(nprobe)
+    bruteForceTopK(assigned.where(col("list_id").isin(lists: _*)), query, k)
+  }
+
+  /** All-pairs top-k similarity join via LSH buckets (per-query window). */
+  def knnJoin(embs: DataFrame, k: Int, nTables: Int = 6, bitsPerTable: Int = 8,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      val planes = vec.randomPlanes(bitsPerTable, dim, seed + t)
+      embs.select(col("vec_id"), col("embedding"),
+        lit(t).as("_t"), vec.hyperplane_sig(col("embedding"), planes).as("_sig"))
+    }.reduce(_ unionByName _)
+    val a = tables.select(col("_t"), col("_sig"), col("vec_id").as("a_id"),
+      col("embedding").as("_ea"))
+    val b = tables.select(col("_t"), col("_sig"), col("vec_id").as("b_id"),
+      col("embedding").as("_eb"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    a.join(b, Seq("_t", "_sig")).where(col("a_id") =!= col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", vec.cosine(col("_ea"), col("_eb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("a_id", "b_id", "cos", "rank")
+  }
+}

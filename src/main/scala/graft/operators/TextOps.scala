@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for the documents table: token counting,
+ * language identification (character n-gram profiles), quality scoring,
+ * and rolling-hash document fingerprinting. All pure column expressions or
+ * higher-order functions — no UDFs in the hot path.
+ */
+object TextOps {
+
+  /** Whitespace token count (split semantics identical in ANSI SQL:
+    * consecutive separators yield empty tokens which are filtered). */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, " "), t => length(t) > 0))
+
+  /** BPE-ish subword count: alternating letter-runs / digit-runs /
+    * punctuation chars, each letter-run charged ceil(len/4) tokens
+    * (a crude byte-pair budget, deterministic and regex-only). */
+  def tokenCountBpe(text: Column): Column = {
+    val letterRuns = filter(split(text, "[^A-Za-z]+"), t => length(t) > 0)
+    val digitRuns = filter(split(text, "[^0-9]+"), t => length(t) > 0)
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]+", ""))
+    aggregate(letterRuns, lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast("long")) +
+      size(digitRuns) + punct
+  }
+
+  def withTokenCounts(docs: DataFrame): DataFrame =
+    docs.withColumn("tokens_ws", tokenCountWs(col("text")))
+      .withColumn("tokens_bpe", tokenCountBpe(col("text")))
+
+  // ---- language id ----------------------------------------------------------
+
+  /** Tiny character-trigram + stopword profiles (hand-built, public common
+    * words). Score = stopword hits weighted by profile. */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "que", "dans", "pour", "une"),
+    "es" -> Seq("el", "la", "los", "que", "de", "y", "en", "es", "por", "una"),
+    "it" -> Seq("il", "la", "che", "di", "e", "un", "per", "non", "sono", "con"))
+
+  /** Per-language stopword hit count over the word array; langid = argmax
+    * with "und" (undetermined) when no profile scores. */
+  def langId(text: Column): Column = {
+    val words = filter(split(lower(text), "[^\\p{L}]+"), w => length(w) > 0)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(size(array_intersect(array_distinct(words),
+        array(stops.map(lit): _*))).as("s"), lit(lang).as("l"))
+    }
+    val best = scored.reduce((a, b) =>
+      when(a.getField("s") >= b.getField("s"), a).otherwise(b))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  def withLangId(docs: DataFrame): DataFrame =
+    docs.withColumn("lang_pred", langId(col("text")))
+
+  // ---- quality score ---------------------------------------------------------
+
+  /** Composite quality heuristics: length band, mean word length band,
+    * alpha ratio, punctuation ratio, repetition (distinct/total words). */
+  def withQuality(docs: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), " "), t => length(t) > 0)
+    docs
+      .withColumn("n_words", size(words))
+      .withColumn("mean_word_len",
+        when(size(words) > 0, (length(col("text")) - size(words) + 1)
+          .cast("double") / size(words)).otherwise(0.0))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)))
+      .withColumn("distinct_ratio",
+        size(array_distinct(words)).cast("double") / greatest(size(words), lit(1)))
+      // integer basis points: truncation (unlike round-half) is bit-stable
+      // across engines, so this is the oracle-checkable form
+      .withColumn("quality_pts",
+        (when(col("n_words").between(10, 10000), 3000L).otherwise(0L) +
+          when(col("mean_word_len").between(2.5, 12.0), 2000L).otherwise(0L) +
+          when(col("alpha_ratio") > 0.6, 2000L).otherwise(0L) +
+          when(col("punct_ratio") < 0.2, 1000L).otherwise(0L) +
+          (col("distinct_ratio") * 2000).cast("long")))
+      .withColumn("quality", col("quality_pts") / 10000.0)
+  }
+
+  // ---- fingerprinting ---------------------------------------------------------
+
+  /** Rolling polynomial hash over word hashes (Rabin-Karp flavored):
+    * h = sum(hash(w_i) * P^(n-1-i)) mod M, computed with aggregate().
+    * A stable whole-document fingerprint robust to formatting-only edits
+    * (words are the rolling unit, whitespace collapsed). */
+  def fingerprint(text: Column): Column = {
+    // moduli sized so acc * P + h < 2^63 (ANSI overflow-safe)
+    val P = 1000003L
+    val M = 1000000007L
+    val words = filter(split(text, "\\s+"), t => length(t) > 0)
+    aggregate(words, lit(0L),
+      (acc, w) => pmod(acc * P + pmod(xxhash64(w), lit(M)), lit(M)))
+  }
+
+  /** Winnowed k-gram fingerprints: minima of hash over each sliding window
+    * of `window` consecutive word-k-gram hashes (document sketch for
+    * near-copy detection; standard winnowing construction). */
+  def winnowedFingerprints(text: Column, k: Int = 3, window: Int = 4): Column = {
+    val grams = Dedup.shingles(text, k)
+    val hashes = transform(grams, g => xxhash64(g))
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(hashes) - window, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(window)))))
+  }
+
+  def withFingerprints(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", fingerprint(col("text")))
+      .withColumn("fp_sketch", winnowedFingerprints(col("text")))
+}

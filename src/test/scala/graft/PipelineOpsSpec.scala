@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Dedup / similarity / text-analysis operators vs brute-force oracles on
+  * fixtures with planted duplicates and near-duplicates. */
+class PipelineOpsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // ---- document fixture with planted near-dups ------------------------------
+  private val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+    "table query scan join filter group window sort merge hash").split(" ")
+
+  private def doc(id: Long, words: Int, seed: Long): String = {
+    val r = new scala.util.Random(id * 7919 + seed)
+    Seq.fill(words)(vocab(r.nextInt(vocab.length))).mkString(" ")
+  }
+  private def mutate(text: String, nEdits: Int, seed: Long): String = {
+    val r = new scala.util.Random(seed)
+    val w = text.split(" ").toBuffer
+    (0 until nEdits).foreach { _ =>
+      w(r.nextInt(w.size)) = vocab(r.nextInt(vocab.length))
+    }
+    w.mkString(" ")
+  }
+
+  // 60 base docs; ids 100+ are exact copies of 0-9; ids 200+ near-dups of 10-29
+  private lazy val docRows: Seq[(Long, String)] = {
+    val base = (0L until 60L).map(i => i -> doc(i, 60, 1L))
+    val exact = (0L until 10L).map(i => (100L + i) -> base(i.toInt)._2)
+    val near = (0L until 20L).map(i => (200L + i) ->
+      mutate(base(10 + i.toInt)._2, 3, 999 + i))   // ~95% word overlap
+    base ++ exact ++ near
+  }
+  private lazy val docs = docRows.toDF("doc_id", "text").cache()
+
+  private def bruteJaccard(a: String, b: String, n: Int): Double = {
+    def sh(t: String) = t.split(" +").sliding(n).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("exact dedup finds exactly the planted copies") {
+    val out = Dedup.exact(docs).where(col("dupes") > 1).collect()
+    assert(out.length == 10)
+    out.foreach(r => assert(r.getLong(1) < 10 && r.getLong(2) == 2))
+    val survivors = Dedup.exactSurvivors(docs)
+    assert(survivors.count() == 80)   // 90 rows - 10 copies
+    assert(survivors.where(col("doc_id") >= 100 && col("doc_id") < 110).count() == 0)
+  }
+
+  test("ngramJaccard (exact postings join) equals brute force over all pairs") {
+    val got = Dedup.ngramJaccard(docs, nGram = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = (for {
+      i <- docRows.indices; j <- (i + 1) until docRows.size
+      (ia, ta) = docRows(i); (ib, tb) = docRows(j)
+      jac = bruteJaccard(ta, tb, 3)
+      if jac >= 0.5
+    } yield (math.min(ia, ib), math.max(ia, ib)) -> jac).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-9) }
+    // planted near-dups are in there
+    assert(expected.keySet.count { case (a, b) => b >= 200 && a == b - 190 } >= 18)
+  }
+
+  test("minhashLsh: exact-precision candidates, high recall on planted near-dups") {
+    // 3 edits in 60 words => ~9 of ~58 shingles differ => jaccard ~0.73;
+    // 8 bands of 2 rows: P(detect) = 1-(1-0.73^2)^8 ~ 0.998
+    val got = Dedup.minhashLsh(docs, nGram = 3, nHashes = 16, bands = 8,
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction (verified Jaccard); check it
+    got.foreach { case (a, b) =>
+      val ta = docRows.find(_._1 == a).get._2
+      val tb = docRows.find(_._1 == b).get._2
+      assert(bruteJaccard(ta, tb, 3) >= 0.5, s"false positive ($a,$b)")
+    }
+    // recall on planted exact copies (jaccard 1.0) must be 100%
+    (0L until 10L).foreach(i => assert(got.contains((i, 100L + i)), s"missed exact pair $i"))
+    // recall on planted near-dups: probabilistic but >= 90% at these params
+    val nearFound = (0L until 20L).count(i => got.contains((10L + i, 200L + i)))
+    assert(nearFound >= 18, s"near-dup recall $nearFound/20")
+  }
+
+  test("simhash: near-identical docs within small Hamming distance; pairs found via banding") {
+    val sh = Dedup.withSimhash(docs).select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(i => assert(sh(i) == sh(100L + i)))  // identical text
+    val got = Dedup.simhashNearDup(docs, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach(i => assert(got.contains((i, 100L + i))))
+    // hamming values returned match direct computation
+    Dedup.simhashNearDup(docs, maxHamming = 16).collect().foreach { r =>
+      val h = java.lang.Long.bitCount(sh(r.getLong(0)) ^ sh(r.getLong(1)))
+      assert(r.getInt(2) == h)
+    }
+  }
+
+  // ---- embeddings fixture -----------------------------------------------------
+  private val dim = 64
+  private def randVec(seed: Long): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    val v = Array.fill(dim)(r.nextGaussian().toFloat)
+    val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+    v.map(_ / n)
+  }
+  private def perturb(v: Array[Float], eps: Float, seed: Long): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    val w = v.map(x => x + eps * r.nextGaussian().toFloat)
+    val n = math.sqrt(w.map(x => x * x.toDouble).sum).toFloat
+    w.map(_ / n)
+  }
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < dim) { d += a(i) * b(i); i += 1 }
+    d  // unit vectors
+  }
+
+  // CLUSTERED fixture (ANN is vacuous on uniform random vectors — near-
+  // orthogonal in 64-dim): 20 centers x 15 members at cos ~0.94, plus 15
+  // planted near-dup partners (cos ~0.999) of vectors 0..14.
+  private lazy val vecRows: Seq[(Long, Array[Float])] = {
+    val centers = (0 until 20).map(k => randVec(9000 + k))
+    val base = (0L until 300L).map { i =>
+      i -> perturb(centers((i % 20).toInt), 0.06f, 5000 + i)
+    }
+    val near = (0L until 15L).map(i => (1000L + i) ->
+      perturb(base(i.toInt)._2, 0.005f, 7000 + i))
+    base ++ near
+  }
+  private lazy val embs = vecRows.map { case (id, v) => (id, v.toSeq) }
+    .toDF("vec_id", "embedding").cache()
+
+  test("embeddingNearDup finds planted cosine near-dup pairs, none spurious") {
+    val got = Dedup.embeddingNearDup(embs, cosThreshold = 0.95, nTables = 6,
+      bitsPerTable = 10, dim = dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 15L).map(i => (i, 1000L + i)).toSet
+    // exact-precision: every returned pair truly above threshold
+    got.foreach { case (a, b) =>
+      val va = vecRows.find(_._1 == a).get._2
+      val vb = vecRows.find(_._1 == b).get._2
+      assert(cosine(va, vb) >= 0.95, s"false positive ($a,$b)")
+    }
+    val found = planted.count(got.contains)
+    assert(found >= 13, s"recall $found/15")
+  }
+
+  test("bruteForceTopK equals the scala brute-force ranking exactly") {
+    val q = randVec(123456)
+    val got = Similarity.bruteForceTopK(embs, q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = vecRows.map { case (id, v) => (id, cosine(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) => assert(math.abs(g - e) < 1e-6) }
+  }
+
+  test("lshTopK: recall@10 >= 0.6 vs brute force; planted near-dup found at rank 1") {
+    val q = vecRows.find(_._1 == 3L).get._2   // query = vector 3 itself
+    val brute = Similarity.bruteForceTopK(embs, q, 10).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(embs, q, 10, nTables = 8, bitsPerTable = 8,
+      dim = dim).collect().map(_.getLong(0)).toSet
+    assert(approx.intersect(brute).size >= 6, s"recall ${approx.intersect(brute).size}/10")
+    assert(approx.contains(3L) && approx.contains(1003L))
+  }
+
+  test("ivfTopK: probing a quarter of the lists keeps recall@10 >= 0.7") {
+    val (assigned, centroids) = Similarity.ivfBuild(embs, nLists = 16, iters = 2, dim = dim)
+    val cached = assigned.cache()
+    val q = randVec(424242)
+    val brute = Similarity.bruteForceTopK(embs, q, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(cached, centroids, q, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.intersect(brute).size >= 7, s"recall ${ivf.intersect(brute).size}/10")
+    // every row landed in some list
+    assert(cached.where(col("list_id").isNull).count() == 0)
+    cached.unpersist()
+  }
+
+  test("knnJoin returns self-excluded ranked neighbors; planted pair mutually ranked 1") {
+    val out = Similarity.knnJoin(embs, k = 3, nTables = 8, bitsPerTable = 8, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.forall(t => t._1 != t._2))
+    val rank1 = out.filter(t => t._1 == 3L && t._3 == 1).map(_._2)
+    assert(rank1.headOption.contains(1003L), s"vec 3's top neighbor: ${rank1.toSeq}")
+  }
+
+  // ---- text ops ---------------------------------------------------------------
+
+  test("token counts match scala oracles") {
+    val got = TextOps.withTokenCounts(docs).select("doc_id", "tokens_ws").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    docRows.foreach { case (id, t) =>
+      assert(got(id) == t.split(" ").count(_.nonEmpty), s"doc $id")
+    }
+    // bpe-ish count: spot-check formula on a known string
+    val one = Seq((1L, "hello world42 foo-bar!! internationalization"))
+      .toDF("doc_id", "text")
+    val bpe = TextOps.withTokenCounts(one).select("tokens_bpe").collect()(0).getLong(0)
+    // hello(2) world(2) foo(1) bar(1) internationalization(5) + digits(1) + punct(3)
+    assert(bpe == 2 + 2 + 1 + 1 + 5 + 1 + 3, s"bpe=$bpe")
+  }
+
+  test("langId picks the right language on real phrases, und on gibberish") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with that"),
+      ("de", "der hund ist nicht mit der katze und das ist gut"),
+      ("fr", "le chat est dans la maison et les oiseaux sont pour une fete"),
+      ("es", "el perro y la gata que viven en la casa es por una razon"),
+      ("und", "zxqwv bnmpl kjhgf"))
+    val df = samples.zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "expect")
+    val out = TextOps.withLangId(df).select("expect", "lang_pred").collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("quality score: clean prose beats gibberish and repetition") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      (2L, "a a a a a a a a a a a a a a a a"),
+      (3L, "!!!! #### $$$$ %%%% ^^^^ &&&&")).toDF("doc_id", "text")
+    val q = TextOps.withQuality(df).select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > q(2L) && q(1L) > q(3L), q.toString)
+  }
+
+  test("fingerprint: whitespace-invariant, word-change-sensitive; sketch overlap tracks similarity") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha  beta\tgamma delta epsilon zeta eta theta"),   // formatting only
+      (3L, "alpha beta gamma delta OMEGA zeta eta theta")).toDF("doc_id", "text")
+    val fp = TextOps.withFingerprints(df).select("doc_id", "fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    val sk = TextOps.withFingerprints(docs).select("doc_id", "fp_sketch").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def overlap(a: Set[Long], b: Set[Long]) =
+      a.intersect(b).size.toDouble / math.max(1, a.union(b).size)
+    assert(overlap(sk(10L), sk(200L)) > 0.5)     // planted near-dup
+    assert(overlap(sk(30L), sk(40L)) < 0.3)      // unrelated
+  }
+}
