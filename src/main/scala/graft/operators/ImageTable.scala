@@ -67,19 +67,31 @@ object ImageTable {
         pmod(xxhash64(col("image_id")), coalesce(col("_nsalt"), lit(1))).cast("int"))
       .drop("_pc", "_nsalt")
 
+    // A2 analogue (vex.c:460-481 load counters): observed metrics ride the
+    // write job itself — no extra pass
+    val obs = new org.apache.spark.sql.Observation("ingest")
+    val observed = salted.observe(obs,
+      count(lit(1)).as("rows_loaded"),
+      count(when(col("phash").isNull, 1)).as("null_phash"),
+      approx_count_distinct(col("cell")).as("approx_cells"))
+
     val t0 = System.nanoTime()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    salted.write.mode("overwrite")
+    observed.write.mode("overwrite")
       .partitionBy("p_cell", "p_salt").parquet(path)
     val writeSec = (System.nanoTime() - t0) / 1e9
+    val loadMetrics = obs.get.map { case (k, v) =>
+      s"observed_$k" -> v.toString.toDouble }
 
-    commitFromTable(spark, path, writeSec)
+    commitFromTable(spark, path, writeSec, loadMetrics)
   }
 
   /** Build lineage records by scanning the just-written table (one cheap
     * aggregate over parquet) and commit the snapshot. */
   private def commitFromTable(spark: SparkSession, path: String,
-                              writeSec: Double): SnapshotLog.Snapshot = {
+                              writeSec: Double,
+                              extraMetrics: Map[String, Double] = Map.empty)
+      : SnapshotLog.Snapshot = {
     val written = spark.read.parquet(path)
     val lineage = written.groupBy("p_cell", "p_salt").agg(
         count(lit(1)).as("rows"),
@@ -96,7 +108,8 @@ object ImageTable {
       "total_rows" -> totalRows.toDouble,
       "partitions" -> lineage.size.toDouble,
       "write_sec" -> writeSec,
-      "rows_per_sec" -> (if (writeSec > 0) totalRows / writeSec else 0.0)))
+      "rows_per_sec" -> (if (writeSec > 0) totalRows / writeSec else 0.0))
+      ++ extraMetrics)
   }
 
   /**
