@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Format-level codecs from the reference, as column functions (F6-F8 in
+ * SURVEY.md §2.8). Physically unnecessary under parquet — these exist so
+ * the engine can ingest/emit reference-shaped encoded streams and so the
+ * strict-compat oracle can round-trip them.
+ */
+object osmCodec {
+
+  /** Delta-decode an array of longs (PBF way refs / dense-node ids,
+    * pbf-read.c:181-186): out(i) = sum(in(0..i)). Running sum via the
+    * aggregate higher-order function, no UDF. */
+  def deltaDecode(arr: Column): Column =
+    slice(
+      aggregate(arr,
+        struct(lit(0L).as("acc"), array().cast("array<long>").as("out")),
+        (st, x) => {
+          val acc = st.getField("acc") + x
+          struct(acc.as("acc"), array_append(st.getField("out"), acc).as("out"))
+        }).getField("out"),
+      lit(1), size(arr))
+
+  /** Delta-encode: out(i) = in(i) - in(i-1), out(0) = in(0)
+    * (pbf-write.c:307-316 re-encode direction). */
+  def deltaEncode(arr: Column): Column =
+    zip_with(arr,
+      concat(array(lit(0L)), slice(arr, lit(1), greatest(size(arr) - 1, lit(0)))),
+      (cur, prev) => cur - prev)
+
+  /** Sentinel list encoding (vex.c:499-509): negate the last element to
+    * mark end-of-list. */
+  def sentinelEncode(arr: Column): Column =
+    concat(slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+      array(element_at(arr, -1) * -1))
+
+  /** Inverse: restore the (absolute value of the) last element. */
+  def sentinelDecode(arr: Column): Column =
+    concat(slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+      array(abs(element_at(arr, -1))))
+
+  /** Zigzag (intpack.c:106-121): signed <-> unsigned interleave. */
+  def zigzagEncode(v: Column): Column =
+    shiftleft(v, 1).bitwiseXOR(shiftright(v, 63))
+  def zigzagDecode(v: Column): Column =
+    shiftrightunsigned(v, 1).bitwiseXOR(-(v.bitwiseAND(lit(1L))))
+
+  /** FNV-1a 32-bit string hash (dedup.c:86-94) — pure Scala twin for
+    * byte-compat string-table tests. */
+  def fnv1a32(s: String): Int = {
+    var h = 0x811C9DC5
+    var i = 0
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xFF
+      h *= 0x01000193
+      i += 1
+    }
+    h
+  }
+}

@@ -134,6 +134,19 @@ object PlanetExtract {
         .select(lit("relation").as("kind"), col("id"), col("cell")))
   }
 
+  /** A1 fill-factor report (vex.c:588-597): occupied cells and ratio. */
+  def fillFactor(t: PlanetTables): (Long, Double) = {
+    val used = t.ways.select("cell").union(t.relations.select("cell"))
+      .where(col("cell").isNotNull).distinct().count()
+    (used, used.toDouble / (CellIndex.GridDim.toLong * CellIndex.GridDim))
+  }
+
+  /** S5 sink analogue: persist an extract as a parquet result table
+    * partitioned by entity kind (the staged-PBF-stream equivalent: readers
+    * consume kind=node, then kind=way, then kind=relation). */
+  def writeExtract(extract: DataFrame, path: String): Unit =
+    extract.write.mode("overwrite").partitionBy("kind").parquet(path)
+
   /** Engine-extension extract: cell pruning THEN exact refinement — nodes
     * strictly inside the bbox, ways intersecting it via any node. */
   def bboxRefined(t: PlanetTables, b: BBox): DataFrame = {
