@@ -91,11 +91,14 @@ object SparkEntry {
         .select("event_id").orderBy("event_id")
     }),
     "q_bbox_morton_ranges" -> ((s, dir) => {   // hierarchical-cell range scan
-      val c9 = geo.cell_at(col("lon"), col("lat"), 9)
+      // materialize c9 once as a column; range predicates then reference it
+      // (inlining the encoder into each of the ~60 ranges defeats CSE)
       val pred = CellIndex.coverMortonRanges(qBox, 9)
-        .map { case (lo, hi) => c9.between(lo, hi) }
+        .map { case (lo, hi) => col("c9").between(lo, hi) }
         .reduceOption(_ || _).getOrElse(lit(false))
-      eventPoints(s, dir).where(pred).select("event_id").orderBy("event_id")
+      eventPoints(s, dir)
+        .withColumn("c9", geo.cell_at(col("lon"), col("lat"), 9))
+        .where(pred).select("event_id").orderBy("event_id")
     }),
     // ---- polygon refinement (PIP) --------------------------------------------
     "q_polygon_extract" -> ((s, dir) => {

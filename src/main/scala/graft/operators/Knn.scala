@@ -57,7 +57,13 @@ object Knn {
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
 
     var unresolved = queries
-    var resolvedParts = List.empty[DataFrame]
+    // kNN results are Q*k rows — inherently driver-small (the queries came
+    // from the driver). Each round's result is collected ONCE; nothing is
+    // recomputed when the returned DataFrame is consumed repeatedly.
+    val resolvedRows = List.newBuilder[(Long, Long, Double, Int)]
+    def drain(df: DataFrame): Unit =
+      df.collect().foreach(r => resolvedRows +=
+        ((r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))))
 
     for (r <- Seq(1, 4, 16) if unresolved.nonEmpty) {
       val cand = unresolved.flatMap { q =>
@@ -69,33 +75,31 @@ object Knn {
         .withColumn("dist", distCol)
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
-        .select("qid", "qlon", "qlat", "id", "dist", "rank")
-        .cache()
+        .select(col("qid"), col("qlat"), col("id"), col("dist"), col("rank"))
+        .collect()                       // one evaluation per round
       // resolution check: k-th neighbor inside the guarantee radius
-      val stats = topk.groupBy("qid", "qlat")
-        .agg(count(lit(1)).as("n"), max("dist").as("kth")).collect()
-      val resolved = stats.filter { s =>
-        s.getLong(2) >= k && s.getDouble(3) <= diskBoundMeters(s.getDouble(1), r)
-      }.map(_.getLong(0)).toSet
+      val byQ = topk.groupBy(_.getLong(0))
+      val resolved = byQ.collect {
+        case (qid, rows) if rows.length >= k &&
+          rows.map(_.getDouble(3)).max <= diskBoundMeters(rows.head.getDouble(1), r) => qid
+      }.toSet
       if (resolved.nonEmpty) {
-        resolvedParts ::= topk.where(col("qid").isin(resolved.toSeq: _*))
-          .select("qid", "id", "dist", "rank")
+        topk.filter(r0 => resolved(r0.getLong(0))).foreach(r0 => resolvedRows +=
+          ((r0.getLong(0), r0.getLong(2), r0.getDouble(3), r0.getInt(4))))
         unresolved = unresolved.filterNot(q => resolved(q.qid))
       }
-      topk.unpersist(blocking = false)
     }
 
     if (unresolved.nonEmpty) {
       // fallback: exact top-k over the full table for the stragglers
       val qdf = unresolved.map(q => (q.qid, q.lon, q.lat)).toDF("qid", "qlon", "qlat")
-      val full = points.crossJoin(broadcast(qdf))
+      drain(points.crossJoin(broadcast(qdf))
         .withColumn("dist", distCol)
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
-        .select("qid", "id", "dist", "rank")
-      resolvedParts ::= full
+        .select("qid", "id", "dist", "rank"))
     }
 
-    resolvedParts.reduce(_ unionByName _)
+    resolvedRows.result().toDF("qid", "id", "dist", "rank")
   }
 }
