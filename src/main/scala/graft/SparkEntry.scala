@@ -100,6 +100,11 @@ object SparkEntry {
         .withColumn("c9", geo.cell_at(col("lon"), col("lat"), 9))
         .where(pred).select("event_id").orderBy("event_id")
     }),
+    "q_mercator_tiles" -> ((s, dir) => {    // Web-Mercator tile assignment
+      ImageTable.withMercatorTiles(eventPoints(s, dir), Seq(12))
+        .groupBy("tile_z12_x", "tile_z12_y").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tile_z12_x"), col("tile_z12_y")).limit(100)
+    }),
     // ---- polygon refinement (PIP) --------------------------------------------
     "q_polygon_extract" -> ((s, dir) => {
       eventPoints(s, dir)
@@ -311,6 +316,15 @@ object SparkEntry {
            |WHERE xb9 BETWEEN ${r9(qBox.minLon, true)} AND ${r9(qBox.maxLon, true)}
            |  AND yb9 BETWEEN ${r9(qBox.minLat, false)} AND ${r9(qBox.maxLat, false)}
            |ORDER BY event_id""".stripMargin,
+      "q_mercator_tiles" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |tiles AS (SELECT
+           |  CAST(LEAST(GREATEST(FLOOR((lon + 180.0) / 360.0 * 4096), 0), 4095) AS BIGINT) AS tile_z12_x,
+           |  CAST(LEAST(GREATEST(FLOOR((1.0 - LN(TAN(RADIANS(LEAST(GREATEST(lat, -85.05112877980659), 85.05112877980659)))
+           |    + 1.0 / COS(RADIANS(LEAST(GREATEST(lat, -85.05112877980659), 85.05112877980659)))) / PI()) / 2.0 * 4096), 0), 4095) AS BIGINT) AS tile_z12_y
+           |  FROM pts)
+           |SELECT tile_z12_x, tile_z12_y, count(*) AS n FROM tiles
+           |GROUP BY 1, 2 ORDER BY n DESC, tile_z12_x, tile_z12_y LIMIT 100""".stripMargin,
       "q_polygon_extract" ->
         s"""WITH pts AS ($eventPointsSql)
            |SELECT event_id FROM pts WHERE $triSql ORDER BY event_id""".stripMargin,

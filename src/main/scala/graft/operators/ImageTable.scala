@@ -196,6 +196,25 @@ object ImageTable {
       col("lon") >= b.minLon && col("lon") <= b.maxLon &&
       col("lat") >= b.minLat && col("lat") <= b.maxLat)
 
+  /** Web-Mercator (slippy) tile assignment at zoom z — the industry tile
+    * scheme alongside the reference-compatible grid cells. Standard
+    * formulas; latitude clamped to the Mercator domain. Built-in column
+    * math only (codegen'd). */
+  def mercatorTileX(lon: Column, z: Int): Column =
+    least(greatest(floor((lon + 180.0) / 360.0 * (1L << z)), lit(0.0)),
+      lit(((1L << z) - 1).toDouble)).cast("long")
+  def mercatorTileY(lat: Column, z: Int): Column = {
+    val latC = greatest(least(lat, lit(85.05112877980659)), lit(-85.05112877980659))
+    val latRad = radians(latC)
+    val yNorm = (lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / math.Pi) / 2.0
+    least(greatest(floor(yNorm * (1L << z)), lit(0.0)),
+      lit(((1L << z) - 1).toDouble)).cast("long")
+  }
+  def withMercatorTiles(df: DataFrame, zooms: Seq[Int]): DataFrame =
+    zooms.foldLeft(df)((d, z) => d
+      .withColumn(s"tile_z${z}_x", mercatorTileX(col("lon"), z))
+      .withColumn(s"tile_z${z}_y", mercatorTileY(col("lat"), z)))
+
   /** Polygon extract: bbox-of-polygon cell pruning + exact ray-casting
     * refinement (codegen PointInPolygon). poly = flat [lon,lat,...]. */
   def extractPolygon(images: DataFrame, poly: Array[Double]): DataFrame = {
