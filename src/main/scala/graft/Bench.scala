@@ -93,6 +93,29 @@ object Bench {
     }
   }
 
+  /** Plain-JVM busy-loop aggregate-throughput ratio 4N threads / N threads:
+    * the parallel capacity the (shared, steal-prone) host delivers NOW. */
+  private def hwScalingProbe(n: Int): Double = {
+    def run(threads: Int): Double = {
+      val iters = 400000000L
+      @volatile var sink = 0.0
+      def work(): Unit = {
+        var x = 1.000000001; var s = 0.0; var i = 0L
+        while (i < iters) { s += x * x + 0.5 / x; x += 1e-9; i += 1 }
+        sink = s
+      }
+      val t0 = System.nanoTime()
+      val ts = Array.fill(threads)(new Thread(() => work()))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      iters.toDouble * threads / sec
+    }
+    run(n)                       // warmup (JIT + frequency ramp)
+    val aggN = run(n)
+    val agg4N = run(n * 4)
+    agg4N / aggN
+  }
+
   private def time[A](f: => A): (Double, A) = {
     val t0 = System.nanoTime()
     val a = f
@@ -120,23 +143,36 @@ object Bench {
       }
     spark.stop()
 
-    // part 2: scaling efficiency, local[N] vs local[4N], same input+job
-    def measure(threads: Int): Double = {
+    // part 2: scaling efficiency, local[N] vs local[4N], same input+job.
+    // The host VM has visible steal time, so N and 4N are sampled
+    // INTERLEAVED (3 session pairs) and each level takes its min — both
+    // levels see the same noise regime instead of drifting apart.
+    def measureOnce(threads: Int, warm: Boolean): Double = {
       val s = session(threads)
       try {
-        flagshipJob(s)            // warmup (JIT + page cache)
-        // best-of-3: the host VM has visible steal time; min is the least
-        // noise-contaminated estimate of the engine's own cost
-        val sec = Seq.fill(3)(time(flagshipJob(s))._1).min
-        System.err.println(f"[bench] flagship local[$threads]: $sec%.2f s " +
-          f"(${BenchRows / sec / 1e6}%.2f M rows/s)")
-        sec
+        if (warm) flagshipJob(s)        // JIT + page cache on first pair
+        time(flagshipJob(s))._1
       } finally s.stop()
     }
     val nThreads = 4
-    val tN = measure(nThreads)
-    val t4N = measure(nThreads * 4)
+    val pairs = (0 until 3).map { i =>
+      (measureOnce(nThreads, warm = i == 0), measureOnce(nThreads * 4, warm = i == 0))
+    }
+    val tN = pairs.map(_._1).min
+    val t4N = pairs.map(_._2).min
+    System.err.println(f"[bench] flagship local[$nThreads]: $tN%.2f s; " +
+      f"local[${nThreads * 4}]: $t4N%.2f s " +
+      f"(pairs: ${pairs.map(p => f"${p._1}%.1f/${p._2}%.1f").mkString(", ")})")
+    // hardware availability probe: what scaling does the HOST deliver for
+    // plain JVM threads right now? (shared VM: steal/throttling fluctuate;
+    // the engine cannot scale past what the box provides)
+    val hwSpeedup = hwScalingProbe(nThreads)
+    System.err.println(f"[bench] hw probe: raw thread scaling $nThreads->" +
+      f"${nThreads * 4} = $hwSpeedup%.2fx of 4x ideal")
     val eff = (tN / t4N) / 4.0
+    // engine efficiency against the parallel capacity the host actually
+    // delivered during this run (capped at the ideal 4x)
+    val effHwNorm = (tN / t4N) / math.min(4.0, hwSpeedup)
     val thrN = BenchRows / tN
     val thr4N = BenchRows / t4N
 
@@ -146,6 +182,7 @@ object Bench {
     val scaling = f"""{"rows":$BenchRows,"n_threads":$nThreads,""" +
       f""""tN_sec":$tN%.3f,"t4N_sec":$t4N%.3f,""" +
       f""""rows_per_sec_N":${thrN.toLong},"rows_per_sec_4N":${thr4N.toLong},""" +
+      f""""hw_thread_speedup":$hwSpeedup%.2f,"efficiency_hw_norm":$effHwNorm%.3f,""" +
       f""""efficiency":$eff%.3f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
 
@@ -161,6 +198,8 @@ object Bench {
            || flagship tiling+extract ($BenchRows rows), local[$nThreads] (N) | $tN%.2f s (${thrN / 1e6}%.2f M rows/s) |
            || flagship tiling+extract, local[${nThreads * 4}] (4N) | $t4N%.2f s (${thr4N / 1e6}%.2f M rows/s) |
            || scaling efficiency (T_N/T_4N)/4 | $eff%.3f (target >= 0.8) |
+           || host-delivered thread scaling (busy-loop probe, same minute) | $hwSpeedup%.2fx of 4x |
+           || efficiency normalized to delivered capacity | $effHwNorm%.3f |
            |""".stripMargin
       Files.write(Paths.get("/root/repo/BENCH.md"), md.getBytes,
         java.nio.file.StandardOpenOption.CREATE,

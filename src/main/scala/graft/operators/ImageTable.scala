@@ -161,13 +161,22 @@ object ImageTable {
   }
 
   /** Read only partitions committed in the latest snapshot (stragglers from
-    * a crashed write are invisible — snapshot isolation for readers). */
+    * a crashed write are invisible — snapshot isolation for readers).
+    * Implemented as an ANTI-filter on uncommitted on-disk partitions: in
+    * the common case (no crash debris) that set is empty and the reader
+    * carries NO extra predicate — a positive isin over every committed
+    * cell would bloat every query plan at planet scale. */
   def readCommitted(spark: SparkSession, path: String): DataFrame = {
     val committed = SnapshotLog.committedPartitions(path)
-      .map(_.split("/")(0).stripPrefix("p_cell=").toLong).toSeq
+      .map(_.split("/")(0).stripPrefix("p_cell=").toLong)
     val df = spark.read.parquet(path)
-    if (committed.isEmpty) df.where(lit(false))
-    else df.where(col("p_cell").isin(committed: _*))
+    if (committed.isEmpty) return df.where(lit(false))
+    val onDisk = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("p_cell="))
+      .map(_.getName.stripPrefix("p_cell=").toLong).toSet
+    val stragglers = onDisk -- committed
+    if (stragglers.isEmpty) df
+    else df.where(!col("p_cell").isin(stragglers.toSeq: _*))
   }
 
   // ---- queries over the images table ---------------------------------------

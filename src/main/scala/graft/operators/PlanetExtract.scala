@@ -134,6 +134,28 @@ object PlanetExtract {
         .select(lit("relation").as("kind"), col("id"), col("cell")))
   }
 
+  /** Engine extension (fixes Q3: "no relation closure; relations may
+    * dangle", vex.c:302-320): one-level member closure — selected
+    * relations' node/way members are fetched and unioned in (plus the way
+    * members' own nodes), each emitted once. No recursion into relation
+    * members (matches the reference's own TODO scope). */
+  def bboxWithRelationClosure(t: PlanetTables, b: BBox): DataFrame = {
+    val base = bbox(t, b)
+    val rels = t.relations.where(bboxPredicate(b))
+    val members = rels.select(explode(col("members")).as("m"))
+      .select(col("m.mtype").as("mtype"), col("m.ref").as("ref")).distinct()
+    val memberWays = t.ways.join(
+      members.where(col("mtype") === 1).select(col("ref").as("id")), "id")
+    val memberWayNodeIds = memberWays.select(explode(col("refs")).as("id"))
+    val memberNodeIds = members.where(col("mtype") === 0)
+      .select(col("ref").as("id")).unionByName(memberWayNodeIds).distinct()
+    val memberNodes = t.nodes.join(memberNodeIds, "id")
+    base
+      .unionByName(memberNodes.select(lit("node").as("kind"), col("id"), col("cell")))
+      .unionByName(memberWays.select(lit("way").as("kind"), col("id"), col("cell")))
+      .dropDuplicates("kind", "id")
+  }
+
   /** A1 fill-factor report (vex.c:588-597): occupied cells and ratio. */
   def fillFactor(t: PlanetTables): (Long, Double) = {
     val used = t.ways.select("cell").union(t.relations.select("cell"))

@@ -102,6 +102,26 @@ class PlanetExtractSpec extends SparkFunSuite {
     assert(ways.length == ways.distinct.length)
   }
 
+  test("relation closure (Q3 fix): members of extracted relations are pulled in") {
+    val b = bboxes(1)._2
+    val base = rowSet(PlanetExtract.bbox(tStrict, b))
+    val closed = rowSet(PlanetExtract.bboxWithRelationClosure(tStrict, b))
+    assert(base.subsetOf(closed))
+    // oracle: base plus every node/way member of the extracted relations
+    // (and the member ways' nodes), deduped by (kind, id)
+    val relIds = base.collect { case ("relation", id, _) => id }.toSet
+    val members = planet.relations.filter(r => relIds(r.id)).flatMap(_.members)
+    val memberWayIds = members.filter(_.mtype == 1).map(_.ref).toSet
+    val wayById = planet.ways.map(w => w.id -> w).toMap
+    val memberNodeIds = members.filter(_.mtype == 0).map(_.ref).toSet ++
+      memberWayIds.flatMap(id => wayById.get(id).map(_.refs.toSet).getOrElse(Set.empty))
+    val expected = (base.map(r => (r._1, r._2)) ++
+      memberNodeIds.filter(planet.nodes.map(_.id).toSet).map(id => ("node", id)) ++
+      memberWayIds.filter(wayById.contains).map(id => ("way", id)))
+    assert(closed.map(r => (r._1, r._2)) == expected)
+    assert(closed.size > base.size, "fixture produced no closure growth")
+  }
+
   test("refined extract returns only rows inside the bbox and is a subset " +
        "of nodes; ways touch the box") {
     val b = bboxes(0)._2
