@@ -269,7 +269,8 @@ object SparkEntry {
          | (($x3-$x2)*(lat-$y2) - (($y3-$y2))*(lon-$x2)) > 0 AND
          | (($x1-$x3)*(lat-$y3) - (($y1-$y3))*(lon-$x3)) > 0)""".stripMargin
     val distSql = (qlon: Double, qlat: Double) =>
-      s"SQRT(POW((lon - $qlon) * COS(RADIANS(($qlat + lat) / 2)), 2) + " +
+      s"SQRT(POW((((lon - $qlon + 540.0) % 360.0) - 180.0) * " +
+        s"COS(RADIANS(($qlat + lat) / 2)), 2) + " +
         s"POW(lat - $qlat, 2)) * 111319.49079327358"
     val knnUnion = knnQs.map(q =>
       s"SELECT ${q.qid} AS qid, event_id AS id, ${distSql(q.lon, q.lat)} AS dist FROM pts")

@@ -234,7 +234,9 @@ object CellIndex {
   final val MetersPerDegree = 111319.49079327358   // WGS84 equatorial deg
   def distMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
     val meanLat = math.toRadians((lat1 + lat2) / 2.0)
-    val dx = (lon2 - lon1) * math.cos(meanLat)
+    // shorter-arc longitude difference (antimeridian wrap)
+    val dLon = ((lon2 - lon1 + 540.0) % 360.0) - 180.0
+    val dx = dLon * math.cos(meanLat)
     val dy = lat2 - lat1
     math.sqrt(dx * dx + dy * dy) * MetersPerDegree
   }

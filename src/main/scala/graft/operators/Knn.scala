@@ -39,7 +39,9 @@ object Knn {
 
   private def distCol = {
     val meanLat = radians((col("qlat") + col("lat")) / 2)
-    val dx = (col("lon") - col("qlon")) * cos(meanLat)
+    // shorter-arc longitude difference — bit-identical to CellIndex.distMeters
+    val dLon = ((col("lon") - col("qlon") + 540.0) % 360.0) - 180.0
+    val dx = dLon * cos(meanLat)
     val dy = col("lat") - col("qlat")
     sqrt(dx * dx + dy * dy) * lit(CellIndex.MetersPerDegree)
   }

@@ -63,7 +63,8 @@ object Routable {
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .where(col("nxt_node").isNotNull)
     val meanLat = radians((col("lat") + col("nxt_lat")) / 2)
-    val dx = (col("nxt_lon") - col("lon")) * cos(meanLat)
+    val dLon = ((col("nxt_lon") - col("lon") + 540.0) % 360.0) - 180.0
+    val dx = dLon * cos(meanLat)
     val dy = col("nxt_lat") - col("lat")
     withNext
       .withColumn("leg_m", sqrt(dx * dx + dy * dy) *

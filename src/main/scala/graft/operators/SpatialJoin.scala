@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.cells.CellIndex
+
+/**
+ * Distance (radius) spatial join: all pairs (left, right) within
+ * `radiusMeters`, computed as a cell-grid equi-join — never a cross join.
+ *
+ * Each left row is expanded to the grid cells its radius can reach:
+ * per-row neighbor counts kx (longitude, grows with |lat| as cells narrow)
+ * and ky (latitude, constant) are computed as COLUMNS, and
+ * `explode(sequence(-k, k))` generates exactly the needed offsets — rows
+ * near the equator expand to a 3x3 block while high-latitude rows expand
+ * wider, instead of everyone paying the worst case. Candidates then
+ * equi-join on the packed cell id (shuffle hash join on a 28-bit int key,
+ * partition-prunable) and a final exact distance predicate filters.
+ *
+ * Scale: the expansion factor is (2kx+1)(2ky+1) per left row — bounded and
+ * data-independent for a fixed radius/latitude band; the join itself is a
+ * plain equi-join so AQE/skew handling applies. Degenerate poles are
+ * clamped; longitude wraps.
+ */
+object SpatialJoin {
+
+  private val cellHeightDeg = 180.0 / CellIndex.GridDim
+  private val cellWidthDeg = 360.0 / CellIndex.GridDim
+
+  /**
+   * @param left  needs (lon, lat) + any payload columns; output keeps all,
+   *              prefixed `l_` on conflict — caller should pre-alias.
+   * @param right needs (lon, lat, cell).
+   * @param radiusMeters join radius (exact equirectangular distance).
+   * @param maxAbsLat    latitude at which the longitude expansion width is
+   *                     clamped; kx is additionally capped at a full ring,
+   *                     so results stay EXACT for all rows whose pairs lie
+   *                     below this latitude (default: essentially the pole).
+   */
+  def distanceJoin(left: DataFrame, right: DataFrame, radiusMeters: Double,
+                   maxAbsLat: Double = 89.95): DataFrame = {
+    val radiusDeg = radiusMeters / CellIndex.MetersPerDegree
+    // bin-difference bound for |coord diff| <= L is floor(L/cellSize) + 1
+    // (ceil alone undercounts when L is an exact multiple of the cell size)
+    val ky = (radiusDeg / cellHeightDeg).toInt + 1
+    // longitude expansion per row: |lon diff| <= radiusDeg / cos(meanLat),
+    // where meanLat can exceed |l_lat| by up to radiusDeg/2; clamp at the
+    // guard latitude so k stays bounded
+    val latWorst = least(
+      greatest(abs(col("l_lat")) + lit(radiusDeg), lit(0.0)), lit(maxAbsLat))
+    val kx = least(
+      floor(lit(radiusDeg) / (lit(cellWidthDeg) * cos(radians(latWorst)))) + 1,
+      lit((CellIndex.GridDim / 2).toDouble)).cast("int")   // full-ring cap
+
+    val l = left
+      .withColumnRenamed("lon", "l_lon").withColumnRenamed("lat", "l_lat")
+      .withColumn("_lxbin", shiftright(
+        graft.functions.geo.grid_cell(col("l_lon"), col("l_lat")), CellIndex.GridBits))
+      .withColumn("_lybin",
+        graft.functions.geo.grid_cell(col("l_lon"), col("l_lat"))
+          .bitwiseAND(lit(CellIndex.GridDim - 1)))
+      .withColumn("_kx", kx)
+      .withColumn("_dx", explode(sequence(-col("_kx"), col("_kx"))))
+      .withColumn("_dy", explode(sequence(lit(-ky), lit(ky))))
+      .withColumn("_ybin", col("_lybin") + col("_dy"))
+      .where(col("_ybin") >= 0 && col("_ybin") < CellIndex.GridDim) // lat clamp
+      .withColumn("_xbin",
+        pmod(col("_lxbin") + col("_dx"), lit(CellIndex.GridDim)))   // lon wrap
+      .withColumn("cell",
+        shiftleft(col("_xbin"), CellIndex.GridBits).bitwiseOR(col("_ybin")).cast("int"))
+      .drop("_lxbin", "_lybin", "_kx", "_dx", "_dy", "_xbin", "_ybin")
+
+    val joined = l.join(right, "cell")
+    val meanLat = radians((col("l_lat") + col("lat")) / 2)
+    val dLon = ((col("lon") - col("l_lon") + 540.0) % 360.0) - 180.0
+    val dx = dLon * cos(meanLat)
+    val dy = col("lat") - col("l_lat")
+    joined
+      .withColumn("dist_m", sqrt(dx * dx + dy * dy) * lit(CellIndex.MetersPerDegree))
+      .where(col("dist_m") <= radiusMeters)
+  }
+}
