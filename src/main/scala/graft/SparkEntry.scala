@@ -120,6 +120,15 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rank").cast("long").as("rnk"))
         .orderBy("qid", "rnk")
     }),
+    "q_spatial_join" -> ((s, dir) => {      // radius distance join
+      val pts = eventPoints(s, dir)
+      val a = pts.where(pmod(col("event_id"), lit(20)) === 0)
+        .select(col("event_id").as("a_id"), col("lon"), col("lat"))
+      val bPts = pts.select(col("event_id").as("b_id"), col("lon"), col("lat"))
+        .withColumn("cell", geo.grid_cell(col("lon"), col("lat")))
+      SpatialJoin.distanceJoin(a, bPts, 5000.0)
+        .select("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
     // ---- joins & dedup shapes (J2/J3/J7) --------------------------------------
     "q_join_expand" -> ((s, dir) => {       // J2: 1:N expansion join
       val o = tbl(s, dir, "orders")
@@ -337,6 +346,19 @@ object SparkEntry {
            |  FROM scored)
            |SELECT qid, id, rnk FROM ranked WHERE rnk <= 10
            |ORDER BY qid, rnk""".stripMargin,
+      "q_spatial_join" -> {
+        val band = 5000.0 / 111319.49079327358 * 1.001   // lat prefilter band
+        s"""WITH pts AS ($eventPointsSql),
+           |a AS (SELECT event_id AS a_id, lon AS alon, lat AS alat FROM pts
+           |      WHERE event_id % 20 = 0),
+           |b AS (SELECT event_id AS b_id, lon AS blon, lat AS blat FROM pts)
+           |SELECT a_id, b_id FROM a JOIN b
+           |  ON blat BETWEEN alat - $band AND alat + $band
+           |WHERE SQRT(POW((((blon - alon + 540.0) % 360.0) - 180.0) *
+           |  COS(RADIANS((alat + blat) / 2)), 2) + POW(blat - alat, 2))
+           |  * 111319.49079327358 <= 5000.0
+           |ORDER BY a_id, b_id""".stripMargin
+      },
       "q_join_expand" ->
         """SELECT c_mktsegment, count(*) AS n,
           |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
