@@ -79,6 +79,31 @@ class CellExpressionsSpec extends SparkFunSuite {
     }
   }
 
+  test("optimizer rule rewrites dequantize->requantize chains to packed ops") {
+    graft.plans.GraftExtensions.install(spark)
+    val df = pts.take(2000).toDF("lon", "lat")
+      .withColumn("pk", geo.pack_coord($"lon", $"lat"))
+      .select($"pk",
+        geo.grid_cell(geo.lon_of($"pk"), geo.lat_of($"pk")).as("gc"),
+        geo.cell_at(geo.lon_of($"pk"), geo.lat_of($"pk"), 9).as("c9"),
+        geo.pack_coord(geo.lon_of($"pk"), geo.lat_of($"pk")).as("pk2"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("grid_cell_packed"), optimized)
+    assert(optimized.contains("cell_packed_r9"), optimized)
+    // repack-of-unpack collapsed to a plain alias of pk (the only
+    // remaining pack_coord is the legitimate one producing pk itself)
+    assert(!optimized.contains("pack_coord(lon_of"), optimized)
+    // and the rewrite is semantics-preserving (the soundness claim)
+    df.collect().foreach { r =>
+      val pk = r.getLong(0)
+      assert(r.getInt(1) == CellIndex.gridCell(
+        CellIndex.bin(CellIndex.unpackX(pk)), CellIndex.bin(CellIndex.unpackY(pk))))
+      assert(r.getLong(2) == CellIndex.cellId(
+        CellIndex.unpackX(pk), CellIndex.unpackY(pk), 9))
+      assert(r.getLong(3) == pk)
+    }
+  }
+
   test("point_in_polygon: codegen path matches interpreted oracle on a concave polygon") {
     // concave "L" polygon
     val poly = Array(0.0, 0.0, 4.0, 0.0, 4.0, 1.0, 1.0, 1.0, 1.0, 4.0, 0.0, 4.0)
