@@ -156,6 +156,57 @@ object PlanetExtract {
       .dropDuplicates("kind", "id")
   }
 
+  /** Persist ingested planet tables as the on-disk "DB" (the reference's
+    * LOAD -> mmap-DB step, vex.c:806-831): Hive-partitioned parquet on a
+    * coarse cell prefix so stored extracts directory-prune. Unindexed
+    * relations land in partition p=-1 (still scanned only when relations
+    * are requested un-pruned). */
+  def writeTables(t: PlanetTables, path: String, pBits: Int = 5): Unit = {
+    // coarse prefix of the packed cell: top pBits of each axis interleaved
+    // would be Morton; for pruning purposes plain (xbin >> (14-pBits)) <<
+    // pBits | (ybin >> (14-pBits)) works identically with range predicates
+    def p(df: DataFrame): DataFrame = df.withColumn("p",
+      when(col("cell").isNull, lit(-1)).otherwise(
+        shiftright(col("xbin"), CellIndex.GridBits - pBits) * (1 << pBits) +
+          shiftright(col("ybin"), CellIndex.GridBits - pBits)))
+    p(t.nodes).write.mode("overwrite").partitionBy("p").parquet(s"$path/nodes")
+    p(t.ways).write.mode("overwrite").partitionBy("p").parquet(s"$path/ways")
+    p(t.relations).write.mode("overwrite").partitionBy("p").parquet(s"$path/relations")
+  }
+
+  def readTables(spark: org.apache.spark.sql.SparkSession, path: String): PlanetTables =
+    PlanetTables(
+      spark.read.parquet(s"$path/nodes"),
+      spark.read.parquet(s"$path/ways"),
+      spark.read.parquet(s"$path/relations"))
+
+  /** bbox predicate including the coarse partition-column ranges (directory
+    * pruning on stored tables) AND the exact bin rectangle. */
+  def bboxPredicateStored(b: BBox, pBits: Int = 5,
+                          strictCompat: Boolean = false): Column = {
+    val shift = CellIndex.GridBits - pBits
+    val pPred = CellIndex.coverRects(b, strictCompat).map {
+      case ((x0, x1), (y0, y1)) =>
+        col("p").between((x0 >> shift) * (1 << pBits) + (y0 >> shift),
+                         (x1 >> shift) * (1 << pBits) + (y1 >> shift)) &&
+        (col("p") % (1 << pBits)).between(y0 >> shift, y1 >> shift)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    pPred && bboxPredicate(b, strictCompat)
+  }
+
+  /** Extract over stored tables with directory pruning. */
+  def bboxStored(t: PlanetTables, b: BBox, pBits: Int = 5,
+                 strictCompat: Boolean = false): DataFrame = {
+    val pred = bboxPredicateStored(b, pBits, strictCompat)
+    val selWays = t.ways.where(pred)
+    val wayNodeIds = selWays.select(explode(col("refs")).as("id")).distinct()
+    val selNodes = t.nodes.join(wayNodeIds, "id")
+    selNodes.select(lit("node").as("kind"), col("id"), col("cell"))
+      .unionByName(selWays.select(lit("way").as("kind"), col("id"), col("cell")))
+      .unionByName(t.relations.where(pred)
+        .select(lit("relation").as("kind"), col("id"), col("cell")))
+  }
+
   /** A1 fill-factor report (vex.c:588-597): occupied cells and ratio. */
   def fillFactor(t: PlanetTables): (Long, Double) = {
     val used = t.ways.select("cell").union(t.relations.select("cell"))

@@ -128,6 +128,32 @@ class CellIndexSpec extends AnyFunSuite {
     assert(ranges.size < 200)
   }
 
+  test("fuzz: coverMortonRanges == bin rectangle for random bboxes and resolutions") {
+    val rnd = new scala.util.Random(77)
+    (0 until 40).foreach { _ =>
+      // random bbox, any quadrant (may cross signs => wrap split)
+      val lon0 = rnd.nextDouble() * 350 - 175
+      val lat0 = rnd.nextDouble() * 170 - 85
+      val b = BBox(lon0, lat0,
+        math.min(180.0, lon0 + 0.01 + rnd.nextDouble() * 40),
+        math.min(90.0, lat0 + 0.01 + rnd.nextDouble() * 20))
+      val res = 4 + rnd.nextInt(9)
+      val shift = 32 - res
+      val ranges = coverMortonRanges(b, res)
+      val inRanges = (c: Long) => ranges.exists { case (lo, hi) => c >= lo && c <= hi }
+      def axisOk(v: Int, mn: Int, mx: Int): Boolean = {
+        val bn = v >>> shift
+        if (mn <= mx) bn >= mn && bn <= mx else bn >= mn || bn <= mx
+      }
+      samples(400, rnd.nextLong())(r => lonLat(r)) { case (lon, lat) =>
+        val expect = axisOk(toX(lon), toX(b.minLon) >>> shift, toX(b.maxLon) >>> shift) &&
+                     axisOk(toY(lat), toY(b.minLat) >>> shift, toY(b.maxLat) >>> shift)
+        assert(inRanges(cellIdOf(lon, lat, res)) == expect,
+          s"b=$b res=$res p=($lon,$lat)")
+      }
+    }
+  }
+
   test("ring(k) has the right cardinality and distance") {
     val (xb, yb) = (1000, 9000)
     assert(ring(xb, yb, 0).toSeq == Seq(gridCell(xb, yb)))
