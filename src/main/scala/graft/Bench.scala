@@ -51,7 +51,7 @@ object Bench {
 
   /** The measured job — the full per-row tiling/extract pipeline in ONE
     * action: geocode (grid + Morton r7/r8/r9 encoders), point-in-polygon
-    * against a 64-gon, distance to 3 query points, bbox-extract filter,
+    * against a 256-gon, distance to 3 query points, bbox-extract filter,
     * per-tile aggregate. Compute-dense per row so the efficiency ratio
     * measures CPU scaling, not scan bandwidth or scheduling latency. */
   private def flagshipJob(spark: SparkSession): Long = {

@@ -361,7 +361,7 @@ object SparkEntry {
       },
       "q_join_expand" ->
         """SELECT c_mktsegment, count(*) AS n,
-          |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       "q_semijoin" ->
@@ -378,8 +378,8 @@ object SparkEntry {
           |ORDER BY l_partkey""".stripMargin,
       "q_agg_partial" ->
         """SELECT l_returnflag, l_linestatus,
-          |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-          |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
           |       count(*) AS n
           |FROM lineitem GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -98,6 +98,17 @@ object CellIndex {
   def cellBins(cell: Long, res: Int): (Int, Int) =
     (compact16(cell >>> 1), compact16(cell))
 
+  /** Coarse Morton cell (resolution `res` <= GridBits) containing a level-0
+    * grid cell: the partition-pruning bridge — every point whose grid `cell`
+    * is c has `cell_packed(phash, res) == coarseCellOfGrid(c, res)`, because
+    * the top `res` bits of x/y are a prefix of the 14-bit bins. */
+  def coarseCellOfGrid(cell: Int, res: Int): Long = {
+    require(res >= 1 && res <= GridBits, s"res out of range: $res")
+    val xb = cellX(cell) >>> (GridBits - res)
+    val yb = cellY(cell) >>> (GridBits - res)
+    (spread16(xb) << 1) | spread16(yb)
+  }
+
   def parent(cell: Long, steps: Int = 1): Long = cell >>> (2 * steps)
   def children(cell: Long): Seq[Long] = (0 until 4).map(i => (cell << 2) | i)
   /** True iff `anc` (at ancRes) is an ancestor-or-self of `cell` (at res). */

@@ -32,15 +32,21 @@ object osmCodec {
       (cur, prev) => cur - prev)
 
   /** Sentinel list encoding (vex.c:499-509): negate the last element to
-    * mark end-of-list. */
+    * mark end-of-list. Preconditions (matching the reference, where the
+    * lists are OSM ref lists): elements are POSITIVE ids — a last element
+    * of 0 cannot carry the sentinel (negate(0) == 0) and a negative id is
+    * already a sentinel. Empty arrays pass through unchanged (the reference
+    * never emits them; element_at(arr, -1) would throw under ANSI mode). */
   def sentinelEncode(arr: Column): Column =
-    concat(slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
-      array(element_at(arr, -1) * -1))
+    when(size(arr) > 0,
+      concat(slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+        array(element_at(arr, -1) * -1))).otherwise(arr)
 
   /** Inverse: restore the (absolute value of the) last element. */
   def sentinelDecode(arr: Column): Column =
-    concat(slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
-      array(abs(element_at(arr, -1))))
+    when(size(arr) > 0,
+      concat(slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+        array(abs(element_at(arr, -1))))).otherwise(arr)
 
   /** Zigzag (intpack.c:106-121): signed <-> unsigned interleave. */
   def zigzagEncode(v: Column): Column =

@@ -21,6 +21,26 @@ import graft.functions.vec
  */
 object Dedup {
 
+  /**
+   * Hot-bucket cap: drop every bucket whose population exceeds `maxBucket`
+   * BEFORE the candidate self-join. The within-bucket join is quadratic in
+   * bucket size, and real web text has degenerate buckets (empty-ish docs,
+   * boilerplate shingles/bands) that would otherwise explode a 100 TB run;
+   * a bucket shared by that many documents carries ~zero discriminative
+   * signal anyway (same discipline as the hot-cell salting at rest,
+   * ImageTable.ingest). The size census is a window over the bucket key —
+   * the exchange it introduces has the SAME partitioning as the join that
+   * follows, so no extra shuffle materializes.
+   */
+  private[operators] def capBuckets(banded: DataFrame, keys: Seq[String],
+                                    maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else banded
+      .withColumn("_bucket_n",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .where(col("_bucket_n") <= maxBucket)
+      .drop("_bucket_n")
+
   /** Word n-gram shingles of `text`, as a deduplicated array column. */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, " +")
@@ -58,20 +78,23 @@ object Dedup {
    * rows; docs sharing any band bucket become candidates; candidates are
    * verified with EXACT Jaccard over shingle sets. Returns
    * (a_id, b_id, jaccard) with a_id < b_id and jaccard >= threshold.
+   * Buckets over `maxBucket` docs are dropped (see capBuckets); 0 disables.
    */
   def minhashLsh(docs: DataFrame, nGram: Int = 3, nHashes: Int = 16,
-                 bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                 bands: Int = 4, threshold: Double = 0.5,
+                 maxBucket: Int = 1000): DataFrame = {
     require(nHashes % bands == 0)
     val rowsPerBand = nHashes / bands
     val sigs = withMinhash(docs, nGram, nHashes)
       .select(col("doc_id"), col("_sh"), array((0 until nHashes).map(j => col(s"sig_$j")): _*).as("_sig"))
-    val banded = sigs.withColumn("_band", explode(
+    val banded = capBuckets(sigs.withColumn("_band", explode(
       array((0 until bands).map { b =>
         struct(lit(b).as("b"),
           xxhash64(concat_ws(",", (0 until rowsPerBand)
             .map(r => col("_sig")(b * rowsPerBand + r).cast("string")): _*)).as("k"))
       }: _*)))
-      .select(col("doc_id"), col("_sh"), col("_band.b").as("_b"), col("_band.k").as("_k"))
+      .select(col("doc_id"), col("_sh"), col("_band.b").as("_b"), col("_band.k").as("_k")),
+      Seq("_b", "_k"), maxBucket)
     val a = banded.select(col("_b"), col("_k"), col("doc_id").as("a_id"), col("_sh").as("_sha"))
     val b = banded.select(col("_b"), col("_k"), col("doc_id").as("b_id"), col("_sh").as("_shb"))
     val cand = a.join(b, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
@@ -102,14 +125,17 @@ object Dedup {
   }
 
   /** SimHash near-dups: 4x16-bit band blocking + Hamming distance check.
-    * Hamming via bit_count(xor). Returns pairs with hamming <= maxHamming. */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    * Hamming via bit_count(xor). Returns pairs with hamming <= maxHamming.
+    * Buckets over `maxBucket` docs are dropped (see capBuckets); 0 disables. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 8,
+                     maxBucket: Int = 1000): DataFrame = {
     val sh = withSimhash(docs).select(col("doc_id"), col("simhash"))
-    val banded = sh.withColumn("_band", explode(array((0 until 4).map { b =>
+    val banded = capBuckets(sh.withColumn("_band", explode(array((0 until 4).map { b =>
       struct(lit(b).as("b"),
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("k"))
     }: _*)))
-      .select(col("doc_id"), col("simhash"), col("_band.b").as("_b"), col("_band.k").as("_k"))
+      .select(col("doc_id"), col("simhash"), col("_band.b").as("_b"), col("_band.k").as("_k")),
+      Seq("_b", "_k"), maxBucket)
     val a = banded.select(col("_b"), col("_k"), col("doc_id").as("a_id"), col("simhash").as("_sa"))
     val b = banded.select(col("_b"), col("_k"), col("doc_id").as("b_id"), col("simhash").as("_sb"))
     a.join(b, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
@@ -120,11 +146,26 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over ALL pairs sharing at least one shingle —
-    * postings join: |A∩B| from the shingle index, sizes joined in. */
-  def ngramJaccard(docs: DataFrame, nGram: Int = 3, threshold: Double = 0.5): DataFrame = {
+    * postings join: |A∩B| from the shingle index, sizes joined in.
+    *
+    * `maxDocFreq`: shingles appearing in more than this many documents are
+    * dropped from the postings index BEFORE the join — the standard
+    * stop-shingle cut. One boilerplate shingle shared by D docs contributes
+    * D^2 candidate pairs; on real web text that term dominates everything.
+    * The cut makes `inter` a LOWER bound for affected pairs (documented
+    * approximation); 0 disables it for exact small-N use. The default is
+    * far above any test corpus, so small-scale results are exact. */
+  def ngramJaccard(docs: DataFrame, nGram: Int = 3, threshold: Double = 0.5,
+                   maxDocFreq: Int = 100000): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text"), nGram).as("_sh"))
       .withColumn("_size", size(col("_sh")))
-    val postings = sh.select(col("doc_id"), col("_size"), explode(col("_sh")).as("_s"))
+    val postingsAll = sh.select(col("doc_id"), col("_size"), explode(col("_sh")).as("_s"))
+    val postings =
+      if (maxDocFreq <= 0) postingsAll
+      else postingsAll
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("_s")))
+        .where(col("_df") <= maxDocFreq)
+        .drop("_df")
     val a = postings.select(col("_s"), col("doc_id").as("a_id"), col("_size").as("_na"))
     val b = postings.select(col("_s"), col("doc_id").as("b_id"), col("_size").as("_nb"))
     a.join(b, "_s").where(col("a_id") < col("b_id"))
@@ -136,15 +177,17 @@ object Dedup {
   }
 
   /** Embedding near-dup: hyperplane-LSH bucket join + exact cosine verify.
-    * Multiple independent signature tables raise recall. */
+    * Multiple independent signature tables raise recall.
+    * Buckets over `maxBucket` rows are dropped (see capBuckets); 0 disables. */
   def embeddingNearDup(embs: DataFrame, cosThreshold: Double = 0.95,
                        nTables: Int = 4, bitsPerTable: Int = 12,
-                       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val tables = (0 until nTables).map { t =>
+                       dim: Int = 64, seed: Long = 42L,
+                       maxBucket: Int = 1000): DataFrame = {
+    val tables = capBuckets((0 until nTables).map { t =>
       val planes = vec.randomPlanes(bitsPerTable, dim, seed + t)
       embs.select(col("vec_id"), col("embedding"),
         lit(t).as("_t"), vec.hyperplane_sig(col("embedding"), planes).as("_sig"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _), Seq("_t", "_sig"), maxBucket)
     val a = tables.select(col("_t"), col("_sig"), col("vec_id").as("a_id"),
       col("embedding").as("_ea"))
     val b = tables.select(col("_t"), col("_sig"), col("vec_id").as("b_id"),

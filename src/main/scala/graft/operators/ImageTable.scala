@@ -130,7 +130,13 @@ object ImageTable {
       if (committedCells.isEmpty) derived
       else derived.where(!col("p_cell").isin(committedCells.toSeq: _*))
     if (remaining.isEmpty) {
-      return (SnapshotLog.latest(path).get, 0L)
+      // nothing to write: either everything is already committed, or the
+      // input itself was empty on a fresh table — commit an explicit empty
+      // snapshot rather than throwing on the absent LATEST pointer
+      val snap = SnapshotLog.latest(path).getOrElse(
+        SnapshotLog.commit(path, "images", Seq.empty,
+          Map("total_rows" -> 0.0, "resumed" -> 1.0, "write_sec" -> 0.0)))
+      return (snap, 0L)
     }
     val census = remaining.groupBy("p_cell").count()
     val salts = census.select(col("p_cell").as("_pc"),

@@ -12,8 +12,11 @@ import graft.cells.CellIndex
  * SURVEY.md §2.3 last row / §7.6).
  *
  * Rounds r ∈ {1,4,16}: per-query disk(r) cells become a broadcast literal
- * table equi-joined on `cell` — a PRUNED probe (partition/row-group skipping
- * applies), never a full scan. A query resolves when it has ≥ k candidates
+ * table equi-joined on `cell`, and — when the table carries the coarse
+ * partition column `p_cell` — a literal `p_cell IN (...)` predicate derived
+ * from the same disk cells makes the probe a directory-PRUNED scan
+ * (PartitionFilters + row-group skipping), never a full scan per round.
+ * A query resolves when it has ≥ k candidates
  * whose k-th distance is below the geometric guarantee radius of disk(r)
  * (any point outside the disk is at least r·minCellExtent away). Stragglers
  * (sparse regions) fall back to one broadcast range join over the remaining
@@ -49,13 +52,22 @@ object Knn {
   /**
    * @param points DataFrame with (id: long, lon, lat, cell: int) — e.g. the
    *   derived images table (with image_id projected to an id) or planet nodes.
+   *   If the frame also carries the coarse Morton partition column `p_cell`
+   *   (the images-table layout, ImageTable.derive), each round's probe adds
+   *   a LITERAL `p_cell IN (...)` predicate derived from the disk cells —
+   *   that is what turns the probe into a directory-pruned scan
+   *   (PartitionFilters in the plan) instead of a full-table scan per round.
+   * @param pRes resolution of the `p_cell` column when present (the
+   *   ImageTable.DefaultPRes layout is 5).
    * @return (qid, id, dist, rank) — exactly k rows per query (fewer iff the
    *   whole table has < k rows).
    */
-  def knn(points: DataFrame, queries: Seq[Query], k: Int): DataFrame = {
+  def knn(points: DataFrame, queries: Seq[Query], k: Int,
+          pRes: Int = 5): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     require(k >= 1)
+    val hasPCell = points.columns.contains("p_cell")
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
 
     var unresolved = queries
@@ -68,11 +80,23 @@ object Knn {
         ((r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))))
 
     for (r <- Seq(1, 4, 16) if unresolved.nonEmpty) {
-      val cand = unresolved.flatMap { q =>
-        CellIndex.disk(CellIndex.xBin(q.lon), CellIndex.yBin(q.lat), r)
-          .map(c => (q.qid, q.lon, q.lat, c))
+      val diskCells = unresolved.map { q =>
+        q -> CellIndex.disk(CellIndex.xBin(q.lon), CellIndex.yBin(q.lat), r)
+      }
+      val cand = diskCells.flatMap { case (q, cells) =>
+        cells.map(c => (q.qid, q.lon, q.lat, c))
       }.toDF("qid", "qlon", "qlat", "cell")
-      val topk = points
+      // partition pruning: the disk cells' coarse Morton prefixes as a
+      // literal predicate — Catalyst turns it into PartitionFilters, so the
+      // probe scans only the touched directories, never the whole table
+      val probe =
+        if (!hasPCell) points
+        else {
+          val pCells = diskCells.iterator.flatMap(_._2)
+            .map(c => CellIndex.coarseCellOfGrid(c, pRes)).toSeq.distinct
+          points.where(col("p_cell").isin(pCells: _*))
+        }
+      val topk = probe
         .join(broadcast(cand), "cell")
         .withColumn("dist", distCol)
         .withColumn("rank", row_number().over(w))

@@ -121,13 +121,23 @@ object PlanetExtract {
    * refinement — whole ways anchored in covered cells, ALL their nodes even
    * outside the bbox, ways with first node elsewhere missed. For refined
    * extracts see [[bboxRefined]].
+   *
+   * Dangling refs (a way referencing an absent node): the reference reads a
+   * zeroed struct off the sparse mmap and emits the node with coord (0,0) =>
+   * cell 0 (vex.c:941-944). strictCompat replicates that via a LEFT join +
+   * cell 0 backfill; fixed mode (default) uses an inner join and drops the
+   * phantom node — dangling refs are data corruption, not geometry.
    */
   def bbox(t: PlanetTables, b: BBox, strictCompat: Boolean = false): DataFrame = {
     val pred = bboxPredicate(b, strictCompat)
     val selWays = t.ways.where(pred)
     // J2 prep + J3: union of selected ways' refs, emit-once
     val wayNodeIds = selWays.select(explode(col("refs")).as("id")).distinct()
-    val selNodes = t.nodes.join(wayNodeIds, "id")          // J2 equi join
+    val selNodes =                                         // J2 equi join
+      if (strictCompat)
+        wayNodeIds.join(t.nodes.select(col("id"), col("cell")), Seq("id"), "left")
+          .withColumn("cell", coalesce(col("cell"), lit(0)))
+      else t.nodes.join(wayNodeIds, "id")
     selNodes.select(lit("node").as("kind"), col("id"), col("cell"))
       .unionByName(selWays.select(lit("way").as("kind"), col("id"), col("cell")))
       .unionByName(t.relations.where(pred)
@@ -207,9 +217,11 @@ object PlanetExtract {
         .select(lit("relation").as("kind"), col("id"), col("cell")))
   }
 
-  /** A1 fill-factor report (vex.c:588-597): occupied cells and ratio. */
+  /** A1 fill-factor report (vex.c:588-597): occupied cells and ratio.
+    * The reference counts ONLY cells with a non-empty WAY chain
+    * (`head_way_block != 0`, vex.c:593) — relation chains do not count. */
   def fillFactor(t: PlanetTables): (Long, Double) = {
-    val used = t.ways.select("cell").union(t.relations.select("cell"))
+    val used = t.ways.select("cell")
       .where(col("cell").isNotNull).distinct().count()
     (used, used.toDouble / (CellIndex.GridDim.toLong * CellIndex.GridDim))
   }

@@ -26,17 +26,20 @@ object Similarity {
 
   /** Multi-table LSH probe: candidates = rows sharing any signature with the
     * query; exact cosine re-rank of candidates only. Approximate — recall
-    * grows with nTables / falls with bitsPerTable. */
+    * grows with nTables / falls with bitsPerTable.
+    *
+    * ONE scan: all nTables signatures are computed in a single projection
+    * and OR-combined into one filter (each disjunct a codegen expression),
+    * instead of nTables separate filtered scans + union — at 100 TB the
+    * difference is nTables full passes over the table. */
   def lshTopK(embs: DataFrame, query: Array[Float], k: Int,
               nTables: Int = 8, bitsPerTable: Int = 10,
               dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val sigTables = (0 until nTables).map { t =>
+    val matchAnyTable = (0 until nTables).map { t =>
       val planes = vec.randomPlanes(bitsPerTable, dim, seed + t)
-      val qSig = sigOf(query, planes)
-      embs.where(vec.hyperplane_sig(col("embedding"), planes) === qSig)
-    }
-    val cand = sigTables.reduce(_ unionByName _).dropDuplicates("vec_id")
-    bruteForceTopK(cand, query, k)
+      vec.hyperplane_sig(col("embedding"), planes) === sigOf(query, planes)
+    }.reduce(_ || _)
+    bruteForceTopK(embs.where(matchAnyTable), query, k)
   }
 
   /** Driver-side signature of a literal vector (must match HyperplaneSig). */
@@ -101,14 +104,16 @@ object Similarity {
     bruteForceTopK(assigned.where(col("list_id").isin(lists: _*)), query, k)
   }
 
-  /** All-pairs top-k similarity join via LSH buckets (per-query window). */
+  /** All-pairs top-k similarity join via LSH buckets (per-query window).
+    * Buckets over `maxBucket` rows are dropped (Dedup.capBuckets discipline:
+    * a degenerate bucket is quadratic and carries no ranking signal). */
   def knnJoin(embs: DataFrame, k: Int, nTables: Int = 6, bitsPerTable: Int = 8,
-              dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val tables = (0 until nTables).map { t =>
+              dim: Int = 64, seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    val tables = Dedup.capBuckets((0 until nTables).map { t =>
       val planes = vec.randomPlanes(bitsPerTable, dim, seed + t)
       embs.select(col("vec_id"), col("embedding"),
         lit(t).as("_t"), vec.hyperplane_sig(col("embedding"), planes).as("_sig"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _), Seq("_t", "_sig"), maxBucket)
     val a = tables.select(col("_t"), col("_sig"), col("vec_id").as("a_id"),
       col("embedding").as("_ea"))
     val b = tables.select(col("_t"), col("_sig"), col("vec_id").as("b_id"),

@@ -49,9 +49,13 @@ object SpatialJoin {
     // guard latitude so k stays bounded
     val latWorst = least(
       greatest(abs(col("l_lat")) + lit(radiusDeg), lit(0.0)), lit(maxAbsLat))
+    // full-ring cap: (GridDim-1)/2 so sequence(-kx, kx) emits at most
+    // GridDim - 1 offsets — a cap of GridDim/2 would emit GridDim + 1
+    // offsets and pmod would alias two of them onto the same cell,
+    // duplicating pairs when the cap engages (high-latitude, huge radius)
     val kx = least(
       floor(lit(radiusDeg) / (lit(cellWidthDeg) * cos(radians(latWorst)))) + 1,
-      lit((CellIndex.GridDim / 2).toDouble)).cast("int")   // full-ring cap
+      lit(((CellIndex.GridDim - 1) / 2).toDouble)).cast("int")
 
     val l = left
       .withColumnRenamed("lon", "l_lon").withColumnRenamed("lat", "l_lat")

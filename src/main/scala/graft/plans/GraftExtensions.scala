@@ -13,10 +13,11 @@ import graft.functions._
  * int->double->int conversions per row; the packed-coord expressions do
  * pure bit ops.
  *
- * Soundness: quantize(dequantize(x)) == x bit-exactly for every int32 —
- * verified by a 200M-random + full bin-boundary-sweep probe (the double
- * round-trip x*c then /c with c = 180/INT32_MAX never crosses the
- * truncation boundary); see CellExpressionsSpec's rewrite tests.
+ * Soundness: quantize(dequantize(x)) == x bit-exactly for every int32 (the
+ * double round-trip x*c then /c with c = 180/INT32_MAX never crosses the
+ * truncation boundary) — verified EXHAUSTIVELY over all 2^32 values of both
+ * axes by CellIndexSpec's "quantize inverts dequantize" sweep; the rewrite
+ * itself is differential-tested in CellExpressionsSpec.
  */
 object SimplifyCellExpressions extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =

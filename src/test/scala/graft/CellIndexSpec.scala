@@ -40,6 +40,33 @@ class CellIndexSpec extends AnyFunSuite {
     }
   }
 
+  // Exhaustive soundness proof for the SimplifyCellExpressions rewrite
+  // (GraftExtensions.scala): quantize(dequantize(v)) == v for EVERY int32 on
+  // both axes. Slow-ish (~2^32 iterations) but a one-shot guarantee the
+  // optimizer rule can never corrupt a coordinate. Mismatches are counted
+  // and asserted once (per-iteration assert machinery would dominate).
+  test("quantize inverts dequantize bit-exactly on all 2^32 coords (slow sweep)") {
+    val nThreads = 8
+    val span = (1L << 32) / nThreads
+    val bads = new java.util.concurrent.atomic.AtomicLong(0)
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        var bad = 0L
+        var i = Int.MinValue.toLong + t * span
+        val end = i + span
+        while (i < end) {
+          val v = i.toInt
+          if (toX(getLon(v)) != v) bad += 1
+          if (toY(getLat(v)) != v) bad += 1
+          i += 1
+        }
+        bads.addAndGet(bad)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(bads.get() == 0L)
+  }
+
   test("bin() is the unsigned shift: negative coords wrap to upper half") {
     assert(bin(0) == 0)
     assert(bin(Int.MaxValue) == 8191)  // positive half: bins 0..8191

@@ -102,6 +102,39 @@ class PipelineOpsSpec extends SparkFunSuite {
     }
   }
 
+  test("hot-bucket cap: a degenerate 1200-doc bucket is dropped, planted pairs survive") {
+    // 1200 identical near-empty docs: without the cap, minhash banding puts
+    // all of them in one bucket => ~720k candidate pairs from garbage; with
+    // the default cap (1000) the bucket is dropped entirely
+    val degenerate = (5000L until 6200L).map(i => i -> "spam spam spam spam")
+    val mixed = (docRows ++ degenerate).toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(mixed, nGram = 3, nHashes = 16, bands = 8,
+      threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists { case (a, b) => a >= 5000L && b >= 5000L },
+      "degenerate bucket leaked candidate pairs")
+    (0L until 10L).foreach(i => assert(got.contains((i, 100L + i)), s"lost exact pair $i"))
+    // same discipline on the simhash path (identical docs share all bands)
+    val got2 = Dedup.simhashNearDup(mixed, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got2.exists { case (a, b) => a >= 5000L && b >= 5000L })
+    (0L until 10L).foreach(i => assert(got2.contains((i, 100L + i))))
+    // cap disabled => the degenerate pairs DO appear (the cap is load-bearing)
+    val uncapped = Dedup.simhashNearDup(
+      (docRows.take(1) ++ degenerate.take(50)).toDF("doc_id", "text"),
+      maxHamming = 16, maxBucket = 0).collect()
+    assert(uncapped.count(r => r.getLong(0) >= 5000L && r.getLong(1) >= 5000L) == 50 * 49 / 2)
+  }
+
+  test("ngramJaccard document-frequency cut drops stop-shingle-only pairs") {
+    // every doc shares ONLY the boilerplate shingle "stop stop stop"
+    val rows = (0L until 20L).map(i => i -> s"stop stop stop w$i x$i y$i")
+    val df = rows.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccard(df, nGram = 3, threshold = 0.01, maxDocFreq = 0)
+    assert(exact.count() == 20 * 19 / 2)          // all pairs share 1 shingle
+    val cut = Dedup.ngramJaccard(df, nGram = 3, threshold = 0.01, maxDocFreq = 10)
+    assert(cut.count() == 0, "df cut failed to drop the stop shingle")
+  }
+
   // ---- embeddings fixture -----------------------------------------------------
   private val dim = 64
   private def randVec(seed: Long): Array[Float] = {

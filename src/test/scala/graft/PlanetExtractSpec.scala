@@ -122,6 +122,24 @@ class PlanetExtractSpec extends SparkFunSuite {
     assert(closed.size > base.size, "fixture produced no closure growth")
   }
 
+  test("dangling way refs: strict mode emits the phantom node at cell 0 " +
+       "(mmap zero-page semantics), fixed mode drops it") {
+    // hand-built planet: way 1 = [1, 2, 99] where node 99 does not exist
+    val nodes = Seq(
+      Fixtures.NodeRow(1, 10.0, 20.0, Map.empty),
+      Fixtures.NodeRow(2, 10.1, 20.1, Map.empty))
+    val ways = Seq(Fixtures.WayRow(1, Array(1L, 2L, 99L), Map.empty))
+    val planet = Fixtures.Planet(nodes, ways, Seq.empty)
+    val t = PlanetExtract.ingest(nodes.toDF(), ways.toDF(),
+      spark.emptyDataset[Fixtures.RelationRow].toDF())
+    val b = BBox(9.0, 19.0, 11.0, 21.0)
+    val strict = rowSet(PlanetExtract.bbox(t, b, strictCompat = true))
+    val fixed = rowSet(PlanetExtract.bbox(t, b))
+    assert(strict == oracleSet(new RefOracle(planet).extract(b)))
+    assert(strict.contains(("node", 99L, 0)))
+    assert(strict -- fixed == Set(("node", 99L, 0)))
+  }
+
   test("refined extract returns only rows inside the bbox and is a subset " +
        "of nodes; ways touch the box") {
     val b = bboxes(0)._2
