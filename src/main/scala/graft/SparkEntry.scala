@@ -129,6 +129,27 @@ object SparkEntry {
       SpatialJoin.distanceJoin(a, bPts, 5000.0)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
+    // ---- planet extract end-to-end (J1∘J2∘J3 + J4/J5/J6 over derived
+    //      planet tables: nodes from events, ways = runs of 5 consecutive
+    //      nodes, relations anchored at their first (node) member) ---------
+    "q_planet_extract" -> ((s, dir) => {
+      val nodesRaw = eventPoints(s, dir)
+        .select((col("event_id") + 1).as("id"), col("lon"), col("lat"))
+      val waysRaw = nodesRaw.where(pmod(col("id"), lit(5)) === 0)
+        .select((col("id") / 5).cast("long").as("id"),
+                sequence(col("id") - 4, col("id")).as("refs"))
+      val relsRaw = nodesRaw.where(pmod(col("id"), lit(7)) === 0)
+        .select((col("id") / 7).cast("long").as("id"),
+          array(
+            struct(lit("outer").as("role"), lit(0).cast("byte").as("mtype"),
+                   (col("id") - 6).as("ref")),
+            struct(lit("inner").as("role"), lit(0).cast("byte").as("mtype"),
+                   (col("id") - 3).as("ref"))).as("members"))
+      val t = PlanetExtract.ingest(nodesRaw, waysRaw, relsRaw)
+      PlanetExtract.bbox(t, qBox)
+        .select(col("kind"), col("id"), col("cell").cast("long").as("cell"))
+        .orderBy("kind", "id")
+    }),
     // ---- joins & dedup shapes (J2/J3/J7) --------------------------------------
     "q_join_expand" -> ((s, dir) => {       // J2: 1:N expansion join
       val o = tbl(s, dir, "orders")
@@ -209,19 +230,23 @@ object SparkEntry {
       TextOps.withLangId(tbl(s, dir, "documents"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang_pred")),
-    "q_fingerprint" -> ((s, dir) =>         // rows-only (xxhash64 not in DuckDB)
+    "q_fingerprint" -> ((s, dir) =>         // portable md5 fingerprint (oracle=SQL)
+      tbl(s, dir, "documents")
+        .withColumn("fp", TextOps.fingerprintPortable(col("text")))
+        .select("doc_id", "fp").orderBy("doc_id")),
+    "q_fingerprint_roll" -> ((s, dir) =>    // rows-only (rolling xxhash64 variant)
       TextOps.withFingerprints(tbl(s, dir, "documents"))
         .select("doc_id", "fp").orderBy("doc_id")),
-    "q_minhash_sig" -> ((s, dir) =>         // rows-only
-      Dedup.withMinhash(tbl(s, dir, "documents"), nGram = 3, nHashes = 4)
+    "q_minhash_sig" -> ((s, dir) =>         // portable md5 minhash (oracle=SQL)
+      Dedup.withMinhashPortable(tbl(s, dir, "documents"), nGram = 3, nHashes = 4)
         .select("doc_id", "sig_0", "sig_1", "sig_2", "sig_3").orderBy("doc_id")),
     "q_simhash" -> ((s, dir) =>             // rows-only
       Dedup.withSimhash(tbl(s, dir, "documents"))
         .select("doc_id", "simhash").orderBy("doc_id")),
-    "q_ngram_jaccard" -> ((s, dir) =>       // rows-only (pairs >= 0.2 at sf)
-      Dedup.ngramJaccard(tbl(s, dir, "documents").limit(500), nGram = 2,
-          threshold = 0.05)
-        .agg(count(lit(1)).as("pairs"), max("jaccard").as("max_j"))),
+    "q_ngram_jaccard" -> ((s, dir) =>       // exact pair list (oracle=SQL)
+      Dedup.ngramJaccard(tbl(s, dir, "documents").where(col("doc_id") < 500),
+          nGram = 2, threshold = 0.5, maxDocFreq = 0)
+        .select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")),
     // ---- embeddings --------------------------------------------------------------
     "q_embed_topk" -> ((s, dir) => {
       val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
@@ -250,6 +275,32 @@ object SparkEntry {
           nTables = 8, bitsPerTable = 8)
         .select(col("vec_id"))
     }),
+    "q_embed_ann_join" -> ((s, dir) =>      // SCALABLE banded ANN join (oracle=SQL)
+      Similarity.axisKnnJoin(tbl(s, dir, "embeddings"), k = 5,
+          nTables = 8, bits = 8, probePred = col("vec_id") < 20, maxBucket = 0)
+        .select(col("a_id"), col("b_id"), col("rank").cast("long").as("rnk"))
+        .orderBy("a_id", "rnk")),
+    "q_embed_ann_recall" -> ((s, dir) => {  // per-probe recall of the banded
+      import org.apache.spark.sql.expressions.Window   // join vs exact top-k
+      val e = tbl(s, dir, "embeddings")
+      val ann = Similarity.axisKnnJoin(e, k = 5, nTables = 8, bits = 8,
+          probePred = col("vec_id") < 20, maxBucket = 0)
+        .select("a_id", "b_id")
+      val probes = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val w = Window.partitionBy("a_id").orderBy(desc("cos"), col("b_id"))
+      val exact = probes
+        .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")))
+        .where(col("a_id") =!= col("b_id"))
+        .withColumn("cos", graft.functions.vec.cosine(col("ea"), col("eb")))
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+        .select("a_id", "b_id")
+      val hits = exact.join(ann, Seq("a_id", "b_id"), "left_semi")
+        .groupBy("a_id").agg(count(lit(1)).as("n_hit"))
+      probes.select("a_id").join(hits, Seq("a_id"), "left")
+        .select(col("a_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .orderBy("a_id")
+    }),
     // ---- raster / multimodal (rows-only: testdata has no image bytes) -----------
     "q_raster_decode" -> ((s, dir) => {
       val imgs = Fixtures.images(s, 500, withBytes = true).toDF()
@@ -263,9 +314,26 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val rects = CellIndex.coverRects(qBox)
-    val rectSql = rects.map { case ((x0, x1), (y0, y1)) =>
-      s"(xbin BETWEEN $x0 AND $x1 AND ybin BETWEEN $y0 AND $y1)"
+    def rectSqlOn(p: String) = rects.map { case ((x0, x1), (y0, y1)) =>
+      s"(${p}xbin BETWEEN $x0 AND $x1 AND ${p}ybin BETWEEN $y0 AND $y1)"
     }.mkString(" OR ")
+    val rectSql = rectSqlOn("")
+    // axis-sign LSH signatures (q_embed_ann_*): pure sign tests, no float
+    // arithmetic — bit-identical across engines by construction
+    val annSigsSql = (0 until 8).map { t =>
+      val sig = (0 until 8).map(j =>
+        s"CASE WHEN embedding[${t * 8 + j + 1}] > 0 THEN ${1 << j} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, embedding, $t AS t, ($sig) AS sig FROM embeddings"
+    }.mkString(" UNION ALL ")
+    val annCandSql =
+      s"""cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |         FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+         |         WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT a_id, b_id,
+         |           list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+         |           FROM cand JOIN embeddings ea ON ea.vec_id = cand.a_id
+         |                     JOIN embeddings eb ON eb.vec_id = cand.b_id)""".stripMargin
     // morton ranges at res 9 are equivalent to the res-9 bin rectangle
     val xb9 = "CAST(TRUNC(lon * 2147483647.0 / 180.0) AS BIGINT) // 8388608"
     val yb9 = "CAST(TRUNC(lat * 2147483647.0 / 90.0) AS BIGINT) // 8388608"
@@ -454,7 +522,79 @@ object SparkEntry {
         """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
           |SELECT vec_id FROM embeddings, q
           |ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
-          |LIMIT 20""".stripMargin
+          |LIMIT 20""".stripMargin,
+      "q_embed_ann_join" ->
+        s"""WITH sigs AS ($annSigsSql),
+           |$annCandSql,
+           |ranked AS (SELECT a_id, b_id,
+           |  row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
+           |  FROM scored)
+           |SELECT a_id, b_id, rnk FROM ranked WHERE rnk <= 5
+           |ORDER BY a_id, rnk""".stripMargin,
+      "q_embed_ann_recall" ->
+        s"""WITH sigs AS ($annSigsSql),
+           |$annCandSql,
+           |ann AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+           |  row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
+           |  FROM scored) WHERE rnk <= 5),
+           |exact AS (SELECT a_id, b_id FROM (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+           |               b.vec_id) AS rnk
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |  WHERE a.vec_id < 20) WHERE rnk <= 5),
+           |hits AS (SELECT e.a_id, count(*) AS n_hit
+           |         FROM exact e JOIN ann USING (a_id, b_id) GROUP BY 1)
+           |SELECT p.vec_id AS a_id, COALESCE(h.n_hit, 0) AS n_hit
+           |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) p
+           |LEFT JOIN hits h ON h.a_id = p.vec_id ORDER BY a_id""".stripMargin,
+      "q_minhash_sig" ->
+        """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |sh AS (SELECT doc_id, unnest(list_transform(
+          |  range(1, greatest(len(w) - 2, 1) + 1),
+          |  i -> array_to_string(w[i:i+2], ' '))) AS s FROM ws)
+          |SELECT doc_id,
+          |  min(md5(s || '#0')) AS sig_0, min(md5(s || '#1')) AS sig_1,
+          |  min(md5(s || '#2')) AS sig_2, min(md5(s || '#3')) AS sig_3
+          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_fingerprint" ->
+        """SELECT doc_id, md5(array_to_string(list_filter(
+          |  string_split_regex(text, '\s+'), t -> length(t) > 0), ' ')) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_ngram_jaccard" ->
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+          |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+          |sh AS (SELECT doc_id, list_distinct(list_transform(
+          |  range(1, greatest(len(w) - 1, 1) + 1),
+          |  i -> array_to_string(w[i:i+1], ' '))) AS shs FROM ws),
+          |p AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+          |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |          a.sz AS na, b.sz AS nb, count(*) AS inter
+          |          FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+          |          GROUP BY 1, 2, 3, 4)
+          |SELECT a_id, b_id, inter / (na + nb - inter) AS jaccard
+          |FROM pairs WHERE inter / (na + nb - inter) >= 0.5
+          |ORDER BY a_id, b_id""".stripMargin,
+      "q_planet_extract" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |nodes AS (SELECT event_id + 1 AS id, lon, lat,
+           |  $xbinSql AS xbin, $ybinSql AS ybin FROM pts),
+           |cells AS (SELECT id, xbin * 16384 + ybin AS cell, xbin, ybin FROM nodes),
+           |selways AS (SELECT last.id // 5 AS wid, fn.cell, last.id AS last_id
+           |            FROM nodes last JOIN cells fn ON fn.id = last.id - 4
+           |            WHERE last.id % 5 = 0 AND (${rectSqlOn("fn.")})),
+           |selnodes AS (SELECT DISTINCT r.ref FROM
+           |  (SELECT unnest(generate_series(last_id - 4, last_id)) AS ref
+           |   FROM selways) r),
+           |selrels AS (SELECT n.id // 7 AS rid, a.cell
+           |            FROM nodes n JOIN cells a ON a.id = n.id - 6
+           |            WHERE n.id % 7 = 0 AND (${rectSqlOn("a.")}))
+           |SELECT 'node' AS kind, c.id AS id, c.cell AS cell
+           |FROM selnodes s JOIN cells c ON c.id = s.ref
+           |UNION ALL SELECT 'way', wid, cell FROM selways
+           |UNION ALL SELECT 'relation', rid, cell FROM selrels
+           |ORDER BY kind, id""".stripMargin
     )
   }
 }

@@ -73,6 +73,20 @@ object Dedup {
     }
   }
 
+  /** MinHash with PORTABLE string hashes: sig_j = lexicographic min over
+    * shingles of md5(shingle || "#j"). md5 hex is lowercase ASCII, so the
+    * string ordering is identical in every engine — this variant exists so
+    * the signatures themselves are oracle-checkable cross-engine (DuckDB
+    * has md5 but not xxhash64). The xxhash64 variant ([[withMinhash]]) is
+    * the fast path; min-of-keyed-hash semantics are identical. */
+  def withMinhashPortable(docs: DataFrame, nGram: Int, nHashes: Int): DataFrame = {
+    val base = docs.withColumn("_sh", shingles(col("text"), nGram))
+    (0 until nHashes).foldLeft(base) { (df, j) =>
+      df.withColumn(s"sig_$j",
+        array_min(transform(col("_sh"), s => md5(concat(s, lit(s"#$j"))))))
+    }
+  }
+
   /**
    * MinHash-LSH near-dup pairs: signatures banded into `bands` groups of
    * rows; docs sharing any band bucket become candidates; candidates are

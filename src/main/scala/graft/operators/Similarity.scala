@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -102,6 +102,45 @@ object Similarity {
     }
     val lists = centroids.indices.sortBy(i => -cos(centroids(i), query)).take(nprobe)
     bruteForceTopK(assigned.where(col("list_id").isin(lists: _*)), query, k)
+  }
+
+  /** Axis-sign LSH signature for band `t`: bit j = sign(embedding[t*bits+j])
+    * — a hyperplane family aligned to the coordinate axes. No float
+    * arithmetic at all (pure sign tests on stored values), hence exactly
+    * replicable in ANSI SQL: this is the signature the DuckDB-gated ANN
+    * join uses. Pure column expressions (codegen'd). */
+  def axisSig(e: Column, t: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(element_at(e, t * bits + j + 1) > lit(0f), lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /**
+   * Banded ANN join with axis-sign buckets: rows satisfying `probePred`
+   * are joined to candidates sharing any band bucket (equi-join, never
+   * all-pairs), then exact-cosine re-ranked to top-k per probe. Same scale
+   * shape as [[knnJoin]]; the axis family makes the whole thing
+   * oracle-checkable cross-engine. Requires nTables*bits <= dim.
+   */
+  def axisKnnJoin(embs: DataFrame, k: Int, nTables: Int, bits: Int,
+                  probePred: Column, maxBucket: Int = 1000): DataFrame = {
+    val sigs = Dedup.capBuckets(
+      embs.select(col("vec_id"), col("embedding"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"), axisSig(col("embedding"), t, bits).as("sig"))): _*))
+          .as("_band"))
+        .select(col("vec_id"), col("embedding"),
+          col("_band.t").as("_t"), col("_band.sig").as("_sig")),
+      Seq("_t", "_sig"), maxBucket)
+    val a = sigs.where(probePred)
+      .select(col("_t"), col("_sig"), col("vec_id").as("a_id"), col("embedding").as("_ea"))
+    val b = sigs.select(col("_t"), col("_sig"), col("vec_id").as("b_id"), col("embedding").as("_eb"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    a.join(b, Seq("_t", "_sig")).where(col("a_id") =!= col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", vec.cosine(col("_ea"), col("_eb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("a_id", "b_id", "cos", "rank")
   }
 
   /** All-pairs top-k similarity join via LSH buckets (per-query window).

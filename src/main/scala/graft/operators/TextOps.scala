@@ -103,6 +103,14 @@ object TextOps {
       (acc, w) => pmod(acc * P + pmod(xxhash64(w), lit(M)), lit(M)))
   }
 
+  /** PORTABLE whole-document fingerprint: md5 of the whitespace-normalized
+    * word stream. Same robustness contract as [[fingerprint]] (invariant to
+    * formatting-only edits, sensitive to any word change) but computable in
+    * any engine with md5 — the oracle-checkable form (DuckDB lacks
+    * xxhash64, so the rolling-hash variant is spec-tested only). */
+  def fingerprintPortable(text: Column): Column =
+    md5(concat_ws(" ", filter(split(text, "\\s+"), t => length(t) > 0)))
+
   /** Winnowed k-gram fingerprints: minima of hash over each sliding window
     * of `window` consecutive word-k-gram hashes (document sketch for
     * near-copy detection; standard winnowing construction). */

@@ -217,6 +217,22 @@ class PipelineOpsSpec extends SparkFunSuite {
     cached.unpersist()
   }
 
+  test("axisKnnJoin (oracle-checkable banded ANN): planted near-dup ranked 1, probes filtered") {
+    val out = Similarity.axisKnnJoin(embs, k = 3, nTables = 8, bits = 8,
+      probePred = col("vec_id") < 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.forall(_._1 < 20), "probe predicate leaked non-probe rows")
+    assert(out.forall(t => t._1 != t._2))
+    // vec 3 vs 1003: cosine ~0.999 => sign patterns nearly identical =>
+    // they share band buckets; the exact re-rank must put 1003 first
+    val rank1 = out.filter(t => t._1 == 3L && t._3 == 1).map(_._2)
+    assert(rank1.headOption.contains(1003L), s"vec 3's top neighbor: ${rank1.toSeq}")
+    // ranks are dense 1..k per probe
+    out.groupBy(_._1).foreach { case (a, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"probe $a ranks")
+    }
+  }
+
   test("knnJoin returns self-excluded ranked neighbors; planted pair mutually ranked 1") {
     val out = Similarity.knnJoin(embs, k = 3, nTables = 8, bitsPerTable = 8, dim = dim)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
