@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.cells.CellIndex.BBox
+import graft.fixtures.Fixtures
+import graft.operators.PlanetExtract
+import graft.oracle.RefOracle
+import graft.sources.{PbfCodec, PbfSource}
+
+/** PBF source/sink (S1/S2/S5): byte-level round-trips of the hand-rolled
+  * protobuf codec, phase early-exit pruning, the Spark binaryFile read
+  * path, and an end-to-end PBF -> ingest -> extract differential vs the
+  * reference-model oracle built from the decoded planet. */
+class PbfSourceSpec extends SparkFunSuite {
+
+  private lazy val planet = Fixtures.localPlanet(1500, 400, 80)
+  private lazy val pbfDir = {
+    val d = Files.createTempDirectory("graft_pbf_").toString
+    PbfSource.writePbfFileLocal(s"$d/planet.pbf",
+      planet.nodes, planet.ways, planet.relations)
+    d
+  }
+  private def pbfBytes = Files.readAllBytes(Paths.get(s"$pbfDir/planet.pbf"))
+
+  test("varint/zigzag primitives round-trip (incl. 64-bit edges)") {
+    val vs = Seq(0L, 1L, -1L, 127L, 128L, 300L, -300L,
+      Int.MaxValue.toLong, Int.MinValue.toLong, Long.MaxValue, Long.MinValue,
+      0x7FFFFFFFFL, -0x7FFFFFFFFL)
+    val out = new PbfCodec.PbOut
+    vs.foreach(v => out.writeVarint((v << 1) ^ (v >> 63)))   // zigzag stream
+    val in = new PbfCodec.PbIn(out.toBytes, 0, out.toBytes.length)
+    vs.foreach(v => assert(in.readSint() == v))
+    assert(!in.hasNext)
+  }
+
+  test("file framing: header frame + data frames, zlib round-trip") {
+    val fs = PbfCodec.frames(pbfBytes).toSeq
+    assert(fs.head._1 == "OSMHeader")
+    assert(fs.tail.forall(_._1 == "OSMData"))
+    // 1500 nodes / 8000 per block = 1 node block, 1 way block, 1 rel block
+    assert(fs.size == 4)
+  }
+
+  test("decode(encode(planet)) round-trips ids, refs, members and tags " +
+       "exactly; coords within the 100-nanodegree granularity quantum") {
+    val d = PbfCodec.decodeFile(pbfBytes)
+    assert(d.nodes.size == planet.nodes.size)
+    assert(d.ways.size == planet.ways.size)
+    assert(d.rels.size == planet.relations.size)
+    d.nodes.zip(planet.nodes).foreach { case (got, exp) =>
+      assert(got.id == exp.id && got.tags == exp.tags)
+      assert(math.abs(got.lat - exp.lat) <= 5.1e-8, s"node ${exp.id} lat")
+      assert(math.abs(got.lon - exp.lon) <= 5.1e-8, s"node ${exp.id} lon")
+    }
+    d.ways.zip(planet.ways).foreach { case (got, exp) =>
+      assert(got.id == exp.id && got.refs.toSeq == exp.refs.toSeq &&
+        got.tags == exp.tags)
+    }
+    d.rels.zip(planet.relations).foreach { case (got, exp) =>
+      assert(got.id == exp.id && got.tags == exp.tags)
+      assert(got.members.toSeq == exp.members.toSeq)   // roles/types/refs
+    }
+  }
+
+  test("phase pruning: a nodes-only decode stops before way blocks (S3)") {
+    val d = PbfCodec.decodeFile(pbfBytes,
+      PbfCodec.Wanted(nodes = true, ways = false, relations = false))
+    assert(d.nodes.size == planet.nodes.size)
+    assert(d.ways.isEmpty && d.rels.isEmpty)
+    // the scan stopped at the first ways block: relation kind never seen
+    assert(!d.kindsSeen.contains("relation"))
+  }
+
+  test("sparse (non-dense) Node messages decode too") {
+    // hand-encode a sparse node: id 7, lat 1.5, lon 2.5, one tag
+    val st = new PbfCodec.PbOut
+    st.writeBytes(1, "".getBytes); st.writeBytes(1, "k".getBytes)
+    st.writeBytes(1, "v".getBytes)
+    val n = new PbfCodec.PbOut
+    n.writeSint(1, 7L)
+    n.writePacked(2, Seq(1L), zigzag = false)
+    n.writePacked(3, Seq(2L), zigzag = false)
+    n.writeSint(8, 15000000L)    // 1.5 deg at granularity 100
+    n.writeSint(9, 25000000L)
+    val g = new PbfCodec.PbOut
+    g.writeMessage(1, n)
+    val blk = new PbfCodec.PbOut
+    blk.writeMessage(1, st); blk.writeMessage(2, g)
+    val d = PbfCodec.decodePrimitiveBlock(blk.toBytes)
+    assert(d.nodes == Seq(Fixtures.NodeRow(7, 2.5, 1.5, Map("k" -> "v"))))
+  }
+
+  test("Spark binaryFile read path: typed datasets match the local decode") {
+    val nodes = PbfSource.readNodes(spark, pbfDir).collect().sortBy(_.id)
+    assert(nodes.length == planet.nodes.size)
+    assert(nodes.map(_.id).toSeq == planet.nodes.map(_.id))
+    val ways = PbfSource.readWays(spark, pbfDir).collect().sortBy(_.id)
+    assert(ways.map(_.refs.toSeq).toSeq == planet.ways.map(_.refs.toSeq))
+    val rels = PbfSource.readRelations(spark, pbfDir).collect().sortBy(_.id)
+    assert(rels.length == planet.relations.size)
+  }
+
+  test("end-to-end: PBF -> ingest -> bbox extract matches the oracle built " +
+       "from the decoded planet (coords quantize identically)") {
+    val (n, w, r) = PbfSource.readPlanet(spark, pbfDir)
+    val t = PlanetExtract.ingest(n, w, r, strictB1 = true)
+    val decoded = PbfCodec.decodeFile(pbfBytes)
+    val oraclePlanet = Fixtures.Planet(decoded.nodes, decoded.ways, decoded.rels)
+    val oracle = new RefOracle(oraclePlanet, strictB1 = true)
+    val c = Fixtures.cityCenters(Fixtures.DefaultSeed)(0)
+    val b = BBox(c._1 - 1.5, c._2 - 1.0, c._1 + 1.5, c._2 + 1.0)
+    val engine = PlanetExtract.bbox(t, b).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(2))).toSet
+    val expect = oracle.extract(b).map(x => (x.kind, x.id, x.cell)).toSet
+    assert(engine == expect,
+      s"engine-only=${(engine -- expect).take(5)} oracle-only=${(expect -- engine).take(5)}")
+    assert(engine.nonEmpty)
+  }
+
+  test("distributed PBF sink: part files re-read to the same row set") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft_pbf_out_").toString
+    PbfSource.writePlanet(
+      planet.nodes.toDS().repartition(3),
+      planet.ways.toDS().repartition(2),
+      planet.relations.toDS().repartition(2), outDir)
+    val parts = new java.io.File(outDir).listFiles().map(_.getName).sorted
+    assert(parts.head.startsWith("part-0-nodes"))
+    assert(parts.last.startsWith("part-2-relations"))
+    val (n2, w2, r2) = PbfSource.readPlanet(spark, outDir)
+    assert(n2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      planet.nodes.map(_.id))
+    assert(w2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      planet.ways.map(_.id))
+    assert(r2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      planet.relations.map(_.id))
+  }
+}
