@@ -144,6 +144,66 @@ object PlanetExtract {
         .select(lit("relation").as("kind"), col("id"), col("cell")))
   }
 
+  /** WAY_BLOCK_SIZE (vex.c:54): slots per way block — the unit of the
+    * reference's LIFO block chains, needed to replicate emission order. */
+  final val WayBlockSize = 32
+
+  /**
+   * Golden-file extract: same row set as [[bbox]] but ORDERED exactly as
+   * the reference emits (SURVEY.md §8 Q4 / O1) with an `emit_seq` column:
+   *  - stages node(0) -> way(1) -> relation(2) (vex.c:886);
+   *  - per stage, covered cells x asc then y asc (vex.c:887-888);
+   *  - ways within a cell walk the 32-slot block chain: blocks LIFO
+   *    (newest first), slots FIFO within a block (vex.c:513-528, 911-917);
+   *  - nodes emit at their FIRST occurrence while walking each selected
+   *    way's refs in order (emit-once, vex.c:929-937);
+   *  - relations within a cell are pure LIFO (vex.c:573-576, 891-903) —
+   *    descending id, since load order is id order.
+   *
+   * COMPAT/EXPORT MODE ONLY: total emission order needs global windows
+   * (single-partition sorts) — byte-identical golden files are a bounded-
+   * extract concern, not the 100 TB scan path ([[bbox]] stays
+   * order-insensitive and fully parallel).
+   */
+  def bboxOrdered(t: PlanetTables, b: BBox,
+                  strictCompat: Boolean = false): DataFrame = {
+    val pred = bboxPredicate(b, strictCompat)
+    // way emission rank: cell-major, block LIFO, slot FIFO
+    val slotW = Window.partitionBy("cell").orderBy("id")
+    val rankW = Window.orderBy(col("xbin"), col("ybin"),
+      col("_blk").desc, col("_slot"))
+    val ways = t.ways.where(pred)
+      .withColumn("_slot", row_number().over(slotW) - 1)
+      .withColumn("_blk", floor(col("_slot") / WayBlockSize))
+      .withColumn("_wrank", row_number().over(rankW))
+      .drop("_slot", "_blk")
+    // node emission key: min (way rank, ref position) over occurrences
+    val occ = ways.select(col("_wrank"),
+      posexplode(col("refs")).as(Seq("_pos", "id")))
+    val firstOcc = occ.groupBy("id")
+      .agg(min(struct(col("_wrank"), col("_pos"))).as("_fo"))
+      .select(col("id"), col("_fo._wrank").as("_k1"), col("_fo._pos").as("_k2"))
+    val nodeCells =
+      if (strictCompat)
+        firstOcc.join(t.nodes.select(col("id"), col("cell")), Seq("id"), "left")
+          .withColumn("cell", coalesce(col("cell"), lit(0)))
+      else firstOcc.join(t.nodes.select(col("id"), col("cell")), "id")
+    val nodeRows = nodeCells.select(lit(0).as("_stage"), lit("node").as("kind"),
+      col("id"), col("cell"), col("_k1"), col("_k2"))
+    val wayRows = ways.select(lit(1).as("_stage"), lit("way").as("kind"),
+      col("id"), col("cell"), col("_wrank").as("_k1"), lit(0).as("_k2"))
+    val relRows = t.relations.where(pred)
+      .select(lit(2).as("_stage"), lit("relation").as("kind"), col("id"),
+        col("cell"),
+        (col("xbin").cast("long") * CellIndex.GridDim + col("ybin")).as("_k1"),
+        (-col("id")).as("_k2"))
+    val seqW = Window.orderBy(col("_stage"), col("_k1"), col("_k2"))
+    nodeRows.unionByName(wayRows).unionByName(relRows)
+      .withColumn("emit_seq", row_number().over(seqW))
+      .select("kind", "id", "cell", "emit_seq")
+      .orderBy("emit_seq")
+  }
+
   /** Engine extension (fixes Q3: "no relation closure; relations may
     * dangle", vex.c:302-320): one-level member closure — selected
     * relations' node/way members are fetched and unioned in (plus the way

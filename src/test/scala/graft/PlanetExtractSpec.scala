@@ -122,6 +122,20 @@ class PlanetExtractSpec extends SparkFunSuite {
     assert(closed.size > base.size, "fixture produced no closure growth")
   }
 
+  test("bboxOrdered reproduces the reference's exact emission SEQUENCE " +
+       "(O1: stage x cell-major x LIFO blocks x emit-once first-win)") {
+    for ((name, b) <- bboxes.take(2)) {
+      val engine = PlanetExtract.bboxOrdered(tStrict, b).collect()
+        .sortBy(_.getInt(3))
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      val oracle = oStrict.extract(b).map(r => (r.kind, r.id, r.cell))
+      assert(engine == oracle, s"[$name] first diff at index " +
+        engine.zip(oracle).indexWhere { case (a, b2) => a != b2 } +
+        s" of ${oracle.size}")
+      assert(engine.nonEmpty)
+    }
+  }
+
   test("dangling way refs: strict mode emits the phantom node at cell 0 " +
        "(mmap zero-page semantics), fixed mode drops it") {
     // hand-built planet: way 1 = [1, 2, 99] where node 99 does not exist
