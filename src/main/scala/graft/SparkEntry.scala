@@ -50,6 +50,27 @@ object SparkEntry {
                           Knn.Query(2, 150.005, 70.005),
                           Knn.Query(3, 10.005, 75.005))
 
+  /** Derived planet-clone tables over events (both planet gate queries and
+    * their shared oracle SQL assume exactly this shape): 1-based dense node
+    * ids; way w = nodes [5w-4 .. 5w]; relation r = node members
+    * (7r-6, 7r-3). Ingested through the REAL PlanetExtract pipeline
+    * (first-node binning J5, relation anchoring J6). */
+  private def derivedPlanet(s: SparkSession, dir: String): PlanetExtract.PlanetTables = {
+    val nodesRaw = eventPoints(s, dir)
+      .select((col("event_id") + 1).as("id"), col("lon"), col("lat"))
+    val waysRaw = nodesRaw.where(pmod(col("id"), lit(5)) === 0)
+      .select((col("id") / 5).cast("long").as("id"),
+              sequence(col("id") - 4, col("id")).as("refs"))
+    val relsRaw = nodesRaw.where(pmod(col("id"), lit(7)) === 0)
+      .select((col("id") / 7).cast("long").as("id"),
+        array(
+          struct(lit("outer").as("role"), lit(0).cast("byte").as("mtype"),
+                 (col("id") - 6).as("ref")),
+          struct(lit("inner").as("role"), lit(0).cast("byte").as("mtype"),
+                 (col("id") - 3).as("ref"))).as("members"))
+    PlanetExtract.ingest(nodesRaw, waysRaw, relsRaw)
+  }
+
   /** Flagship: the full images pipeline at small scale — synthesize the
     * graft input table, geocode with the codegen encoder, bbox-extract,
     * aggregate per tile. */
@@ -133,20 +154,17 @@ object SparkEntry {
     //      planet tables: nodes from events, ways = runs of 5 consecutive
     //      nodes, relations anchored at their first (node) member) ---------
     "q_planet_extract" -> ((s, dir) => {
-      val nodesRaw = eventPoints(s, dir)
-        .select((col("event_id") + 1).as("id"), col("lon"), col("lat"))
-      val waysRaw = nodesRaw.where(pmod(col("id"), lit(5)) === 0)
-        .select((col("id") / 5).cast("long").as("id"),
-                sequence(col("id") - 4, col("id")).as("refs"))
-      val relsRaw = nodesRaw.where(pmod(col("id"), lit(7)) === 0)
-        .select((col("id") / 7).cast("long").as("id"),
-          array(
-            struct(lit("outer").as("role"), lit(0).cast("byte").as("mtype"),
-                   (col("id") - 6).as("ref")),
-            struct(lit("inner").as("role"), lit(0).cast("byte").as("mtype"),
-                   (col("id") - 3).as("ref"))).as("members"))
-      val t = PlanetExtract.ingest(nodesRaw, waysRaw, relsRaw)
+      val t = derivedPlanet(s, dir)
       PlanetExtract.bbox(t, qBox)
+        .select(col("kind"), col("id"), col("cell").cast("long").as("cell"))
+        .orderBy("kind", "id")
+    }),
+    "q_planet_extract_stored" -> ((s, dir) => {   // S4: stored planet DB path
+      val t = derivedPlanet(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stored_").toString
+      PlanetExtract.writeTables(t, tmp)           // coarse-cell partitioned
+      val stored = PlanetExtract.readTables(s, tmp)
+      PlanetExtract.bboxStored(stored, qBox)      // directory-pruned extract
         .select(col("kind"), col("id"), col("cell").cast("long").as("cell"))
         .orderBy("kind", "id")
     }),
@@ -301,6 +319,14 @@ object SparkEntry {
         .select(col("a_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .orderBy("a_id")
     }),
+    "q_embed_ivf" -> ((s, dir) => {         // rows-only (centroids not SQL-able)
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val (assigned, centroids) = Similarity.ivfBuild(e, nLists = 16, iters = 2)
+      Similarity.ivfTopK(assigned, centroids, q, 10, nprobe = 4)
+        .select(col("vec_id"))
+    }),
     // ---- raster / multimodal (rows-only: testdata has no image bytes) -----------
     "q_raster_decode" -> ((s, dir) => {
       val imgs = Fixtures.images(s, 500, withBytes = true).toDF()
@@ -366,7 +392,7 @@ object SparkEntry {
     val bestSql = "GREATEST(s_de, s_en, s_es, s_fr, s_it)"
     val caseSql = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
 
-    Map(
+    val base = Map(
       "q_tile_assign" ->
         s"""WITH pts AS ($eventPointsSql),
            |bins AS (SELECT $xbinSql AS xbin, $ybinSql AS ybin FROM pts)
@@ -596,5 +622,9 @@ object SparkEntry {
            |UNION ALL SELECT 'relation', rid, cell FROM selrels
            |ORDER BY kind, id""".stripMargin
     )
+    // the stored-DB extract (S4) must return the identical result set: the
+    // oracle is storage-agnostic, the engine side additionally survives the
+    // partitioned write -> directory-pruned read round trip
+    base + ("q_planet_extract_stored" -> base("q_planet_extract"))
   }
 }

@@ -177,9 +177,13 @@ object ImageTable {
       .map(_.split("/")(0).stripPrefix("p_cell=").toLong)
     val df = spark.read.parquet(path)
     if (committed.isEmpty) return df.where(lit(false))
-    val onDisk = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("p_cell="))
-      .map(_.getName.stripPrefix("p_cell=").toLong).toSet
+    // Hadoop FileSystem API (not java.io.File): works on HDFS/object-store
+    // paths the same as on local ones
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(hPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_cell="))
+      .map(_.getPath.getName.stripPrefix("p_cell=").toLong).toSet
     val stragglers = onDisk -- committed
     if (stragglers.isEmpty) df
     else df.where(!col("p_cell").isin(stragglers.toSeq: _*))

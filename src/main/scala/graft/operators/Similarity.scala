@@ -78,14 +78,17 @@ object Similarity {
   }
 
   private def assign(embs: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
-    // argmax over per-centroid cosine columns (static unroll, codegen'd)
+    // argmax over per-centroid cosine columns (static unroll, codegen'd).
+    // LINEAR-size expression: array_max + first-match position. A pairwise
+    // when(a.s >= b.s, a).otherwise(b) fold would DUPLICATE the accumulated
+    // branch at every step — exponential expression size that OOMs codegen
+    // at 16 centroids. Ties pick the lowest index (same as the fold did).
     val scored = centroids.zipWithIndex.foldLeft(embs) { case (df, (c, i)) =>
       df.withColumn(s"_c$i", vec.cosine_to(col("embedding"), c))
     }
-    val best = centroids.indices
-      .map(i => struct(col(s"_c$i").as("s"), lit(i).as("i")))
-      .reduce((a, b) => when(a.getField("s") >= b.getField("s"), a).otherwise(b))
-    scored.withColumn("list_id", best.getField("i"))
+    val scores = array(centroids.indices.map(i => col(s"_c$i")): _*)
+    scored.withColumn("list_id",
+        (array_position(scores, array_max(scores)) - 1).cast("int"))
       .drop(centroids.indices.map(i => s"_c$i"): _*)
   }
 

@@ -40,6 +40,92 @@ object StreamingIngest {
       .start()
   }
 
+  /**
+   * Continuous diff sync — the reference's unimplemented "minutely OSM
+   * update" roadmap item (README.md:95-98), as a Structured Streaming
+   * micro-batch merge into the partitioned image store.
+   *
+   * Diff rows carry `op` ("upsert" | "delete") plus the image columns.
+   * Each micro-batch:
+   *  1. derives the target coarse cell (p_cell) of every diff row;
+   *  2. reads ONLY the affected p_cell partitions of the store (literal
+   *     isin predicate -> directory pruning; a 100 TB table is touched
+   *     only where the diff lands);
+   *  3. anti-joins the old rows on image_id (drops deleted AND superseded
+   *     rows), unions the upserts;
+   *  4. dynamic-partition-overwrites just those p_cells.
+   *
+   * Exactly-once: the file source's tracked offsets make each diff file
+   * processed once; the per-partition overwrite is idempotent, so a batch
+   * replayed after a crash converges to the same state (same discipline as
+   * the batch SnapshotLog resume ledger).
+   */
+  def diffSync(spark: SparkSession, diffDir: String, tablePath: String,
+               checkpointDir: String, pRes: Int = ImageTable.DefaultPRes)
+      : StreamingQuery = {
+    val diffSchema = StructType(StructField("op", StringType) +: imagesSchema.fields)
+    spark.readStream.schema(diffSchema).parquet(diffDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyDiffBatch(batch, tablePath, pRes)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One micro-batch merge (also callable for batch diff application). */
+  def applyDiffBatch(batch: DataFrame, tablePath: String, pRes: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val derived = ImageTable.derive(batch, pRes)
+    val store = if (fs.exists(hPath)) spark.read.parquet(tablePath) else null
+    val ids = derived.select(col("image_id")).distinct()
+    // affected coarse cells: where upserts land PLUS wherever the current
+    // row of any diffed id lives (deletes/moves carry no old coordinates) —
+    // the resolve itself prunes nothing (id lookup), but it is one tiny
+    // semi-join per minute-batch, while everything after touches only the
+    // affected directories
+    val affectedByStore =
+      if (store == null) Seq.empty[Long]
+      else store.join(ids, "image_id").select("p_cell").distinct()
+        .collect().map(_.getAs[Number](0).longValue).toSeq
+    val affectedByDiff = derived.where(col("op") === "upsert")
+      .select("p_cell").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    val affected = (affectedByStore ++ affectedByDiff).distinct
+    if (affected.isEmpty) return
+
+    val upserts = derived.where(col("op") === "upsert").drop("op")
+      .withColumn("p_salt", lit(0))
+    // materialize the merge BEFORE overwriting: the partitions being
+    // rewritten are also the read input (self-overwrite hazard — Spark
+    // refuses to overwrite a path it is scanning); localCheckpoint
+    // truncates the lineage so the write never re-reads the target.
+    // Memory-bounded by the AFFECTED partitions only, i.e. by diff
+    // locality, not table size.
+    val merged = (
+      if (store == null) upserts
+      else store.where(col("p_cell").isin(affected: _*))
+        .join(ids, Seq("image_id"), "left_anti")   // drop deleted/superseded
+        .unionByName(upserts)
+      ).localCheckpoint(true)
+
+    val remaining = merged.select("p_cell").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode("overwrite").partitionBy("p_cell", "p_salt")
+      .parquet(tablePath)
+    // dynamic overwrite only rewrites partitions PRESENT in `merged`: an
+    // affected cell whose rows were ALL deleted isn't in the output and
+    // must be dropped explicitly or its stale files would survive
+    (affected.toSet -- remaining).foreach { cell =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/p_cell=$cell"), true)
+    }
+  }
+
   /** Windowed per-tile arrival statistics over an event-time stream with a
     * watermark — the streaming counterpart of the tile histogram. Emits
     * (window, cell, n) in append mode once the watermark passes. */

@@ -50,6 +50,92 @@ class StreamingSpec extends SparkFunSuite {
     assert(spark.read.parquet(dest).count() == 2000)
   }
 
+  test("diffSync: minutely upsert/delete diffs merge into the partitioned " +
+       "store exactly once; emptied partitions are dropped") {
+    import graft.cells.CellIndex
+    import graft.operators.ImageTable
+    val base = Files.createTempDirectory("graft_diff_").toString
+    val (table, diffs, ckpt) = (s"$base/table", s"$base/diffs", s"$base/ckpt")
+    val rows = Fixtures.localImages(1000, withBytes = false)
+    ImageTable.ingest(rows.toDF(), table)
+
+    def diffDF(items: Seq[(String, Fixtures.ImageRow)]) =
+      items.map { case (op, r) =>
+        (op, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash)
+      }.toDF("op", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+    // diff 1: move 100 (new coords), delete 50, insert 51 (one at a corner
+    // cell guaranteed unoccupied: fixture placement caps at lon/lat 179.5/89.5)
+    val moved = (0 until 100).map(i =>
+      "upsert" -> rows(i).copy(phash = Fixtures.imageRow(5000L + i, withBytes = false).phash))
+    val deleted = (100 until 150).map(i => "delete" -> rows(i))
+    val inserted = (0 until 50).map(i =>
+      "upsert" -> Fixtures.imageRow(2000L + i, withBytes = false))
+    val cornerPhash = CellIndex.packCoord(CellIndex.toX(179.9), CellIndex.toY(89.9))
+    val corner = Seq("upsert" -> rows(0).copy(
+      image_id = "img_corner", phash = cornerPhash))
+    diffDF(moved ++ deleted ++ inserted ++ corner)
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+
+    val out1 = spark.read.parquet(table)
+    assert(out1.count() == 1000 - 50 + 50 + 1)
+    val byId = out1.select("image_id", "phash").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (100 until 150).foreach(i => assert(!byId.contains(rows(i).image_id)))
+    (0 until 100).foreach(i =>
+      assert(byId(rows(i).image_id) == Fixtures.imageRow(5000L + i, withBytes = false).phash))
+    (150 until 1000).foreach(i => assert(byId(rows(i).image_id) == rows(i).phash))
+    assert(byId("img_corner") == cornerPhash)
+    // p_cell derivation matches the moved coords (partition actually moved)
+    val cornerCell = CellIndex.cellId(CellIndex.unpackX(cornerPhash),
+      CellIndex.unpackY(cornerPhash), ImageTable.DefaultPRes)
+    assert(new java.io.File(s"$table/p_cell=$cornerCell").exists())
+
+    // replay with the same checkpoint and no new diff files: no-op
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    assert(spark.read.parquet(table).count() == 1001)
+
+    // diff 2: delete the corner row (other fixture rows may legitimately
+    // share its coarse cell, so only row semantics are asserted here; the
+    // emptied-directory case has its own test below)
+    diffDF(Seq("delete" -> rows(0).copy(image_id = "img_corner", phash = cornerPhash)))
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    val out2 = spark.read.parquet(table)
+    assert(out2.count() == 1000)
+    assert(out2.where(col("image_id") === "img_corner").count() == 0)
+  }
+
+  test("diffSync drops a partition directory emptied by deletes") {
+    import graft.cells.CellIndex
+    import graft.operators.ImageTable
+    val base = Files.createTempDirectory("graft_diff_empty_").toString
+    val (table, diffs, ckpt) = (s"$base/table", s"$base/diffs", s"$base/ckpt")
+    // tiny table: with 50 rows the corner cell (lon>168.75, lat>84.4 —
+    // above the fixture placement caps for the chosen phash) is exclusive
+    val rows = Fixtures.localImages(50, withBytes = false)
+    ImageTable.ingest(rows.toDF(), table)
+    val cornerPhash = CellIndex.packCoord(CellIndex.toX(179.9), CellIndex.toY(89.9))
+    val cornerCell = CellIndex.cellId(CellIndex.unpackX(cornerPhash),
+      CellIndex.unpackY(cornerPhash), ImageTable.DefaultPRes)
+    def diffDF(items: Seq[(String, Fixtures.ImageRow)]) =
+      items.map { case (op, r) =>
+        (op, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash)
+      }.toDF("op", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    assume(!new java.io.File(s"$table/p_cell=$cornerCell").exists())
+    diffDF(Seq("upsert" -> rows(0).copy(image_id = "img_c", phash = cornerPhash)))
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    assert(new java.io.File(s"$table/p_cell=$cornerCell").exists())
+    diffDF(Seq("delete" -> rows(0).copy(image_id = "img_c", phash = cornerPhash)))
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    assert(!new java.io.File(s"$table/p_cell=$cornerCell").exists(),
+      "emptied partition directory survived")
+    assert(spark.read.parquet(table).count() == 50)
+  }
+
   test("watermarked windowed tile counts over an event-time stream") {
     val base = Files.createTempDirectory("graft_stream_agg_").toString
     // event-time points: two 5-minute windows, two cells
