@@ -138,26 +138,34 @@ object Dedup {
     docs.join(votes.select(col("doc_id"), sim.as("simhash")), "doc_id")
   }
 
-  /** SimHash near-dups: 4x16-bit band blocking + Hamming distance check.
-    * Hamming via bit_count(xor). Returns pairs with hamming <= maxHamming.
-    * Buckets over `maxBucket` docs are dropped (see capBuckets); 0 disables. */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 8,
-                     maxBucket: Int = 1000): DataFrame = {
-    val sh = withSimhash(docs).select(col("doc_id"), col("simhash"))
+  /** Generic 64-bit-signature near-dup join: 4x16-bit band blocking +
+    * Hamming check via bit_count(xor). Works over ANY 64-bit signature
+    * column — text SimHash and image perceptual hashes share it. Returns
+    * (a_id, b_id, hamming) with a_id < b_id and hamming <= maxHamming.
+    * Buckets over `maxBucket` rows are dropped (see capBuckets); 0 disables. */
+  def hammingNearDup(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
+    val sh = sigs.select(col(idCol).as("_id"), col(sigCol).as("_s64"))
     val banded = capBuckets(sh.withColumn("_band", explode(array((0 until 4).map { b =>
       struct(lit(b).as("b"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("k"))
+        shiftrightunsigned(col("_s64"), b * 16).bitwiseAND(lit(0xFFFFL)).as("k"))
     }: _*)))
-      .select(col("doc_id"), col("simhash"), col("_band.b").as("_b"), col("_band.k").as("_k")),
+      .select(col("_id"), col("_s64"), col("_band.b").as("_b"), col("_band.k").as("_k")),
       Seq("_b", "_k"), maxBucket)
-    val a = banded.select(col("_b"), col("_k"), col("doc_id").as("a_id"), col("simhash").as("_sa"))
-    val b = banded.select(col("_b"), col("_k"), col("doc_id").as("b_id"), col("simhash").as("_sb"))
+    val a = banded.select(col("_b"), col("_k"), col("_id").as("a_id"), col("_s64").as("_sa"))
+    val b = banded.select(col("_b"), col("_k"), col("_id").as("b_id"), col("_s64").as("_sb"))
     a.join(b, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** SimHash near-dups: the Hamming join over text simhash signatures. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 8,
+                     maxBucket: Int = 1000): DataFrame =
+    hammingNearDup(withSimhash(docs).select(col("doc_id"), col("simhash")),
+      "doc_id", "simhash", maxHamming, maxBucket)
 
   /** Exact n-gram Jaccard over ALL pairs sharing at least one shingle —
     * postings join: |A∩B| from the shingle index, sizes joined in.

@@ -127,11 +127,103 @@ object Raster {
       })
   }
 
+  // ---- perceptual hashing (REAL content fingerprint, no ML runtime) ---------
+
+  final case class ImageSig(image_id: String, phash64: Long,
+                            mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Classic 64-bit DCT perceptual hash: luminance -> 32x32 area average ->
+    * separable 2D DCT-II -> 64 lowest-frequency coefficients (row-major,
+    * DC excluded) -> bit i = coefficient > median. Near-duplicate images
+    * (re-encodes, small edits, resizes) land within a small Hamming
+    * distance — the multimodal analogue of text SimHash, and fully
+    * deterministic on the JVM. */
+  def perceptualHash(img: BufferedImage): Long = {
+    val N = 32
+    val small = new BufferedImage(N, N, BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.drawImage(img.getScaledInstance(N, N, java.awt.Image.SCALE_AREA_AVERAGING),
+      0, 0, null)
+    g.dispose()
+    val lum = Array.ofDim[Double](N, N)
+    var y = 0
+    while (y < N) {
+      var x = 0
+      while (x < N) {
+        val p = small.getRGB(x, y)
+        lum(y)(x) = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+          0.114 * (p & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    // separable DCT-II with a precomputed cosine table
+    val cosT = Array.tabulate(N, N)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
+    val rows = Array.ofDim[Double](N, N)
+    var u = 0
+    while (u < N) {                      // DCT over rows
+      var yy = 0
+      while (yy < N) {
+        var s = 0.0; var x = 0
+        while (x < N) { s += lum(yy)(x) * cosT(u)(x); x += 1 }
+        rows(yy)(u) = s
+        yy += 1
+      }
+      u += 1
+    }
+    val coef = Array.ofDim[Double](9, 9)  // need the top-left 9x9 to skip DC
+    var v = 0
+    while (v < 9) {                      // DCT over columns, low freqs only
+      var uu = 0
+      while (uu < 9) {
+        var s = 0.0; var yy = 0
+        while (yy < N) { s += rows(yy)(uu) * cosT(v)(yy); yy += 1 }
+        coef(v)(uu) = s
+        uu += 1
+      }
+      v += 1
+    }
+    // 64 lowest-frequency coefficients in row-major order, DC excluded
+    val cs = (for (i <- 0 until 9; j <- 0 until 9 if i != 0 || j != 0)
+      yield coef(i)(j)).take(64).toArray
+    val med = { val s = cs.sorted; (s(31) + s(32)) / 2.0 }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (cs(i) > med) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** Per-partition image signatures: perceptual hash + channel means. */
+  def withImageSignatures(images: DataFrame): Dataset[ImageSig] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decode(bytes).map { img =>
+          val px = rgb(img)
+          var r = 0.0; var gg = 0.0; var b = 0.0
+          px.foreach { p =>
+            r += (p >> 16) & 0xFF; gg += (p >> 8) & 0xFF; b += p & 0xFF }
+          ImageSig(id, perceptualHash(img),
+            r / px.length, gg / px.length, b / px.length)
+        }
+      })
+  }
+
+  /** Image near-duplicate pairs: banded Hamming join over perceptual
+    * hashes — the same scale shape (and hot-bucket cap) as text SimHash. */
+  def imageNearDup(images: DataFrame, maxHamming: Int = 10,
+                   maxBucket: Int = 1000): DataFrame =
+    Dedup.hammingNearDup(withImageSignatures(images).toDF(),
+      "image_id", "phash64", maxHamming, maxBucket)
+
   /**
    * Feature extraction plumbing: schema, partitioning and batch shape are
    * real; the model inference itself is STUBBED with a deterministic fake
    * (channel-histogram projection) because no ML runtime ships in this
-   * environment. Swap `fakeEmbed` for a real encoder to productionize.
+   * environment — for a real learned-free feature see [[perceptualHash]].
+   * Swap `fakeEmbed` for a real encoder to productionize.
    */
   def extractFeatures(images: DataFrame, dim: Int = 64): Dataset[Feature] = {
     val spark = images.sparkSession

@@ -73,6 +73,62 @@ class RasterSpec extends SparkFunSuite {
     }
   }
 
+  // deterministic BROAD-SPECTRUM image: a random-sign 9x9 low-frequency
+  // DCT coefficient field rendered to pixels. pHash thresholds DCT
+  // coefficients at their median — the contract ("few bits move under
+  // re-encode") holds when all hashed coefficients sit well above codec
+  // noise, which natural photos' 1/f spectra provide and this synthesizes;
+  // a flat gradient or single sine leaves most coefficients ~0 and their
+  // bits are codec noise by construction.
+  private def texturedPng(id: Int, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val rnd = new scala.util.Random(id * 1013904223L + 12345)
+    val amp = Array.tabulate(9, 9)((u, v) =>
+      (if (rnd.nextBoolean()) 1 else -1) * 60.0 / (1 + u + v))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      var s = 0.0
+      for (u <- 0 until 9; v <- 0 until 9 if u != 0 || v != 0)
+        s += amp(u)(v) * math.cos((2 * x + 1) * u * math.Pi / (2.0 * w)) *
+          math.cos((2 * y + 1) * v * math.Pi / (2.0 * h))
+      val c = math.max(0, math.min(255, 128 + s.toInt))
+      img.setRGB(x, y, (c << 16) | (c << 8) | c)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptual hash: invariant to lossy re-encode, far apart for " +
+       "different images; near-dup join finds re-encoded planted pairs") {
+    val imgs = (0 until 30).map { i =>
+      val png = texturedPng(i)
+      (f"img_s$i%04d", png, Raster.reencodeJpeg(png, 0.9f))
+    }
+    imgs.foreach { case (id, png, jpg) =>
+      val hp = Raster.perceptualHash(Raster.decode(png).get)
+      val hj = Raster.perceptualHash(Raster.decode(jpg).get)
+      val d = java.lang.Long.bitCount(hp ^ hj)
+      assert(d <= 6, s"$id: re-encode moved pHash by $d bits")
+    }
+    // distinct frequency content => distinct hashes, far apart on average
+    val hs = imgs.map(t => Raster.perceptualHash(Raster.decode(t._2).get))
+    val dists = for (i <- hs.indices; j <- (i + 1) until hs.size)
+      yield java.lang.Long.bitCount(hs(i) ^ hs(j))
+    assert(dists.sum.toDouble / dists.size > 15.0,
+      s"mean inter-image distance ${dists.sum.toDouble / dists.size}")
+    // distributed near-dup join over (original ++ re-encoded) rows
+    val both = imgs.map { case (id, png, _) =>
+      Fixtures.imageRow(0, withBytes = false).copy(image_id = id, bytes = png)
+    } ++ imgs.map { case (id, _, jpg) =>
+      Fixtures.imageRow(0, withBytes = false).copy(image_id = id + "_jpg", bytes = jpg)
+    }
+    val pairs = Raster.imageNearDup(both.toDF(), maxHamming = 6).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val found = imgs.count { case (id, _, _) => pairs.contains((id, id + "_jpg")) }
+    assert(found >= 27, s"near-dup recall $found/30")
+  }
+
   test("stub features: deterministic, L2-normalized, fixed dim") {
     val f1 = Raster.extractFeatures(df.limit(60), 64).collect()
       .map(f => f.image_id -> f.feature).toMap
