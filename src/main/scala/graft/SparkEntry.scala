@@ -141,6 +141,19 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rank").cast("long").as("rnk"))
         .orderBy("qid", "rnk")
     }),
+    "q_knn_pruned" -> ((s, dir) => {        // kNN over a STORED p_cell-
+      // partitioned table: the probe must survive directory pruning (the
+      // PartitionFilters path) and still return the exact same neighbors
+      val pts = eventPoints(s, dir)
+        .select(col("event_id").as("id"), col("lon"), col("lat"),
+                geo.grid_cell(col("lon"), col("lat")).as("cell"),
+                geo.cell_at(col("lon"), col("lat"), 5).as("p_cell"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_knn_").toString
+      pts.write.mode("overwrite").partitionBy("p_cell").parquet(tmp)
+      Knn.knn(s.read.parquet(tmp), knnQs, 10, pRes = 5)
+        .select(col("qid"), col("id"), col("rank").cast("long").as("rnk"))
+        .orderBy("qid", "rnk")
+    }),
     "q_spatial_join" -> ((s, dir) => {      // radius distance join
       val pts = eventPoints(s, dir)
       val a = pts.where(pmod(col("event_id"), lit(20)) === 0)
@@ -258,7 +271,10 @@ object SparkEntry {
     "q_minhash_sig" -> ((s, dir) =>         // portable md5 minhash (oracle=SQL)
       Dedup.withMinhashPortable(tbl(s, dir, "documents"), nGram = 3, nHashes = 4)
         .select("doc_id", "sig_0", "sig_1", "sig_2", "sig_3").orderBy("doc_id")),
-    "q_simhash" -> ((s, dir) =>             // rows-only
+    "q_simhash" -> ((s, dir) =>             // portable 60-bit simhash (oracle=SQL)
+      Dedup.withSimhashPortable(tbl(s, dir, "documents"))
+        .select("doc_id", "simhash").orderBy("doc_id")),
+    "q_simhash_xx" -> ((s, dir) =>          // rows-only (xxhash64 fast path)
       Dedup.withSimhash(tbl(s, dir, "documents"))
         .select("doc_id", "simhash").orderBy("doc_id")),
     "q_ngram_jaccard" -> ((s, dir) =>       // exact pair list (oracle=SQL)
@@ -575,6 +591,20 @@ object SparkEntry {
            |SELECT p.vec_id AS a_id, COALESCE(h.n_hit, 0) AS n_hit
            |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) p
            |LEFT JOIN hits h ON h.a_id = p.vec_id ORDER BY a_id""".stripMargin,
+      "q_simhash" -> {
+        val votes = (0 until 60).map(i =>
+          s"SUM(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_$i")
+          .mkString(", ")
+        val bits = (0 until 60).map(i =>
+          s"CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter(
+           |  string_split(text, ' '), w -> length(w) > 0))) AS w FROM documents),
+           |h AS (SELECT doc_id,
+           |  CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM toks),
+           |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+           |FROM votes ORDER BY doc_id""".stripMargin
+      },
       "q_minhash_sig" ->
         """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           |sh AS (SELECT doc_id, unnest(list_transform(
@@ -622,9 +652,10 @@ object SparkEntry {
            |UNION ALL SELECT 'relation', rid, cell FROM selrels
            |ORDER BY kind, id""".stripMargin
     )
-    // the stored-DB extract (S4) must return the identical result set: the
-    // oracle is storage-agnostic, the engine side additionally survives the
-    // partitioned write -> directory-pruned read round trip
-    base + ("q_planet_extract_stored" -> base("q_planet_extract"))
+    // storage-path twins: identical result sets through the partitioned
+    // write -> directory-pruned read round trip, so the oracle SQL is
+    // shared verbatim (the oracle is storage-agnostic by construction)
+    base + ("q_planet_extract_stored" -> base("q_planet_extract")) +
+      ("q_knn_pruned" -> base("q_knn"))
   }
 }

@@ -161,6 +161,27 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** PORTABLE 60-bit SimHash: per-word hash = the first 15 hex digits of
+    * md5 parsed as an integer (exact in both engines: Spark
+    * conv(hex,16,10), DuckDB CAST('0x'||hex AS BIGINT)); votes and bit
+    * packing are pure integer arithmetic — the signature itself is
+    * oracle-checkable cross-engine, unlike the xxhash64 fast path
+    * ([[withSimhash]]). Same one-explode + 60-map-side-combined-sums shape. */
+  def withSimhashPortable(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(array_distinct(filter(split(col("text"), " +"),
+        w => length(w) > 0))).as("_w"))
+      .withColumn("_h", conv(substring(md5(col("_w")), 1, 15), 16, 10).cast("long"))
+    val voteCols = (0 until 60).map(i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_v$i"))
+    val votes = tokens.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sim = (0 until 60).map(i =>
+        when(col(s"_v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    docs.join(votes.select(col("doc_id"), sim.as("simhash")), "doc_id")
+  }
+
   /** SimHash near-dups: the Hamming join over text simhash signatures. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 8,
                      maxBucket: Int = 1000): DataFrame =
