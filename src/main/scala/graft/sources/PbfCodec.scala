@@ -267,11 +267,12 @@ object PbfCodec {
     * the canonical nodes -> ways -> relations order (the invariant the
     * reference enforces on read, pbf-read.c:94-135). */
   def writePbfFile(os: java.io.OutputStream, nodes: Seq[NodeRow],
-                   ways: Seq[WayRow], rels: Seq[RelationRow]): Unit = {
+                   ways: Seq[WayRow], rels: Seq[RelationRow],
+                   blockSize: Int = BlockSize): Unit = {
     frameBlob(os, "OSMHeader", encodeHeaderBlock())
-    nodes.grouped(BlockSize).foreach(g => frameBlob(os, "OSMData", encodeNodeBlock(g)))
-    ways.grouped(BlockSize).foreach(g => frameBlob(os, "OSMData", encodeWayBlock(g)))
-    rels.grouped(BlockSize).foreach(g => frameBlob(os, "OSMData", encodeRelationBlock(g)))
+    nodes.grouped(blockSize).foreach(g => frameBlob(os, "OSMData", encodeNodeBlock(g)))
+    ways.grouped(blockSize).foreach(g => frameBlob(os, "OSMData", encodeWayBlock(g)))
+    rels.grouped(blockSize).foreach(g => frameBlob(os, "OSMData", encodeRelationBlock(g)))
   }
 
   // ---- PrimitiveBlock decode -----------------------------------------------------

@@ -118,6 +118,39 @@ class PbfSourceSpec extends SparkFunSuite {
     assert(engine.nonEmpty)
   }
 
+  test("splittable single-file read: blob index covers the file exactly; " +
+       "4-way split decode equals the whole-file decode") {
+    val frames = PbfSource.indexBlobs(spark, s"$pbfDir/planet.pbf")
+    // index covers the byte stream with no gaps or overlaps
+    assert(frames.head.start == 0)
+    frames.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.start + a.len == b.start); case _ => }
+    assert(frames.last.start + frames.last.len == pbfBytes.length)
+    assert(frames.head.blobType == "OSMHeader")
+    assert(frames.count(_.blobType == "OSMData") == 3)
+
+    // a MANY-block copy (small blocks) so the 4-way split carries real work
+    val manyDir = java.nio.file.Files.createTempDirectory("graft_pbf_many_")
+    val os = java.nio.file.Files.newOutputStream(manyDir.resolve("planet.pbf"))
+    try graft.sources.PbfCodec.writePbfFile(os, planet.nodes, planet.ways,
+      planet.relations, blockSize = 128) finally os.close()
+    val manyFrames = PbfSource.indexBlobs(spark, s"$manyDir/planet.pbf")
+    assert(manyFrames.count(_.blobType == "OSMData") >= 14)   // 12+4+1 blocks
+
+    val (n, w, r) = PbfSource.readPlanetSplit(spark, s"$manyDir/planet.pbf",
+      parallelism = 4)
+    assert(n.count() == planet.nodes.size)
+    assert(w.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      planet.ways.map(_.id))
+    assert(r.count() == planet.relations.size)
+    // content identical to the per-file binaryFile path
+    val whole = PbfSource.readNodes(spark, pbfDir).collect()
+      .map(x => (x.id, x.lon, x.lat)).toSet
+    val split = n.select("id", "lon", "lat").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2))).toSet
+    assert(whole == split)
+  }
+
   test("distributed PBF sink: part files re-read to the same row set") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft_pbf_out_").toString
