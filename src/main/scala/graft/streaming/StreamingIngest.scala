@@ -126,6 +126,28 @@ object StreamingIngest {
     }
   }
 
+  /**
+   * Streaming emit-once dedup — the reference's IDTracker (J3: a 2^33-bit
+   * bitset consulted once per node emission, idtracker.c:36-44) restated
+   * as Structured Streaming custom state: `flatMapGroupsWithState` keeps
+   * one boolean per key in the state store; a key's rows are emitted the
+   * FIRST time it appears across all micro-batches and suppressed forever
+   * after. State grows with distinct keys (the streaming analogue of the
+   * reference's 1 GiB flat bitset — bounded by key cardinality, checkpoint
+   * persisted, recoverable).
+   */
+  def streamingEmitOnce[T](ds: org.apache.spark.sql.Dataset[T], key: T => Long)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    ds.groupByKey(key).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: Long, rows: Iterator[T], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty[T]
+        else { state.update(true); rows.take(1) }
+    }
+  }
+
   /** Windowed per-tile arrival statistics over an event-time stream with a
     * watermark — the streaming counterpart of the tile histogram. Emits
     * (window, cell, n) in append mode once the watermark passes. */

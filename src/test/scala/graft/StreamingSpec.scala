@@ -136,6 +136,37 @@ class StreamingSpec extends SparkFunSuite {
     assert(spark.read.parquet(table).count() == 50)
   }
 
+  test("streamingEmitOnce: IDTracker-as-state — a key emits once across " +
+       "micro-batches, duplicates suppressed forever after") {
+    val base = Files.createTempDirectory("graft_emitonce_").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    // batch 1: ids 0..99 with id 7 duplicated in-batch
+    (Seq((7L, "dup")) ++ (0L until 100L).map(i => (i, s"v$i")))
+      .toDF("id", "payload").coalesce(1).write.mode("append").parquet(src)
+    def drain(): Map[Long, Long] = {
+      val stream = spark.readStream.schema("id long, payload string")
+        .parquet(src).as[(Long, String)]
+      val q = StreamingIngest.streamingEmitOnce[(Long, String)](stream, _._1)
+        .toDF("id", "payload")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)   // fault-tolerant sink:
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()                       // memory sink can't resume
+      spark.read.parquet(out).groupBy("id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val m1 = drain()
+    assert(m1.size == 100 && m1.values.forall(_ == 1L), "in-batch dup leaked")
+    // batch 2: ids 50..149 — 50..99 are replays and must be suppressed
+    (50L until 150L).map(i => (i, s"v$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    val m2 = drain()
+    assert(m2.size == 150, s"expected 150 distinct ids, got ${m2.size}")
+    assert(m2.values.forall(_ == 1L), "cross-batch dup leaked: " +
+      m2.filter(_._2 > 1).take(5))
+  }
+
   test("watermarked windowed tile counts over an event-time stream") {
     val base = Files.createTempDirectory("graft_stream_agg_").toString
     // event-time points: two 5-minute windows, two cells
