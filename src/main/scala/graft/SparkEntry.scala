@@ -71,6 +71,25 @@ object SparkEntry {
     PlanetExtract.ingest(nodesRaw, waysRaw, relsRaw)
   }
 
+  /** Highway ways for the routable-graph gates: A-ways = the derived
+    * planet's disjoint 5-node runs; B-ways (ids offset by 1e6) =
+    * [id-20, id-10, id] for node ids ≡ 23 (mod 25) — each B ref hits an
+    * INTERIOR position (≡3 mod 5) of an A-way, so B-ways create genuine
+    * n_refs>=2 intersection vertices that split ways into segments. */
+  private def routableWays(s: SparkSession, dir: String): DataFrame = {
+    val nodesRaw = eventPoints(s, dir)
+      .select((col("event_id") + 1).as("id"))
+    val aWays = nodesRaw.where(pmod(col("id"), lit(5)) === 0)
+      .select((col("id") / 5).cast("long").as("id"),
+              sequence(col("id") - 4, col("id")).as("refs"),
+              map(lit("highway"), lit("residential")).as("tags"))
+    val bWays = nodesRaw.where(pmod(col("id"), lit(25)) === 23)
+      .select(((col("id") - 23) / 25 + 1000000L).cast("long").as("id"),
+              array(col("id") - 20, col("id") - 10, col("id")).as("refs"),
+              map(lit("highway"), lit("primary")).as("tags"))
+    aWays.unionByName(bWays)
+  }
+
   /** Flagship: the full images pipeline at small scale — synthesize the
     * graft input table, geocode with the codegen encoder, bbox-extract,
     * aggregate per tile. */
@@ -149,7 +168,10 @@ object SparkEntry {
                 geo.grid_cell(col("lon"), col("lat")).as("cell"),
                 geo.cell_at(col("lon"), col("lat"), 5).as("p_cell"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_knn_").toString
-      pts.write.mode("overwrite").partitionBy("p_cell").parquet(tmp)
+      // repartition on the partition column: one file per directory instead
+      // of #tasks x #dirs write amplification
+      pts.repartition(col("p_cell"))
+        .write.mode("overwrite").partitionBy("p_cell").parquet(tmp)
       Knn.knn(s.read.parquet(tmp), knnQs, 10, pRes = 5)
         .select(col("qid"), col("id"), col("rank").cast("long").as("rnk"))
         .orderBy("qid", "rnk")
@@ -204,6 +226,22 @@ object SparkEntry {
         .agg(min("event_id").as("first_event"))
         .orderBy("user_id", "event_type")
     }),
+    // ---- routable graph over the derived planet (J7 + A5/edges): A-ways
+    //      are disjoint runs of 5 nodes; B-ways [id-20, id-10, id] for
+    //      id%25==23 cross three A-way interiors, creating real
+    //      intersection vertices that split ways into segments ------------
+    "q_routable_vertices" -> ((s, dir) =>
+      Routable.vertices(routableWays(s, dir))
+        .select(col("node_id"), col("n_refs"),
+                col("is_endpoint").cast("long").as("is_endpoint"))
+        .orderBy("node_id")),
+    "q_routable_edges" -> ((s, dir) =>
+      Routable.edges(routableWays(s, dir),
+          eventPoints(s, dir).select((col("event_id") + 1).as("id"),
+            col("lon"), col("lat")))
+        .select(col("way_id"), col("seg").cast("long").as("seg"),
+                col("src"), col("dst"), col("n_legs"))
+        .orderBy("way_id", "seg")),
     "q_intersections" -> ((s, dir) => {     // J7: shared-vertex detection
       tbl(s, dir, "lineitem")
         .groupBy("l_partkey")
@@ -407,6 +445,22 @@ object SparkEntry {
     }.mkString(", ")
     val bestSql = "GREATEST(s_de, s_en, s_es, s_fr, s_it)"
     val caseSql = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    // shared postings/vertices CTEs for the routable-graph gates (the SQL
+    // twin of routableWays: A = 5-node runs, B = [id-20,id-10,id] crossers)
+    val routablePostsSql =
+      s"""WITH pts AS ($eventPointsSql),
+         |nodes AS (SELECT event_id + 1 AS id FROM pts),
+         |aw AS (SELECT id // 5 AS wid, id AS last_id FROM nodes WHERE id % 5 = 0),
+         |ap AS (SELECT wid, p AS pos, last_id - 4 + p AS node_id, 5 AS len
+         |       FROM aw, (SELECT unnest(range(0, 5)) AS p)),
+         |bw AS (SELECT (id - 23) // 25 + 1000000 AS wid, id AS anchor
+         |       FROM nodes WHERE id % 25 = 23),
+         |bp AS (SELECT wid, p AS pos, anchor - 20 + 10 * p AS node_id, 3 AS len
+         |       FROM bw, (SELECT unnest(range(0, 3)) AS p)),
+         |posts AS (SELECT * FROM ap UNION ALL SELECT * FROM bp),
+         |verts AS (SELECT node_id, count(*) AS n_refs,
+         |          CAST(max(CASE WHEN pos = 0 OR pos = len - 1 THEN 1 ELSE 0 END) AS BIGINT) AS is_endpoint
+         |          FROM posts GROUP BY node_id)""".stripMargin
 
     val base = Map(
       "q_tile_assign" ->
@@ -632,6 +686,25 @@ object SparkEntry {
           |SELECT a_id, b_id, inter / (na + nb - inter) AS jaccard
           |FROM pairs WHERE inter / (na + nb - inter) >= 0.5
           |ORDER BY a_id, b_id""".stripMargin,
+      "q_routable_vertices" ->
+        s"""$routablePostsSql
+           |SELECT node_id, n_refs, is_endpoint FROM verts
+           |WHERE is_endpoint = 1 OR n_refs >= 2 ORDER BY node_id""".stripMargin,
+      "q_routable_edges" ->
+        s"""$routablePostsSql,
+           |vset AS (SELECT node_id FROM verts WHERE is_endpoint = 1 OR n_refs >= 2),
+           |legs AS (SELECT p.wid, p.pos, p.node_id,
+           |           CASE WHEN v.node_id IS NOT NULL THEN 1 ELSE 0 END AS isv,
+           |           lead(p.node_id) OVER (PARTITION BY p.wid ORDER BY p.pos) AS nxt
+           |         FROM posts p LEFT JOIN vset v ON v.node_id = p.node_id),
+           |segd AS (SELECT wid, pos, node_id, nxt,
+           |           CAST(SUM(isv) OVER (PARTITION BY wid ORDER BY pos
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+           |         FROM legs)
+           |SELECT wid AS way_id, seg, arg_min(node_id, pos) AS src,
+           |       arg_max(nxt, pos) AS dst, count(*) AS n_legs
+           |FROM segd WHERE nxt IS NOT NULL
+           |GROUP BY wid, seg ORDER BY way_id, seg""".stripMargin,
       "q_planet_extract" ->
         s"""WITH pts AS ($eventPointsSql),
            |nodes AS (SELECT event_id + 1 AS id, lon, lat,

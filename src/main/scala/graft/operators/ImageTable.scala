@@ -77,7 +77,10 @@ object ImageTable {
 
     val t0 = System.nanoTime()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    observed.write.mode("overwrite")
+    // repartition on the partition key: one file per (cell, salt) instead
+    // of #tasks x #dirs write amplification; the salt dimension already
+    // bounds per-file size for hot cells, so one file per leaf is right
+    observed.repartition(col("p_cell"), col("p_salt")).write.mode("overwrite")
       .partitionBy("p_cell", "p_salt").parquet(path)
     val writeSec = (System.nanoTime() - t0) / 1e9
     val loadMetrics = obs.get.map { case (k, v) =>
@@ -149,7 +152,8 @@ object ImageTable {
       .drop("_pc", "_nsalt")
     val t0 = System.nanoTime()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    salted.write.mode("overwrite").partitionBy("p_cell", "p_salt").parquet(path)
+    salted.repartition(col("p_cell"), col("p_salt"))
+      .write.mode("overwrite").partitionBy("p_cell", "p_salt").parquet(path)
     val writeSec = (System.nanoTime() - t0) / 1e9
     val newLineage = salted.groupBy("p_cell", "p_salt").agg(
         count(lit(1)).as("rows"),

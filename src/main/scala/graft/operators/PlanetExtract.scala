@@ -235,10 +235,15 @@ object PlanetExtract {
     // coarse prefix of the packed cell: top pBits of each axis interleaved
     // would be Morton; for pruning purposes plain (xbin >> (14-pBits)) <<
     // pBits | (ybin >> (14-pBits)) works identically with range predicates
+    // repartition on the partition column first: otherwise every input
+    // task opens a writer in every output directory — #tasks x #dirs tiny
+    // files (write amplification that dominates wall time even at sf0.1;
+    // at planet scale it would also blow up the namenode/file listing)
     def p(df: DataFrame): DataFrame = df.withColumn("p",
       when(col("cell").isNull, lit(-1)).otherwise(
         shiftright(col("xbin"), CellIndex.GridBits - pBits) * (1 << pBits) +
           shiftright(col("ybin"), CellIndex.GridBits - pBits)))
+      .repartition(col("p"))
     p(t.nodes).write.mode("overwrite").partitionBy("p").parquet(s"$path/nodes")
     p(t.ways).write.mode("overwrite").partitionBy("p").parquet(s"$path/ways")
     p(t.relations).write.mode("overwrite").partitionBy("p").parquet(s"$path/relations")
