@@ -130,7 +130,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    val scalingOnly = args.contains("scaling")   // dev shortcut
+    val scalingOnly = args.contains("scaling")   // dev shortcuts
+    val queriesOnly = args.contains("queries")
     // part 1: per-query timings at the driver-requested parallelism
     var spark = session(cpus)
     ensureBenchData(spark)
@@ -146,6 +147,12 @@ object Bench {
         name -> sec
       }
     spark.stop()
+    if (queriesOnly) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_only","value":${results.map(_._2).filter(_ >= 0).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      return
+    }
 
     // part 2: scaling efficiency, local[N] vs local[4N], same input+job.
     //

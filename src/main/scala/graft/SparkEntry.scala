@@ -166,13 +166,13 @@ object SparkEntry {
       val pts = eventPoints(s, dir)
         .select(col("event_id").as("id"), col("lon"), col("lat"),
                 geo.grid_cell(col("lon"), col("lat")).as("cell"),
-                geo.cell_at(col("lon"), col("lat"), 5).as("p_cell"))
+                geo.cell_at(col("lon"), col("lat"), 3).as("p_cell"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_knn_").toString
-      // repartition on the partition column: one file per directory instead
-      // of #tasks x #dirs write amplification
+      // repartition on the partition column (one file per directory, not
+      // #tasks x #dirs); res 3 = 64 dirs, sized to the gate data volume
       pts.repartition(col("p_cell"))
         .write.mode("overwrite").partitionBy("p_cell").parquet(tmp)
-      Knn.knn(s.read.parquet(tmp), knnQs, 10, pRes = 5)
+      Knn.knn(s.read.parquet(tmp), knnQs, 10, pRes = 3)
         .select(col("qid"), col("id"), col("rank").cast("long").as("rnk"))
         .orderBy("qid", "rnk")
     }),
@@ -197,9 +197,11 @@ object SparkEntry {
     "q_planet_extract_stored" -> ((s, dir) => {   // S4: stored planet DB path
       val t = derivedPlanet(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft_stored_").toString
-      PlanetExtract.writeTables(t, tmp)           // coarse-cell partitioned
+      // pBits sized to the gate data (64 dirs for ~10^5 rows): directory
+      // count is a knob, not a constant — at planet scale it grows
+      PlanetExtract.writeTables(t, tmp, pBits = 3)
       val stored = PlanetExtract.readTables(s, tmp)
-      PlanetExtract.bboxStored(stored, qBox)      // directory-pruned extract
+      PlanetExtract.bboxStored(stored, qBox, pBits = 3)   // directory-pruned
         .select(col("kind"), col("id"), col("cell").cast("long").as("cell"))
         .orderBy("kind", "id")
     }),
