@@ -290,7 +290,8 @@ object SparkEntry {
         .orderBy("h")),
     "q_token_count" -> ((s, dir) =>
       TextOps.withTokenCounts(tbl(s, dir, "documents"))
-        .select(col("doc_id"), col("tokens_ws").cast("long").as("tokens_ws"))
+        .select(col("doc_id"), col("tokens_ws").cast("long").as("tokens_ws"),
+                col("tokens_bpe").cast("long").as("tokens_bpe"))
         .orderBy("doc_id")),
     "q_quality" -> ((s, dir) =>
       TextOps.withQuality(tbl(s, dir, "documents"))
@@ -375,6 +376,13 @@ object SparkEntry {
         .select(col("a_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .orderBy("a_id")
     }),
+    "q_embed_neardup" -> ((s, dir) =>       // rows-only (random hyperplanes not
+      // SQL-able; the oracle-checked banded variant is q_embed_ann_join).
+      // threshold sized to the testdata: its embeddings have no true
+      // near-dups (max pairwise cos ~0.47), so 0.4 yields a non-empty set
+      Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), cosThreshold = 0.4,
+          nTables = 6, bitsPerTable = 10)
+        .select("a_id", "b_id").orderBy("a_id", "b_id")),
     "q_embed_ivf" -> ((s, dir) => {         // rows-only (centroids not SQL-able)
       val e = tbl(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0)
@@ -571,7 +579,13 @@ object SparkEntry {
           |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
       "q_token_count" ->
         """SELECT doc_id,
-          |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tokens_ws
+          |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tokens_ws,
+          |  CAST(list_sum(list_transform(
+          |      list_filter(string_split_regex(text, '[^A-Za-z]+'), t -> length(t) > 0),
+          |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+          |    + len(list_filter(string_split_regex(text, '[^0-9]+'), t -> length(t) > 0))
+          |    + length(regexp_replace(text, '[A-Za-z0-9\s]+', '', 'g')) AS BIGINT)
+          |    AS tokens_bpe
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_quality" ->
         """WITH q AS (
