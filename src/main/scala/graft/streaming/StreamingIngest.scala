@@ -113,16 +113,31 @@ object StreamingIngest {
         .unionByName(upserts)
       ).localCheckpoint(true)
 
-    val remaining = merged.select("p_cell").distinct()
-      .collect().map(_.getAs[Number](0).longValue).toSet
+    // dynamic overwrite only rewrites LEAF partitions (p_cell, p_salt)
+    // PRESENT in `merged`: any affected leaf whose rows were all deleted
+    // or superseded is absent from the output and must be dropped
+    // explicitly, or its stale files would resurrect the deleted rows —
+    // note the granularity: a cell can keep salt bucket 0 alive while
+    // bucket 1 empties, so the cleanup must compare LEAVES, not cells
+    val remainingLeaves = merged.select("p_cell", "p_salt").distinct()
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSet
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     merged.write.mode("overwrite").partitionBy("p_cell", "p_salt")
       .parquet(tablePath)
-    // dynamic overwrite only rewrites partitions PRESENT in `merged`: an
-    // affected cell whose rows were ALL deleted isn't in the output and
-    // must be dropped explicitly or its stale files would survive
-    (affected.toSet -- remaining).foreach { cell =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/p_cell=$cell"), true)
+    affected.foreach { cell =>
+      val cellDir = new org.apache.hadoop.fs.Path(s"$tablePath/p_cell=$cell")
+      if (fs.exists(cellDir)) {
+        fs.listStatus(cellDir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_salt="))
+          .foreach { st =>
+            val salt = st.getPath.getName.stripPrefix("p_salt=").toLong
+            if (!remainingLeaves.contains((cell, salt))) fs.delete(st.getPath, true)
+          }
+        // drop the cell dir itself once no salt buckets remain
+        if (fs.listStatus(cellDir).isEmpty) fs.delete(cellDir, true)
+      }
     }
   }
 

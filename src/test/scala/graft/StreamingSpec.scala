@@ -136,6 +136,42 @@ class StreamingSpec extends SparkFunSuite {
     assert(spark.read.parquet(table).count() == 50)
   }
 
+  test("diffSync: emptying ONE salt bucket of a salted cell does not " +
+       "resurrect its rows (cleanup is leaf-granular, not cell-granular)") {
+    import graft.operators.ImageTable
+    val base = Files.createTempDirectory("graft_diff_salt_").toString
+    val (table, diffs, ckpt) = (s"$base/table", s"$base/diffs", s"$base/ckpt")
+    val rows = Fixtures.localImages(600, withBytes = false)
+    // force salting: hottest cells split into several p_salt buckets
+    ImageTable.ingest(rows.toDF(), table, saltThreshold = 50, maxSalt = 4)
+    val t = spark.read.parquet(table)
+    // pick a salt bucket whose CELL has other buckets too — the dynamic
+    // overwrite then touches the sibling leaf but not the emptied one
+    val leaf = t.groupBy("p_cell", "p_salt").count()
+      .withColumn("buckets", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("p_cell")))
+      .where(col("buckets") >= 2).orderBy(col("count")).first()
+    val pc = leaf.getAs[Number](0).longValue
+    val ps = leaf.getAs[Number](1).intValue
+    val victimIds = t.where(col("p_cell") === pc && col("p_salt") === ps)
+      .select("image_id").collect().map(_.getString(0)).toSet
+    assert(victimIds.nonEmpty)
+    // capture BEFORE the overwrite: `t`'s file listing dies with the merge
+    val cellRowsBefore = t.where(col("p_cell") === pc).count()
+    val victims = rows.filter(r => victimIds(r.image_id))
+    victims.map(r => ("delete", r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+      .toDF("op", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    val out = spark.read.parquet(table)
+    assert(out.count() == 600 - victims.size)
+    assert(out.where(col("image_id").isin(victimIds.toSeq: _*)).count() == 0,
+      "deleted salt bucket resurrected")
+    // sibling buckets of the same cell survived untouched
+    assert(out.where(col("p_cell") === pc).count() ==
+      cellRowsBefore - victims.size)
+  }
+
   test("streamingEmitOnce: IDTracker-as-state — a key emits once across " +
        "micro-batches, duplicates suppressed forever after") {
     val base = Files.createTempDirectory("graft_emitonce_").toString
