@@ -61,7 +61,10 @@ object PbfSource {
   }
 
   /** The planet-ingest entry: PBF files -> the three raw DataFrames that
-    * feed PlanetExtract.ingest. */
+    * feed PlanetExtract.ingest. NOTE: the binaryFile source materializes a
+    * whole file per row and caps at 2 GB — for a planet-sized single .pbf
+    * use [[readPlanetSplit]], which never loads more than one blob frame
+    * (<= ~16 MB zlib, 32 MB inflated) at a time per task. */
   def readPlanet(spark: SparkSession, path: String)
       : (DataFrame, DataFrame, DataFrame) =
     (readNodes(spark, path).toDF(),

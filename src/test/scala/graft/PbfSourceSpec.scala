@@ -118,6 +118,46 @@ class PbfSourceSpec extends SparkFunSuite {
     assert(engine.nonEmpty)
   }
 
+  test("randomized round-trip: huge ids, negative coords, unicode tags, " +
+       "empty tag maps, odd roles (seeded property sweep)") {
+    (0 until 10).foreach { seed =>
+      val r = new scala.util.Random(900 + seed)
+      def rid(): Long = if (r.nextBoolean()) r.nextInt(1000000).toLong
+                        else math.abs(r.nextLong()) % (1L << 40)
+      def rstr(): String = {
+        val pool = "abcXYZ äöü 日本語 :#=%\\"
+        (0 until 1 + r.nextInt(8)).map(_ => pool(r.nextInt(pool.length))).mkString
+      }
+      def rtags(): Map[String, String] =
+        (0 until r.nextInt(4)).map(_ => rstr() -> rstr()).toMap
+      val nodes = (0 until 50).map { _ =>
+        Fixtures.NodeRow(rid(), r.nextDouble() * 360 - 180,
+          r.nextDouble() * 180 - 90, rtags())
+      }.distinctBy(_.id)
+      val ways = (0 until 20).map { _ =>
+        Fixtures.WayRow(rid(),
+          Array.fill(1 + r.nextInt(6))(rid()), rtags())
+      }.distinctBy(_.id)
+      val rels = (0 until 10).map { _ =>
+        Fixtures.RelationRow(rid(), Array.fill(1 + r.nextInt(4))(
+          Fixtures.RelMemberRow(rstr(), r.nextInt(3).toByte, rid())), rtags())
+      }.distinctBy(_.id)
+      val bos = new java.io.ByteArrayOutputStream()
+      PbfCodec.writePbfFile(bos, nodes, ways, rels, blockSize = 16)
+      val d = PbfCodec.decodeFile(bos.toByteArray)
+      assert(d.nodes.map(n => (n.id, n.tags)) == nodes.map(n => (n.id, n.tags)),
+        s"seed $seed nodes")
+      d.nodes.zip(nodes).foreach { case (g, e) =>
+        assert(math.abs(g.lat - e.lat) <= 5.1e-8 && math.abs(g.lon - e.lon) <= 5.1e-8,
+          s"seed $seed coords of ${e.id}")
+      }
+      assert(d.ways.map(w => (w.id, w.refs.toSeq, w.tags)) ==
+        ways.map(w => (w.id, w.refs.toSeq, w.tags)), s"seed $seed ways")
+      assert(d.rels.map(x => (x.id, x.members.toSeq, x.tags)) ==
+        rels.map(x => (x.id, x.members.toSeq, x.tags)), s"seed $seed rels")
+    }
+  }
+
   test("splittable single-file read: blob index covers the file exactly; " +
        "4-way split decode equals the whole-file decode") {
     val frames = PbfSource.indexBlobs(spark, s"$pbfDir/planet.pbf")
