@@ -140,6 +140,21 @@ object SparkEntry {
         .withColumn("c9", geo.cell_at(col("lon"), col("lat"), 9))
         .where(pred).select("event_id").orderBy("event_id")
     }),
+    "q_tile_pyramid" -> ((s, dir) => {      // §2.4 rollup: multi-resolution
+      // tile pyramid in ONE pass — the Morton prefix property makes the
+      // r7 -> r8 -> r9 chain a strict hierarchy, so ROLLUP's partial
+      // aggregates ARE the coarser pyramid levels (nulls -> -1 so the
+      // cross-engine compare never hashes NULL)
+      eventPoints(s, dir)
+        .select(geo.cell_at(col("lon"), col("lat"), 7).as("c7"),
+                geo.cell_at(col("lon"), col("lat"), 8).as("c8"),
+                geo.cell_at(col("lon"), col("lat"), 9).as("c9"))
+        .rollup("c7", "c8", "c9").agg(count(lit(1)).as("n"))
+        .select(coalesce(col("c7"), lit(-1L)).as("c7"),
+                coalesce(col("c8"), lit(-1L)).as("c8"),
+                coalesce(col("c9"), lit(-1L)).as("c9"), col("n"))
+        .orderBy("c7", "c8", "c9")
+    }),
     "q_mercator_tiles" -> ((s, dir) => {    // Web-Mercator tile assignment
       ImageTable.withMercatorTiles(eventPoints(s, dir), Seq(12))
         .groupBy("tile_z12_x", "tile_z12_y").agg(count(lit(1)).as("n"))
@@ -500,6 +515,30 @@ object SparkEntry {
            |WHERE xb9 BETWEEN ${r9(qBox.minLon, true)} AND ${r9(qBox.maxLon, true)}
            |  AND yb9 BETWEEN ${r9(qBox.minLat, false)} AND ${r9(qBox.maxLat, false)}
            |ORDER BY event_id""".stripMargin,
+      "q_tile_pyramid" -> {
+        // Morton interleave in pure-integer SQL: bit i of each axis bin
+        // lands at position 2i(+1) of the cell id
+        def morton(xb: String, yb: String, res: Int) = (0 until res).map(i =>
+          s"((($xb >> $i) & 1) << ${2 * i + 1}) + ((($yb >> $i) & 1) << ${2 * i})")
+          .mkString(" + ")
+        def bin(axis: String, res: Int) = {
+          val base = if (axis == "x") "CAST(TRUNC(lon * 2147483647.0 / 180.0) AS BIGINT)"
+                     else "CAST(TRUNC(lat * 2147483647.0 / 90.0) AS BIGINT)"
+          s"$base // ${1L << (32 - res)}"
+        }
+        val cells = Seq(7, 8, 9).map(r =>
+          s"(${morton(s"x$r", s"y$r", r)}) AS c$r").mkString(", ")
+        val bins = Seq(7, 8, 9).flatMap(r =>
+          Seq(s"${bin("x", r)} AS x$r", s"${bin("y", r)} AS y$r")).mkString(", ")
+        s"""WITH pts AS ($eventPointsSql),
+           |bins AS (SELECT $bins FROM pts),
+           |cells AS (SELECT $cells FROM bins),
+           |rolled AS (SELECT c7, c8, c9, count(*) AS n FROM cells
+           |           GROUP BY ROLLUP (c7, c8, c9))
+           |SELECT COALESCE(c7, -1) AS c7, COALESCE(c8, -1) AS c8,
+           |       COALESCE(c9, -1) AS c9, n
+           |FROM rolled ORDER BY c7, c8, c9""".stripMargin
+      },
       "q_mercator_tiles" ->
         s"""WITH pts AS ($eventPointsSql),
            |tiles AS (SELECT
