@@ -391,6 +391,13 @@ object SparkEntry {
         .select(col("a_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .orderBy("a_id")
     }),
+    "q_embed_axis_ann" -> ((s, dir) => {    // ANN PROBE, oracle-checked: the
+      // single-scan OR-filter shape of lshTopK with axis-sign buckets
+      val q = tbl(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      Similarity.axisTopK(tbl(s, dir, "embeddings"), q, 10, nTables = 8, bits = 8)
+        .select(col("vec_id"))
+    }),
     "q_embed_neardup" -> ((s, dir) =>       // rows-only (random hyperplanes not
       // SQL-able; the oracle-checked banded variant is q_embed_ann_join).
       // threshold sized to the testdata: its embeddings have no true
@@ -674,6 +681,18 @@ object SparkEntry {
           |SELECT vec_id FROM embeddings, q
           |ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
           |LIMIT 20""".stripMargin,
+      "q_embed_axis_ann" -> {
+        def sig(c: String, t: Int) = (0 until 8).map(j =>
+          s"CASE WHEN $c[${t * 8 + j + 1}] > 0 THEN ${1 << j} ELSE 0 END")
+          .mkString(" + ")
+        val pred = (0 until 8).map(t =>
+          s"((${sig("embedding", t)}) = (${sig("qv", t)}))").mkString(" OR ")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id FROM embeddings, q
+           |WHERE $pred
+           |ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+           |LIMIT 10""".stripMargin
+      },
       "q_embed_ann_join" ->
         s"""WITH sigs AS ($annSigsSql),
            |$annCandSql,

@@ -42,6 +42,30 @@ object Similarity {
     bruteForceTopK(embs.where(matchAnyTable), query, k)
   }
 
+  /** Driver-side axis-sign signature of a literal vector (exact twin of
+    * [[axisSig]]: pure sign tests, no float arithmetic). */
+  def axisSigOf(v: Array[Float], t: Int, bits: Int): Long = {
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      val i = t * bits + j
+      if (i < v.length && v(i) > 0f) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Single-query ANN probe with axis-sign buckets: the same ONE-scan
+    * OR-filter shape as [[lshTopK]] but with the SQL-replicable signature
+    * family — the oracle-checkable twin of the probe path. */
+  def axisTopK(embs: DataFrame, query: Array[Float], k: Int,
+               nTables: Int, bits: Int): DataFrame = {
+    val matchAnyTable = (0 until nTables).map { t =>
+      axisSig(col("embedding"), t, bits) === axisSigOf(query, t, bits)
+    }.reduce(_ || _)
+    bruteForceTopK(embs.where(matchAnyTable), query, k)
+  }
+
   /** Driver-side signature of a literal vector (must match HyperplaneSig). */
   def sigOf(v: Array[Float], planes: Array[Array[Float]]): Long = {
     var sig = 0L
