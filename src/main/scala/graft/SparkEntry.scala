@@ -327,6 +327,11 @@ object SparkEntry {
     "q_minhash_sig" -> ((s, dir) =>         // portable md5 minhash (oracle=SQL)
       Dedup.withMinhashPortable(tbl(s, dir, "documents"), nGram = 3, nHashes = 4)
         .select("doc_id", "sig_0", "sig_1", "sig_2", "sig_3").orderBy("doc_id")),
+    "q_minhash_pairs" -> ((s, dir) =>       // FULL LSH pipeline: band bucket
+      // join + exact-Jaccard verify, every stage oracle-checked
+      Dedup.minhashLshPortable(tbl(s, dir, "documents"), nGram = 3,
+          nHashes = 4, bands = 4, threshold = 0.5, maxBucket = 0)
+        .orderBy("a_id", "b_id")),
     "q_simhash" -> ((s, dir) =>             // portable 60-bit simhash (oracle=SQL)
       Dedup.withSimhashPortable(tbl(s, dir, "documents"))
         .select("doc_id", "simhash").orderBy("doc_id")),
@@ -742,6 +747,25 @@ object SparkEntry {
           |  min(md5(s || '#0')) AS sig_0, min(md5(s || '#1')) AS sig_1,
           |  min(md5(s || '#2')) AS sig_2, min(md5(s || '#3')) AS sig_3
           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_minhash_pairs" ->
+        """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |sh AS (SELECT doc_id, list_distinct(list_transform(
+          |  range(1, greatest(len(w) - 2, 1) + 1),
+          |  i -> array_to_string(w[i:i+2], ' '))) AS shs FROM ws),
+          |sigs AS (SELECT doc_id, shs,
+          |  list_min(list_transform(shs, s -> md5(s || '#0'))) AS sig0,
+          |  list_min(list_transform(shs, s -> md5(s || '#1'))) AS sig1,
+          |  list_min(list_transform(shs, s -> md5(s || '#2'))) AS sig2,
+          |  list_min(list_transform(shs, s -> md5(s || '#3'))) AS sig3 FROM sh),
+          |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.shs AS sa, b.shs AS sb
+          |         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          |           AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR
+          |                a.sig2 = b.sig2 OR a.sig3 = b.sig3)),
+          |scored AS (SELECT a_id, b_id, len(list_intersect(sa, sb)) AS inter,
+          |           len(sa) AS na, len(sb) AS nb FROM cand)
+          |SELECT a_id, b_id, inter / (na + nb - inter) AS jaccard
+          |FROM scored WHERE inter / (na + nb - inter) >= 0.5
+          |ORDER BY a_id, b_id""".stripMargin,
       "q_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_filter(
           |  string_split_regex(text, '\s+'), t -> length(t) > 0), ' ')) AS fp

@@ -109,6 +109,13 @@ object Dedup {
       }: _*)))
       .select(col("doc_id"), col("_sh"), col("_band.b").as("_b"), col("_band.k").as("_k")),
       Seq("_b", "_k"), maxBucket)
+    verifiedJaccardPairs(banded, threshold)
+  }
+
+  /** Candidate pairs within (_b, _k) buckets + exact Jaccard verification
+    * over the `_sh` shingle sets — shared by the xxhash and portable
+    * MinHash-LSH variants (the band-key type is opaque to the join). */
+  private def verifiedJaccardPairs(banded: DataFrame, threshold: Double): DataFrame = {
     val a = banded.select(col("_b"), col("_k"), col("doc_id").as("a_id"), col("_sh").as("_sha"))
     val b = banded.select(col("_b"), col("_k"), col("doc_id").as("b_id"), col("_sh").as("_shb"))
     val cand = a.join(b, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
@@ -118,6 +125,27 @@ object Dedup {
         (size(col("_sha")) + size(col("_shb")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** MinHash-LSH pairs with PORTABLE signatures (md5-string minhash, see
+    * [[withMinhashPortable]]): the band keys, candidate set, and verified
+    * Jaccard values are all oracle-checkable cross-engine. */
+  def minhashLshPortable(docs: DataFrame, nGram: Int = 3, nHashes: Int = 4,
+                         bands: Int = 4, threshold: Double = 0.5,
+                         maxBucket: Int = 1000): DataFrame = {
+    require(nHashes % bands == 0)
+    val rowsPerBand = nHashes / bands
+    val sigs = withMinhashPortable(docs, nGram, nHashes)
+      .select(col("doc_id"), col("_sh"),
+        array((0 until nHashes).map(j => col(s"sig_$j")): _*).as("_sig"))
+    val banded = capBuckets(sigs.withColumn("_band", explode(
+      array((0 until bands).map { b =>
+        struct(lit(b).as("b"), concat_ws(",", (0 until rowsPerBand)
+          .map(r => col("_sig")(b * rowsPerBand + r)): _*).as("k"))
+      }: _*)))
+      .select(col("doc_id"), col("_sh"), col("_band.b").as("_b"), col("_band.k").as("_k")),
+      Seq("_b", "_k"), maxBucket)
+    verifiedJaccardPairs(banded, threshold)
   }
 
   /** 64-bit SimHash over word hashes: bit i = sign of the sum of per-word
