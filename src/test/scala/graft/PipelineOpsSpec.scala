@@ -88,6 +88,20 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(nearFound >= 18, s"near-dup recall $nearFound/20")
   }
 
+  test("minhashLshPortable: exact precision, full recall on planted exact " +
+       "copies, high recall on near-dups (md5-string signature family)") {
+    val got = Dedup.minhashLshPortable(docs, nGram = 3, nHashes = 8, bands = 8,
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (a, b) =>
+      val ta = docRows.find(_._1 == a).get._2
+      val tb = docRows.find(_._1 == b).get._2
+      assert(bruteJaccard(ta, tb, 3) >= 0.5, s"false positive ($a,$b)")
+    }
+    (0L until 10L).foreach(i => assert(got.contains((i, 100L + i)), s"missed exact pair $i"))
+    assert((0L until 20L).count(i => got.contains((10L + i, 200L + i))) >= 18)
+  }
+
   test("simhash: near-identical docs within small Hamming distance; pairs found via banding") {
     val sh = Dedup.withSimhash(docs).select("doc_id", "simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -215,6 +229,15 @@ class PipelineOpsSpec extends SparkFunSuite {
     // every row landed in some list
     assert(cached.where(col("list_id").isNull).count() == 0)
     cached.unpersist()
+  }
+
+  test("axisTopK (oracle-checkable probe): finds self and planted partner; recall vs brute") {
+    val q = vecRows.find(_._1 == 3L).get._2
+    val brute = Similarity.bruteForceTopK(embs, q, 10).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.axisTopK(embs, q, 10, nTables = 8, bits = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.contains(3L) && approx.contains(1003L))
+    assert(approx.intersect(brute).size >= 5, s"recall ${approx.intersect(brute).size}/10")
   }
 
   test("axisKnnJoin (oracle-checkable banded ANN): planted near-dup ranked 1, probes filtered") {
