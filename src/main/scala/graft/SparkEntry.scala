@@ -328,8 +328,11 @@ object SparkEntry {
       Dedup.withMinhashPortable(tbl(s, dir, "documents"), nGram = 3, nHashes = 4)
         .select("doc_id", "sig_0", "sig_1", "sig_2", "sig_3").orderBy("doc_id")),
     "q_minhash_pairs" -> ((s, dir) =>       // FULL LSH pipeline: band bucket
-      // join + exact-Jaccard verify, every stage oracle-checked
-      Dedup.minhashLshPortable(tbl(s, dir, "documents"), nGram = 3,
+      // join + exact-Jaccard verify, every stage oracle-checked. Bounded
+      // to a deterministic 1000-doc slice: the cap is off for oracle
+      // parity, so the input must be bounded instead
+      Dedup.minhashLshPortable(
+          tbl(s, dir, "documents").where(col("doc_id") < 1000), nGram = 3,
           nHashes = 4, bands = 4, threshold = 0.5, maxBucket = 0)
         .orderBy("a_id", "b_id")),
     "q_simhash" -> ((s, dir) =>             // portable 60-bit simhash (oracle=SQL)
@@ -748,7 +751,8 @@ object SparkEntry {
           |  min(md5(s || '#2')) AS sig_2, min(md5(s || '#3')) AS sig_3
           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q_minhash_pairs" ->
-        """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+          |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
           |sh AS (SELECT doc_id, list_distinct(list_transform(
           |  range(1, greatest(len(w) - 2, 1) + 1),
           |  i -> array_to_string(w[i:i+2], ' '))) AS shs FROM ws),
