@@ -249,6 +249,58 @@ object Raster {
     if (n > 0) v.map(_ / n) else v
   }
 
+  // ---- video frame sampling ---------------------------------------------------
+
+  final case class Frame(video_id: String, frame_idx: Int, frame: Array[Byte],
+                         w: Int, h: Int)
+
+  /** Trivial length-prefixed frame container for "video" blobs:
+    * [4B BE frame count] ([4B BE len][png bytes])*. HONEST FAKE: no video
+    * codec ships in this environment, so the demuxer is this container —
+    * the Spark-side plumbing (opaque binary column, per-partition demux,
+    * frame explode, batch shape) is the real deliverable; swap
+    * [[demuxFrames]] for an actual container parser to productionize. */
+  def muxFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def i32(v: Int): Unit = bos.write(Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    i32(frames.size)
+    frames.foreach { f => i32(f.length); bos.write(f) }
+    bos.toByteArray
+  }
+
+  def demuxFrames(blob: Array[Byte]): Seq[Array[Byte]] = {
+    def i32(p: Int): Int = ((blob(p) & 0xFF) << 24) | ((blob(p + 1) & 0xFF) << 16) |
+      ((blob(p + 2) & 0xFF) << 8) | (blob(p + 3) & 0xFF)
+    val n = i32(0)
+    var pos = 4
+    (0 until n).map { _ =>
+      val len = i32(pos)
+      val f = java.util.Arrays.copyOfRange(blob, pos + 4, pos + 4 + len)
+      pos += 4 + len
+      f
+    }
+  }
+
+  /** Frame sampling: every `everyK`-th frame of each video blob, decoded
+    * for dimensions. Per-partition demux (one pass over each blob, no
+    * per-frame row shuffling until frames are emitted) — the multimodal
+    * explode that feeds frame-level feature extraction downstream. */
+  def sampleFrames(videos: DataFrame, everyK: Int): Dataset[Frame] = {
+    require(everyK >= 1)
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select("video_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        demuxFrames(blob).zipWithIndex.collect {
+          case (f, i) if i % everyK == 0 =>
+            val img = decode(f)
+            Frame(id, i, f, img.map(_.getWidth).getOrElse(0),
+              img.map(_.getHeight).getOrElse(0))
+        }
+      })
+  }
+
   /** Lossy re-encode (JPEG) — used by tests to exercise the PSNR>=40dB
     * branch of the invariant. */
   def reencodeJpeg(bytes: Array[Byte], quality: Float = 1.0f): Array[Byte] = {

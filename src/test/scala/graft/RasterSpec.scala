@@ -129,6 +129,26 @@ class RasterSpec extends SparkFunSuite {
     assert(found >= 27, s"near-dup recall $found/30")
   }
 
+  test("frame sampling: every k-th frame demuxed per partition, decodable, " +
+       "bytes identical to the muxed source frames") {
+    val vids = (0 until 5).map { v =>
+      val frames = (0 until 12).map(i =>
+        Fixtures.makePng(v * 100L + i, Fixtures.DefaultSeed, 16, 16))
+      (f"vid_$v%04d", Raster.muxFrames(frames), frames)
+    }
+    val df = vids.map { case (id, blob, _) => (id, blob) }.toDF("video_id", "bytes")
+    val out = Raster.sampleFrames(df, everyK = 3).collect()
+    assert(out.length == 5 * 4)                       // 12 frames / every 3rd
+    out.foreach { f =>
+      assert(f.frame_idx % 3 == 0)
+      assert(f.w == 16 && f.h == 16)                  // decoded dims real
+      val src = vids.find(_._1 == f.video_id).get._3(f.frame_idx)
+      assert(java.util.Arrays.equals(f.frame, src), s"${f.video_id}#${f.frame_idx}")
+    }
+    // k=1 returns the full frame stream
+    assert(Raster.sampleFrames(df, everyK = 1).count() == 60)
+  }
+
   test("stub features: deterministic, L2-normalized, fixed dim") {
     val f1 = Raster.extractFeatures(df.limit(60), 64).collect()
       .map(f => f.image_id -> f.feature).toMap
