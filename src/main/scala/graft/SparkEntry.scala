@@ -427,6 +427,17 @@ object SparkEntry {
       Raster.decodeStats(imgs).toDF()
         .agg(count(lit(1)).as("n"), sum(when(col("ok"), 1).otherwise(0)).as("n_ok"))
     }),
+    "q_frame_sample" -> ((s, dir) => {      // rows-only (fixture-built videos)
+      import s.implicits._
+      val vids = (0 until 50).map { v =>
+        (f"vid_$v%04d", Raster.muxFrames(
+          (0 until 8).map(i => Fixtures.makePng(v * 100L + i, Fixtures.DefaultSeed, 16, 16))))
+      }.toDF("video_id", "bytes")
+      Raster.sampleFrames(vids, everyK = 2).toDF()
+        .groupBy("video_id").agg(count(lit(1)).as("n_frames"),
+          sum(when(col("w") === 16 && col("h") === 16, 1).otherwise(0)).as("n_ok"))
+        .orderBy("video_id")
+    }),
     "q_image_extract" -> ((s, dir) => {     // rows-only flagship pipeline
       entry(s)
     })
