@@ -54,6 +54,16 @@ object osmCodec {
   def zigzagDecode(v: Column): Column =
     shiftrightunsigned(v, 1).bitwiseXOR(-(v.bitwiseAND(lit(1L))))
 
+  /** Human-readable byte count (vex.c:158-185, F9): successive division
+    * by 1024 with one decimal, same unit ladder as the reference. */
+  def humanBytes(n0: Long): String = {
+    val units = Array("bytes", "kB", "MB", "GB", "TB", "PB")
+    var n = n0.toDouble
+    var u = 0
+    while (n >= 1024.0 && u < units.length - 1) { n /= 1024.0; u += 1 }
+    if (u == 0) s"${n0} bytes" else f"$n%.1f ${units(u)}"
+  }
+
   /** FNV-1a 32-bit string hash (dedup.c:86-94) — pure Scala twin for
     * byte-compat string-table tests. */
   def fnv1a32(s: String): Int = {

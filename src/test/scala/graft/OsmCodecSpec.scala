@@ -14,6 +14,15 @@ class OsmCodecSpec extends SparkFunSuite {
       Seq(Seq(5L), Seq(-3L, 7L), Seq(0L, 0L, 0L))
   }
 
+  test("humanBytes matches the reference's unit ladder (F9)") {
+    assert(osmCodec.humanBytes(0) == "0 bytes")
+    assert(osmCodec.humanBytes(512) == "512 bytes")
+    assert(osmCodec.humanBytes(1024) == "1.0 kB")
+    assert(osmCodec.humanBytes(1536) == "1.5 kB")
+    assert(osmCodec.humanBytes(5L * 1024 * 1024) == "5.0 MB")
+    assert(osmCodec.humanBytes(2L * 1024 * 1024 * 1024 * 1024) == "2.0 TB")
+  }
+
   test("delta encode/decode round-trip (refs and dense-node streams)") {
     val df = samples.toDF("arr")
       .withColumn("rt", osmCodec.deltaDecode(osmCodec.deltaEncode(col("arr"))))
