@@ -753,7 +753,8 @@ object SparkEntry {
            |FROM votes ORDER BY doc_id""".stripMargin
       },
       "q_minhash_sig" ->
-        """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          |  t -> length(t) > 0) AS w FROM documents),
           |sh AS (SELECT doc_id, unnest(list_transform(
           |  range(1, greatest(len(w) - 2, 1) + 1),
           |  i -> array_to_string(w[i:i+2], ' '))) AS s FROM ws)
@@ -763,7 +764,8 @@ object SparkEntry {
           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q_minhash_pairs" ->
         """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
-          |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+          |ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          |  t -> length(t) > 0) AS w FROM d),
           |sh AS (SELECT doc_id, list_distinct(list_transform(
           |  range(1, greatest(len(w) - 2, 1) + 1),
           |  i -> array_to_string(w[i:i+2], ' '))) AS shs FROM ws),
@@ -787,7 +789,8 @@ object SparkEntry {
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_ngram_jaccard" ->
         """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
-          |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+          |ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          |  t -> length(t) > 0) AS w FROM d),
           |sh AS (SELECT doc_id, list_distinct(list_transform(
           |  range(1, greatest(len(w) - 1, 1) + 1),
           |  i -> array_to_string(w[i:i+1], ' '))) AS shs FROM ws),

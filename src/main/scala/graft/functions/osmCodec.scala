@@ -61,7 +61,9 @@ object osmCodec {
     var n = n0.toDouble
     var u = 0
     while (n >= 1024.0 && u < units.length - 1) { n /= 1024.0; u += 1 }
-    if (u == 0) s"${n0} bytes" else f"$n%.1f ${units(u)}"
+    if (u == 0) s"${n0} bytes"
+    else String.format(java.util.Locale.ROOT, "%.1f %s",
+      Double.box(n), units(u))   // Locale.ROOT: "1.5 kB" on any JVM locale
   }
 
   /** FNV-1a 32-bit string hash (dedup.c:86-94) — pure Scala twin for

@@ -41,9 +41,13 @@ object Dedup {
       .where(col("_bucket_n") <= maxBucket)
       .drop("_bucket_n")
 
-  /** Word n-gram shingles of `text`, as a deduplicated array column. */
+  /** Word n-gram shingles of `text`, as a deduplicated array column.
+    * Empty words are filtered BEFORE shingling so leading/repeated spaces
+    * can never leak into a shingle — this makes the construction exactly
+    * `string_split(text, ' ')` + filter in ANSI SQL for ANY spacing, which
+    * the DuckDB oracles replicate. */
   def shingles(text: Column, n: Int): Column = {
-    val words = split(text, " +")
+    val words = filter(split(text, " +"), w => length(w) > 0)
     array_distinct(filter(
       transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))),

@@ -115,10 +115,14 @@ object Raster {
     images.select("image_id", "bytes").as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decode(bytes).map { img =>
-          val scaled = img.getScaledInstance(size, size, java.awt.Image.SCALE_AREA_AVERAGING)
+          // scale by drawing the BufferedImage directly (synchronous) —
+          // getScaledInstance returns an async ToolkitImage that can
+          // render blank under a null observer
           val out = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
           val g = out.createGraphics()
-          g.drawImage(scaled, 0, 0, null)
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, size, size, null)
           g.dispose()
           val bos = new ByteArrayOutputStream()
           ImageIO.write(out, "png", bos)
@@ -140,22 +144,34 @@ object Raster {
     * deterministic on the JVM. */
   def perceptualHash(img: BufferedImage): Long = {
     val N = 32
-    val small = new BufferedImage(N, N, BufferedImage.TYPE_INT_RGB)
-    val g = small.createGraphics()
-    g.drawImage(img.getScaledInstance(N, N, java.awt.Image.SCALE_AREA_AVERAGING),
-      0, 0, null)
-    g.dispose()
+    // area-average luminance DIRECTLY from the source pixels: synchronous
+    // and deterministic (getScaledInstance returns an async ToolkitImage
+    // whose null-observer draw can yield a blank/partial raster)
+    val w = img.getWidth; val h = img.getHeight
+    val px = rgb(img)
     val lum = Array.ofDim[Double](N, N)
-    var y = 0
-    while (y < N) {
-      var x = 0
-      while (x < N) {
-        val p = small.getRGB(x, y)
-        lum(y)(x) = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
-          0.114 * (p & 0xFF)
-        x += 1
+    var ty = 0
+    while (ty < N) {
+      val y0 = ty * h / N; val y1 = math.max(y0 + 1, (ty + 1) * h / N)
+      var tx = 0
+      while (tx < N) {
+        val x0 = tx * w / N; val x1 = math.max(x0 + 1, (tx + 1) * w / N)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = px(y * w + x)
+            s += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+              0.114 * (p & 0xFF)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        lum(ty)(tx) = s / n
+        tx += 1
       }
-      y += 1
+      ty += 1
     }
     // separable DCT-II with a precomputed cosine table
     val cosT = Array.tabulate(N, N)((u, x) =>

@@ -60,6 +60,9 @@ object Similarity {
     * family — the oracle-checkable twin of the probe path. */
   def axisTopK(embs: DataFrame, query: Array[Float], k: Int,
                nTables: Int, bits: Int): DataFrame = {
+    require(nTables * bits <= query.length,
+      s"axis-sign family reads dims [0, ${nTables * bits}) but the query " +
+        s"has ${query.length} (ANSI element_at would throw past the array end)")
     val matchAnyTable = (0 until nTables).map { t =>
       axisSig(col("embedding"), t, bits) === axisSigOf(query, t, bits)
     }.reduce(_ || _)
@@ -149,7 +152,11 @@ object Similarity {
    * oracle-checkable cross-engine. Requires nTables*bits <= dim.
    */
   def axisKnnJoin(embs: DataFrame, k: Int, nTables: Int, bits: Int,
-                  probePred: Column, maxBucket: Int = 1000): DataFrame = {
+                  probePred: Column, maxBucket: Int = 1000,
+                  dim: Int = 64): DataFrame = {
+    require(nTables * bits <= dim,
+      s"axis-sign family reads dims [0, ${nTables * bits}) but dim=$dim " +
+        "(ANSI element_at would throw past the array end)")
     val sigs = Dedup.capBuckets(
       embs.select(col("vec_id"), col("embedding"),
         explode(array((0 until nTables).map(t =>

@@ -142,17 +142,18 @@ object PbfSource {
         val p = new org.apache.hadoop.fs.Path(file)
         val fs = p.getFileSystem(conf.value)
         val in = fs.open(p)
-        val out = it.map { case (start, len) =>
-          val buf = new Array[Byte](len)
-          in.readFully(start, buf)
-          val (tpe, payload) = PbfCodec.frames(buf).next()
-          require(tpe == "OSMData")
-          val d = PbfCodec.decodePrimitiveBlock(payload, want)
-          (d.nodes, d.ways, d.rels)
-        }
-        // drain eagerly so the stream can close with the iterator
-        val materialized = out.toVector
-        in.close()
+        // drain eagerly inside try/finally: the stream must close even
+        // when a corrupt frame makes the read or decode throw
+        val materialized =
+          try it.map { case (start, len) =>
+            val buf = new Array[Byte](len)
+            in.readFully(start, buf)
+            val (tpe, payload) = PbfCodec.frames(buf).next()
+            require(tpe == "OSMData")
+            val d = PbfCodec.decodePrimitiveBlock(payload, want)
+            (d.nodes, d.ways, d.rels)
+          }.toVector
+          finally in.close()
         materialized.iterator
       }
   }

@@ -45,15 +45,21 @@ object StreamingIngest {
    * update" roadmap item (README.md:95-98), as a Structured Streaming
    * micro-batch merge into the partitioned image store.
    *
-   * Diff rows carry `op` ("upsert" | "delete") plus the image columns.
-   * Each micro-batch:
-   *  1. derives the target coarse cell (p_cell) of every diff row;
-   *  2. reads ONLY the affected p_cell partitions of the store (literal
+   * Diff rows carry `op` ("upsert" | "delete"), a `seq` ordering number
+   * (the OSM-diff sequence analogue: AvailableNow can coalesce several
+   * minutes of files into ONE micro-batch, and only seq can say which of
+   * two ops on the same id is newer), plus the image columns. Each batch:
+   *  1. resolves ONE winning op per image_id (max seq; on a seq tie the
+   *     delete wins — deterministic and conservative);
+   *  2. derives the winner's target coarse cell (p_cell);
+   *  3. reads ONLY the affected p_cell partitions of the store (literal
    *     isin predicate -> directory pruning; a 100 TB table is touched
    *     only where the diff lands);
-   *  3. anti-joins the old rows on image_id (drops deleted AND superseded
-   *     rows), unions the upserts;
-   *  4. dynamic-partition-overwrites just those p_cells.
+   *  4. anti-joins the old rows on image_id (drops deleted AND superseded
+   *     rows), unions the upserts — salted with the cell's EXISTING salt
+   *     modulus, so hot cells keep their at-rest file-size bound;
+   *  5. dynamic-partition-overwrites just those leaves and drops leaves
+   *     the batch emptied.
    *
    * Exactly-once: the file source's tracked offsets make each diff file
    * processed once; the per-partition overwrite is idempotent, so a batch
@@ -63,7 +69,9 @@ object StreamingIngest {
   def diffSync(spark: SparkSession, diffDir: String, tablePath: String,
                checkpointDir: String, pRes: Int = ImageTable.DefaultPRes)
       : StreamingQuery = {
-    val diffSchema = StructType(StructField("op", StringType) +: imagesSchema.fields)
+    val diffSchema = StructType(
+      StructField("op", StringType) +: StructField("seq", LongType) +:
+        imagesSchema.fields)
     spark.readStream.schema(diffSchema).parquet(diffDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -74,14 +82,30 @@ object StreamingIngest {
       .start()
   }
 
-  /** One micro-batch merge (also callable for batch diff application). */
-  def applyDiffBatch(batch: DataFrame, tablePath: String, pRes: Int): Unit = {
-    if (batch.isEmpty) return
+  /** One micro-batch merge (also callable for batch diff application).
+    * A missing `seq` column is treated as all-zero (single-op-per-id
+    * batches then behave as before). */
+  def applyDiffBatch(batch0: DataFrame, tablePath: String, pRes: Int): Unit = {
+    if (batch0.isEmpty) return
+    val batch = if (batch0.columns.contains("seq")) batch0
+                else batch0.withColumn("seq", lit(0L))
     val spark = batch.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val derived = ImageTable.derive(batch, pRes)
-    val store = if (fs.exists(hPath)) spark.read.parquet(tablePath) else null
+    // one WINNING op per image_id: newest seq, delete beats upsert on ties
+    // (AvailableNow can fold several diff files into one batch, so an id
+    // may legitimately carry multiple ops here)
+    val winW = org.apache.spark.sql.expressions.Window
+      .partitionBy("image_id").orderBy(col("seq").desc, col("op").asc)
+    val resolved = batch
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(winW))
+      .where(col("_rn") === 1).drop("_rn", "seq")
+    val derived = ImageTable.derive(resolved, pRes)
+    // an existing-but-emptied table has no p_cell dirs left: treat as absent
+    // (a bare parquet read of it would fail schema inference)
+    val hasData = fs.exists(hPath) && fs.listStatus(hPath)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("p_cell="))
+    val store = if (hasData) spark.read.parquet(tablePath) else null
     val ids = derived.select(col("image_id")).distinct()
     // affected coarse cells: where upserts land PLUS wherever the current
     // row of any diffed id lives (deletes/moves carry no old coordinates) —
@@ -98,8 +122,24 @@ object StreamingIngest {
     val affected = (affectedByStore ++ affectedByDiff).distinct
     if (affected.isEmpty) return
 
-    val upserts = derived.where(col("op") === "upsert").drop("op")
-      .withColumn("p_salt", lit(0))
+    // salt upserts with each cell's EXISTING salt modulus (max p_salt + 1
+    // over the affected partitions — a tiny pruned aggregate), so a stream
+    // of upserts into a hot salted cell keeps the at-rest file-size bound
+    // instead of piling into p_salt=0
+    val saltMod =
+      if (store == null) null
+      else store.where(col("p_cell").isin(affected: _*))
+        .groupBy(col("p_cell").as("_pc"))
+        .agg((max("p_salt") + 1).as("_nsalt"))
+    val upsertsBase = derived.where(col("op") === "upsert").drop("op")
+    val upserts =
+      if (saltMod == null) upsertsBase.withColumn("p_salt", lit(0))
+      else upsertsBase
+        .join(org.apache.spark.sql.functions.broadcast(saltMod),
+          col("p_cell") === col("_pc"), "left")
+        .withColumn("p_salt",
+          pmod(xxhash64(col("image_id")), coalesce(col("_nsalt"), lit(1))).cast("int"))
+        .drop("_pc", "_nsalt")
     // materialize the merge BEFORE overwriting: the partitions being
     // rewritten are also the read input (self-overwrite hazard — Spark
     // refuses to overwrite a path it is scanning); localCheckpoint
@@ -111,7 +151,8 @@ object StreamingIngest {
       else store.where(col("p_cell").isin(affected: _*))
         .join(ids, Seq("image_id"), "left_anti")   // drop deleted/superseded
         .unionByName(upserts)
-      ).localCheckpoint(true)
+      ).repartition(col("p_cell"), col("p_salt"))  // one file per leaf, not
+      .localCheckpoint(true)                       // #tasks x #dirs
 
     // dynamic overwrite only rewrites LEAF partitions (p_cell, p_salt)
     // PRESENT in `merged`: any affected leaf whose rows were all deleted

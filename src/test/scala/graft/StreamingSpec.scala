@@ -60,9 +60,9 @@ class StreamingSpec extends SparkFunSuite {
     ImageTable.ingest(rows.toDF(), table)
 
     def diffDF(items: Seq[(String, Fixtures.ImageRow)]) =
-      items.map { case (op, r) =>
-        (op, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash)
-      }.toDF("op", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      items.zipWithIndex.map { case ((op, r), i) =>
+        (op, i.toLong, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash)
+      }.toDF("op", "seq", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
     // diff 1: move 100 (new coords), delete 50, insert 51 (one at a corner
     // cell guaranteed unoccupied: fixture placement caps at lon/lat 179.5/89.5)
@@ -120,9 +120,9 @@ class StreamingSpec extends SparkFunSuite {
     val cornerCell = CellIndex.cellId(CellIndex.unpackX(cornerPhash),
       CellIndex.unpackY(cornerPhash), ImageTable.DefaultPRes)
     def diffDF(items: Seq[(String, Fixtures.ImageRow)]) =
-      items.map { case (op, r) =>
-        (op, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash)
-      }.toDF("op", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      items.zipWithIndex.map { case ((op, r), i) =>
+        (op, i.toLong, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash)
+      }.toDF("op", "seq", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
     assume(!new java.io.File(s"$table/p_cell=$cornerCell").exists())
     diffDF(Seq("upsert" -> rows(0).copy(image_id = "img_c", phash = cornerPhash)))
       .coalesce(1).write.mode("append").parquet(diffs)
@@ -134,6 +134,43 @@ class StreamingSpec extends SparkFunSuite {
     assert(!new java.io.File(s"$table/p_cell=$cornerCell").exists(),
       "emptied partition directory survived")
     assert(spark.read.parquet(table).count() == 50)
+  }
+
+  test("diffSync: multiple ops per id in ONE batch resolve by seq (delete " +
+       "wins ties); a fully-emptied table accepts later batches") {
+    import graft.operators.ImageTable
+    val base = Files.createTempDirectory("graft_diff_seq_").toString
+    val (table, diffs, ckpt) = (s"$base/table", s"$base/diffs", s"$base/ckpt")
+    val rows = Fixtures.localImages(20, withBytes = false)
+    ImageTable.ingest(rows.toDF(), table)
+    def diffDF(items: Seq[(String, Fixtures.ImageRow)]) =
+      items.zipWithIndex.map { case ((op, r), i) =>
+        (op, i.toLong, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash)
+      }.toDF("op", "seq", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val moved1 = rows(1).copy(phash = Fixtures.imageRow(7000L, withBytes = false).phash)
+    val moved2 = rows(1).copy(phash = Fixtures.imageRow(7001L, withBytes = false).phash)
+    // one batch: upsert+delete of rows(0) (delete has the higher seq) and
+    // two competing upserts of rows(1) (the later one must win)
+    diffDF(Seq("upsert" -> rows(0), "upsert" -> moved1,
+               "delete" -> rows(0), "upsert" -> moved2))
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    val out1 = spark.read.parquet(table)
+    assert(out1.count() == 19, "upsert+delete of one id must net to delete")
+    assert(out1.where(col("image_id") === rows(0).image_id).count() == 0)
+    val yPhash = out1.where(col("image_id") === rows(1).image_id)
+      .select("phash").collect()(0).getLong(0)
+    assert(yPhash == moved2.phash, "later-seq upsert must win")
+    // empty the table entirely, then a subsequent batch must still work
+    diffDF(rows.drop(2).map("delete" -> _) ++ Seq("delete" -> moved2))
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    val fresh = Fixtures.imageRow(9000L, withBytes = false)
+    diffDF(Seq("upsert" -> fresh)).coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    val out3 = spark.read.parquet(table)
+    assert(out3.count() == 1)
+    assert(out3.select("image_id").collect()(0).getString(0) == fresh.image_id)
   }
 
   test("diffSync: emptying ONE salt bucket of a salted cell does not " +
@@ -159,8 +196,8 @@ class StreamingSpec extends SparkFunSuite {
     // capture BEFORE the overwrite: `t`'s file listing dies with the merge
     val cellRowsBefore = t.where(col("p_cell") === pc).count()
     val victims = rows.filter(r => victimIds(r.image_id))
-    victims.map(r => ("delete", r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
-      .toDF("op", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    victims.map(r => ("delete", 0L, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash))
+      .toDF("op", "seq", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
       .coalesce(1).write.mode("append").parquet(diffs)
     StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
     val out = spark.read.parquet(table)
