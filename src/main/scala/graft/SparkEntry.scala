@@ -645,9 +645,9 @@ object SparkEntry {
       "q_token_count" ->
         """SELECT doc_id,
           |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tokens_ws,
-          |  CAST(list_sum(list_transform(
+          |  CAST(COALESCE(list_sum(list_transform(
           |      list_filter(string_split_regex(text, '[^A-Za-z]+'), t -> length(t) > 0),
-          |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+          |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0)
           |    + len(list_filter(string_split_regex(text, '[^0-9]+'), t -> length(t) > 0))
           |    + length(regexp_replace(text, '[A-Za-z0-9\s]+', '', 'g')) AS BIGINT)
           |    AS tokens_bpe
@@ -753,22 +753,27 @@ object SparkEntry {
            |FROM votes ORDER BY doc_id""".stripMargin
       },
       "q_minhash_sig" ->
+        // empty-shingle filter + LEFT JOIN from documents: a zero-word doc
+        // keeps its row with NULL sigs (min over all-NULL), exactly like
+        // Spark's array_min over an empty filtered shingle array
         """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
           |  t -> length(t) > 0) AS w FROM documents),
-          |sh AS (SELECT doc_id, unnest(list_transform(
+          |sh AS (SELECT doc_id, s FROM (SELECT doc_id, unnest(list_transform(
           |  range(1, greatest(len(w) - 2, 1) + 1),
           |  i -> array_to_string(w[i:i+2], ' '))) AS s FROM ws)
-          |SELECT doc_id,
+          |  WHERE length(s) > 0)
+          |SELECT d.doc_id,
           |  min(md5(s || '#0')) AS sig_0, min(md5(s || '#1')) AS sig_1,
           |  min(md5(s || '#2')) AS sig_2, min(md5(s || '#3')) AS sig_3
-          |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+          |FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
       "q_minhash_pairs" ->
         """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
           |ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
           |  t -> length(t) > 0) AS w FROM d),
-          |sh AS (SELECT doc_id, list_distinct(list_transform(
+          |sh AS (SELECT doc_id, list_distinct(list_filter(list_transform(
           |  range(1, greatest(len(w) - 2, 1) + 1),
-          |  i -> array_to_string(w[i:i+2], ' '))) AS shs FROM ws),
+          |  i -> array_to_string(w[i:i+2], ' ')), s -> length(s) > 0)) AS shs FROM ws),
           |sigs AS (SELECT doc_id, shs,
           |  list_min(list_transform(shs, s -> md5(s || '#0'))) AS sig0,
           |  list_min(list_transform(shs, s -> md5(s || '#1'))) AS sig1,
@@ -791,9 +796,9 @@ object SparkEntry {
         """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
           |ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
           |  t -> length(t) > 0) AS w FROM d),
-          |sh AS (SELECT doc_id, list_distinct(list_transform(
+          |sh AS (SELECT doc_id, list_distinct(list_filter(list_transform(
           |  range(1, greatest(len(w) - 1, 1) + 1),
-          |  i -> array_to_string(w[i:i+1], ' '))) AS shs FROM ws),
+          |  i -> array_to_string(w[i:i+1], ' ')), s -> length(s) > 0)) AS shs FROM ws),
           |p AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
           |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           |          a.sz AS na, b.sz AS nb, count(*) AS inter

@@ -253,16 +253,27 @@ object Dedup {
 
   /** Embedding near-dup: hyperplane-LSH bucket join + exact cosine verify.
     * Multiple independent signature tables raise recall.
-    * Buckets over `maxBucket` rows are dropped (see capBuckets); 0 disables. */
+    * Buckets over `maxBucket` rows are dropped (see capBuckets); 0 disables.
+    *
+    * ONE scan: all nTables signatures computed in a single projection and
+    * exploded into band structs (the Similarity.axisKnnJoin shape) — NOT a
+    * union of nTables filtered scans, which would re-read the table
+    * nTables times at 100 TB. */
   def embeddingNearDup(embs: DataFrame, cosThreshold: Double = 0.95,
                        nTables: Int = 4, bitsPerTable: Int = 12,
                        dim: Int = 64, seed: Long = 42L,
                        maxBucket: Int = 1000): DataFrame = {
-    val tables = capBuckets((0 until nTables).map { t =>
-      val planes = vec.randomPlanes(bitsPerTable, dim, seed + t)
+    val planes = (0 until nTables)
+      .map(t => vec.randomPlanes(bitsPerTable, dim, seed + t))
+    val tables = capBuckets(
       embs.select(col("vec_id"), col("embedding"),
-        lit(t).as("_t"), vec.hyperplane_sig(col("embedding"), planes).as("_sig"))
-    }.reduce(_ unionByName _), Seq("_t", "_sig"), maxBucket)
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"),
+            vec.hyperplane_sig(col("embedding"), planes(t)).as("sig"))): _*))
+          .as("_band"))
+        .select(col("vec_id"), col("embedding"),
+          col("_band.t").as("_t"), col("_band.sig").as("_sig")),
+      Seq("_t", "_sig"), maxBucket)
     val a = tables.select(col("_t"), col("_sig"), col("vec_id").as("a_id"),
       col("embedding").as("_ea"))
     val b = tables.select(col("_t"), col("_sig"), col("vec_id").as("b_id"),

@@ -76,11 +76,13 @@ object ImageTable {
       approx_count_distinct(col("cell")).as("approx_cells"))
 
     val t0 = System.nanoTime()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // repartition on the partition key: one file per (cell, salt) instead
     // of #tasks x #dirs write amplification; the salt dimension already
-    // bounds per-file size for hot cells, so one file per leaf is right
+    // bounds per-file size for hot cells, so one file per leaf is right.
+    // Dynamic overwrite is a PER-WRITE option (not a session-conf mutation,
+    // which would silently leak into every later overwrite on the session)
     observed.repartition(col("p_cell"), col("p_salt")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("p_cell", "p_salt").parquet(path)
     val writeSec = (System.nanoTime() - t0) / 1e9
     val loadMetrics = obs.get.map { case (k, v) =>
@@ -124,7 +126,6 @@ object ImageTable {
    */
   def ingestResume(images: DataFrame, path: String, pRes: Int = DefaultPRes,
                    saltThreshold: Long = 500000): (SnapshotLog.Snapshot, Long) = {
-    val spark = images.sparkSession
     val committedCells = SnapshotLog.latest(path).toSeq
       .flatMap(_.partitions.map(_.partition.split("/")(0).stripPrefix("p_cell=").toLong))
       .toSet
@@ -151,9 +152,9 @@ object ImageTable {
         pmod(xxhash64(col("image_id")), coalesce(col("_nsalt"), lit(1))).cast("int"))
       .drop("_pc", "_nsalt")
     val t0 = System.nanoTime()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     salted.repartition(col("p_cell"), col("p_salt"))
-      .write.mode("overwrite").partitionBy("p_cell", "p_salt").parquet(path)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_cell", "p_salt").parquet(path)
     val writeSec = (System.nanoTime() - t0) / 1e9
     val newLineage = salted.groupBy("p_cell", "p_salt").agg(
         count(lit(1)).as("rows"),

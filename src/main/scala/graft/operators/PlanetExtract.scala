@@ -133,16 +133,23 @@ object PlanetExtract {
     val selWays = t.ways.where(pred)
     // J2 prep + J3: union of selected ways' refs, emit-once
     val wayNodeIds = selWays.select(explode(col("refs")).as("id")).distinct()
-    val selNodes =                                         // J2 equi join
-      if (strictCompat)
-        wayNodeIds.join(t.nodes.select(col("id"), col("cell")), Seq("id"), "left")
-          .withColumn("cell", coalesce(col("cell"), lit(0)))
-      else t.nodes.join(wayNodeIds, "id")
+    val selNodes = selectNodes(t.nodes, wayNodeIds, strictCompat)
     selNodes.select(lit("node").as("kind"), col("id"), col("cell"))
       .unionByName(selWays.select(lit("way").as("kind"), col("id"), col("cell")))
       .unionByName(t.relations.where(pred)
         .select(lit("relation").as("kind"), col("id"), col("cell")))
   }
+
+  /** J2 node fetch for a set of selected way refs — shared by the in-memory
+    * and stored extract paths so strict mode behaves identically on both.
+    * strictCompat: LEFT join + cell-0 phantom for dangling refs (the
+    * reference's zeroed-page read, vex.c:941-944); fixed: inner join. */
+  private def selectNodes(nodes: DataFrame, wayNodeIds: DataFrame,
+                          strictCompat: Boolean): DataFrame =
+    if (strictCompat)
+      wayNodeIds.join(nodes.select(col("id"), col("cell")), Seq("id"), "left")
+        .withColumn("cell", coalesce(col("cell"), lit(0)))
+    else nodes.join(wayNodeIds, "id")
 
   /** WAY_BLOCK_SIZE (vex.c:54): slots per way block — the unit of the
     * reference's LIFO block chains, needed to replicate emission order. */
@@ -275,7 +282,7 @@ object PlanetExtract {
     val pred = bboxPredicateStored(b, pBits, strictCompat)
     val selWays = t.ways.where(pred)
     val wayNodeIds = selWays.select(explode(col("refs")).as("id")).distinct()
-    val selNodes = t.nodes.join(wayNodeIds, "id")
+    val selNodes = selectNodes(t.nodes, wayNodeIds, strictCompat)
     selNodes.select(lit("node").as("kind"), col("id"), col("cell"))
       .unionByName(selWays.select(lit("way").as("kind"), col("id"), col("cell")))
       .unionByName(t.relations.where(pred)

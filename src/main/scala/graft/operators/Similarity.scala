@@ -179,14 +179,25 @@ object Similarity {
 
   /** All-pairs top-k similarity join via LSH buckets (per-query window).
     * Buckets over `maxBucket` rows are dropped (Dedup.capBuckets discipline:
-    * a degenerate bucket is quadratic and carries no ranking signal). */
+    * a degenerate bucket is quadratic and carries no ranking signal).
+    *
+    * ONE scan: all nTables signatures are computed in a single projection
+    * and exploded into band structs (the axisKnnJoin shape) — a
+    * union-of-filtered-scans would re-read the embeddings table nTables
+    * times, which at 100 TB is nTables full passes. */
   def knnJoin(embs: DataFrame, k: Int, nTables: Int = 6, bitsPerTable: Int = 8,
               dim: Int = 64, seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
-    val tables = Dedup.capBuckets((0 until nTables).map { t =>
-      val planes = vec.randomPlanes(bitsPerTable, dim, seed + t)
+    val planes = (0 until nTables)
+      .map(t => vec.randomPlanes(bitsPerTable, dim, seed + t))
+    val tables = Dedup.capBuckets(
       embs.select(col("vec_id"), col("embedding"),
-        lit(t).as("_t"), vec.hyperplane_sig(col("embedding"), planes).as("_sig"))
-    }.reduce(_ unionByName _), Seq("_t", "_sig"), maxBucket)
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"),
+            vec.hyperplane_sig(col("embedding"), planes(t)).as("sig"))): _*))
+          .as("_band"))
+        .select(col("vec_id"), col("embedding"),
+          col("_band.t").as("_t"), col("_band.sig").as("_sig")),
+      Seq("_t", "_sig"), maxBucket)
     val a = tables.select(col("_t"), col("_sig"), col("vec_id").as("a_id"),
       col("embedding").as("_ea"))
     val b = tables.select(col("_t"), col("_sig"), col("vec_id").as("b_id"),

@@ -42,21 +42,38 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "que", "de", "y", "en", "es", "por", "una"),
     "it" -> Seq("il", "la", "che", "di", "e", "un", "per", "non", "sono", "con"))
 
+  private val sortedProfiles: Seq[(String, Seq[String])] = profiles.toSeq.sortBy(_._1)
+
+  /** Argmax over a materialized score array: first max wins, so ties pick
+    * the alphabetically-first language — the same tie rule a left-fold
+    * `when(a.s >= b.s, a)` had. LINEAR expression size: a pairwise when-fold
+    * duplicates the accumulated branch at every step (2^langs replication of
+    * the split/distinct/intersect subtree — the round-2 q_lang_id defect);
+    * this is the array_max/array_position recipe from Similarity.assign. */
+  private def argmaxLang(scores: Column): Column =
+    when(array_max(scores) > 0,
+      element_at(array(sortedProfiles.map(p => lit(p._1)): _*),
+        array_position(scores, array_max(scores)).cast("int")))
+      .otherwise(lit("und"))
+
   /** Per-language stopword hit count over the word array; langid = argmax
-    * with "und" (undetermined) when no profile scores. */
+    * with "und" (undetermined) when no profile scores. Single-Column form;
+    * prefer [[withLangId]], which materializes the word array once. */
   def langId(text: Column): Column = {
-    val words = filter(split(lower(text), "[^\\p{L}]+"), w => length(w) > 0)
-    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
-      struct(size(array_intersect(array_distinct(words),
-        array(stops.map(lit): _*))).as("s"), lit(lang).as("l"))
-    }
-    val best = scored.reduce((a, b) =>
-      when(a.getField("s") >= b.getField("s"), a).otherwise(b))
-    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+    val words = array_distinct(filter(split(lower(text), "[^\\p{L}]+"),
+      w => length(w) > 0))
+    argmaxLang(array(sortedProfiles.map { case (_, stops) =>
+      size(array_intersect(words, array(stops.map(lit): _*))) }: _*))
   }
 
   def withLangId(docs: DataFrame): DataFrame =
-    docs.withColumn("lang_pred", langId(col("text")))
+    docs
+      .withColumn("_words", array_distinct(filter(
+        split(lower(col("text")), "[^\\p{L}]+"), w => length(w) > 0)))
+      .withColumn("_scores", array(sortedProfiles.map { case (_, stops) =>
+        size(array_intersect(col("_words"), array(stops.map(lit): _*))) }: _*))
+      .withColumn("lang_pred", argmaxLang(col("_scores")))
+      .drop("_words", "_scores")
 
   // ---- quality score ---------------------------------------------------------
 

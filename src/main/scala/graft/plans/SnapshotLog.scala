@@ -61,15 +61,18 @@ object SnapshotLog {
     latest(tablePath).map(_.partitions.map(_.partition).toSet).getOrElse(Set.empty)
 
   /** Atomically commit a new snapshot: carries forward parent partitions not
-    * re-written plus the new lineage records. Returns the new snapshot. */
+    * re-written plus the new lineage records. Returns the new snapshot.
+    * @param removed partition specs dropped from the lineage (emptied by a
+    *   delete-heavy merge batch) — neither carried forward nor re-written. */
   def commit(tablePath: String, table: String,
              newPartitions: Seq[PartitionLineage],
-             metrics: Map[String, Double]): Snapshot = {
+             metrics: Map[String, Double],
+             removed: Set[String] = Set.empty): Snapshot = {
     val d = dir(tablePath)
     Files.createDirectories(d)
     val parent = latest(tablePath)
     val parentId = parent.map(_.id).getOrElse(-1L)
-    val newSpecs = newPartitions.map(_.partition).toSet
+    val newSpecs = newPartitions.map(_.partition).toSet ++ removed
     val carried = parent.map(_.partitions.filterNot(p => newSpecs(p.partition)))
       .getOrElse(Seq.empty)
     val snap = Snapshot(parentId + 1, parentId, table,

@@ -118,8 +118,19 @@ object PbfCodec {
     inf.setInput(b)
     val out = new Array[Byte](rawSize)
     var off = 0
-    while (!inf.finished() && off < rawSize) off += inf.inflate(out, off, rawSize - off)
-    inf.end(); out
+    try {
+      while (!inf.finished() && off < rawSize) {
+        val n = inf.inflate(out, off, rawSize - off)
+        // truncated/corrupt zlib: inflate returns 0 with needsInput (or
+        // needsDictionary) set and finished() false — fail instead of
+        // spinning forever on a malformed blob
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new java.io.IOException(
+            s"truncated or corrupt zlib blob: $off of $rawSize bytes inflated")
+        off += n
+      }
+      out
+    } finally inf.end()
   }
 
   // ---- file framing -----------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -82,10 +82,49 @@ object StreamingIngest {
       .start()
   }
 
+  /** Hash-bucket count of the image_id -> p_cell index table (directory
+    * fan-out of `$table/_idx`; 64 buckets bound per-batch index IO to
+    * |diff-ids'-buckets| directories). */
+  val DefaultIdxBuckets = 64
+
+  private def idxPath(tablePath: String) = s"$tablePath/_idx"
+  private def idxBucket(buckets: Int): Column =
+    pmod(xxhash64(col("image_id")), lit(buckets)).cast("int")
+
+  /** Build (or rebuild) the compact image_id -> p_cell index over an
+    * existing store: ONE narrow scan, written Hive-partitioned on a hash
+    * bucket of image_id so per-batch lookups and updates read/rewrite only
+    * the buckets the diffed ids hash into. Underscore-prefixed directory:
+    * invisible to parquet reads of the main table. */
+  def buildCellIndex(spark: SparkSession, tablePath: String,
+                     buckets: Int = DefaultIdxBuckets): Unit =
+    spark.read.parquet(tablePath)
+      // explicit long: Hive partition-column inference would make the
+      // bootstrap's p_cell an int while per-batch updates write long
+      .select(col("image_id"), col("p_cell").cast("long").as("p_cell"))
+      .withColumn("idx_b", idxBucket(buckets))
+      .repartition(col("idx_b"))
+      .write.mode("overwrite").partitionBy("idx_b").parquet(idxPath(tablePath))
+
   /** One micro-batch merge (also callable for batch diff application).
     * A missing `seq` column is treated as all-zero (single-op-per-id
-    * batches then behave as before). */
-  def applyDiffBatch(batch0: DataFrame, tablePath: String, pRes: Int): Unit = {
+    * batches then behave as before).
+    *
+    * Delete/move targeting is resolved from the id -> p_cell INDEX table
+    * (`$table/_idx`, hash-bucketed on image_id): the lookup reads only the
+    * buckets the diffed ids hash into — never the whole store (the round-2
+    * residual full-store semi-join is gone). A store that predates the
+    * index pays ONE bootstrap scan on its first diff batch.
+    *
+    * Snapshot consistency: when the table carries a SnapshotLog (ingested
+    * via ImageTable.ingest), each applied batch PATCHES the lineage —
+    * re-written leaves get fresh lineage records, emptied leaves are
+    * dropped — so readCommitted sees diff-synced cells. Tables written
+    * without a snapshot log stay log-free (a partial first snapshot would
+    * make readCommitted drop every untouched cell as crash debris); read
+    * those with spark.read.parquet. */
+  def applyDiffBatch(batch0: DataFrame, tablePath: String, pRes: Int,
+                     idxBuckets: Int = DefaultIdxBuckets): Unit = {
     if (batch0.isEmpty) return
     val batch = if (batch0.columns.contains("seq")) batch0
                 else batch0.withColumn("seq", lit(0L))
@@ -107,14 +146,27 @@ object StreamingIngest {
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("p_cell="))
     val store = if (hasData) spark.read.parquet(tablePath) else null
     val ids = derived.select(col("image_id")).distinct()
+    // bootstrap the id -> p_cell index for a pre-index store (one scan,
+    // amortized over every later batch). "Present" = has bucket dirs: a
+    // delete-heavy batch can empty the index, leaving a dir that would
+    // fail schema inference
+    val hIdx = new org.apache.hadoop.fs.Path(idxPath(tablePath))
+    def idxHasData = fs.exists(hIdx) && fs.listStatus(hIdx)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("idx_b="))
+    if (store != null && !idxHasData) buildCellIndex(spark, tablePath, idxBuckets)
+    val hasIdx = idxHasData
+    // buckets the diffed ids hash into: driver-small (<= idxBuckets)
+    val idBuckets = ids.select(idxBucket(idxBuckets).as("_ib")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     // affected coarse cells: where upserts land PLUS wherever the current
     // row of any diffed id lives (deletes/moves carry no old coordinates) —
-    // the resolve itself prunes nothing (id lookup), but it is one tiny
-    // semi-join per minute-batch, while everything after touches only the
-    // affected directories
+    // resolved from the INDEX, pruned to the ids' hash buckets, so the
+    // per-batch read is O(|diff|), not O(store)
     val affectedByStore =
       if (store == null) Seq.empty[Long]
-      else store.join(ids, "image_id").select("p_cell").distinct()
+      else spark.read.parquet(idxPath(tablePath))
+        .where(col("idx_b").isin(idBuckets: _*))
+        .join(ids, "image_id").select("p_cell").distinct()
         .collect().map(_.getAs[Number](0).longValue).toSeq
     val affectedByDiff = derived.where(col("op") === "upsert")
       .select("p_cell").distinct()
@@ -154,6 +206,22 @@ object StreamingIngest {
       ).repartition(col("p_cell"), col("p_salt"))  // one file per leaf, not
       .localCheckpoint(true)                       // #tasks x #dirs
 
+    // index merge MATERIALIZED BEFORE the main overwrite (it reads both the
+    // old index and — through the upserts' salt lookup — the old store):
+    // new bucket content = old bucket rows minus diffed ids, plus the
+    // upserts' fresh (image_id, p_cell)
+    val upsertIdx = upserts
+      .select(col("image_id"), col("p_cell").cast("long").as("p_cell"))
+      .withColumn("idx_b", idxBucket(idxBuckets))
+    val idxMerged = (
+      if (!hasIdx) upsertIdx
+      else spark.read.parquet(idxPath(tablePath))
+        .where(col("idx_b").isin(idBuckets: _*))
+        .join(ids, Seq("image_id"), "left_anti")
+        .select(col("image_id"), col("p_cell").cast("long").as("p_cell"), col("idx_b"))
+        .unionByName(upsertIdx)
+      ).repartition(col("idx_b")).localCheckpoint(true)
+
     // dynamic overwrite only rewrites LEAF partitions (p_cell, p_salt)
     // PRESENT in `merged`: any affected leaf whose rows were all deleted
     // or superseded is absent from the output and must be dropped
@@ -164,9 +232,11 @@ object StreamingIngest {
       .collect()
       .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
       .toSet
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy("p_cell", "p_salt")
-      .parquet(tablePath)
+    val t0 = System.nanoTime()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")   // per-write, no session leak
+      .partitionBy("p_cell", "p_salt").parquet(tablePath)
+    val writeSec = (System.nanoTime() - t0) / 1e9
     affected.foreach { cell =>
       val cellDir = new org.apache.hadoop.fs.Path(s"$tablePath/p_cell=$cell")
       if (fs.exists(cellDir)) {
@@ -179,6 +249,49 @@ object StreamingIngest {
         // drop the cell dir itself once no salt buckets remain
         if (fs.listStatus(cellDir).isEmpty) fs.delete(cellDir, true)
       }
+    }
+
+    // ---- index maintenance: rewrite ONLY the ids' hash buckets ---------------
+    // (idxMerged was checkpointed above, before the store files changed);
+    // a bucket whose rows all vanished is deleted explicitly (dynamic
+    // overwrite leaves absent partitions alone)
+    val remainingBuckets = idxMerged.select("idx_b").distinct()
+      .collect().map(_.getInt(0)).toSet
+    idxMerged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("idx_b").parquet(idxPath(tablePath))
+    idBuckets.filterNot(remainingBuckets).foreach { b =>
+      val d = new org.apache.hadoop.fs.Path(s"${idxPath(tablePath)}/idx_b=$b")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+
+    // ---- snapshot lineage patch (only when the table HAS a log) --------------
+    // rewritten leaves get fresh lineage; every parent leaf under an
+    // affected cell that was not rewritten is dropped — readCommitted then
+    // agrees with the on-disk state after the merge. Cost: one aggregate
+    // over the (localCheckpointed) affected partitions, not the table.
+    if (graft.plans.SnapshotLog.latestId(tablePath).isDefined) {
+      val newLineage = merged.groupBy("p_cell", "p_salt").agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("rows"),
+          org.apache.spark.sql.functions.sum(
+            pmod(xxhash64(col("image_id"), col("phash")), lit(1000000007L))).as("checksum"),
+          org.apache.spark.sql.functions.min("image_id").as("min_id"),
+          org.apache.spark.sql.functions.max("image_id").as("max_id"))
+        .collect()
+        .map(r => graft.plans.SnapshotLog.PartitionLineage(
+          s"p_cell=${r.getAs[Number](0).longValue}/p_salt=${r.getAs[Number](1).intValue}",
+          r.getLong(2), r.getLong(3), r.getString(4), r.getString(5), writeSec))
+        .toSeq
+      val affectedSet = affected.toSet
+      val staleSpecs = graft.plans.SnapshotLog.latest(tablePath).toSeq
+        .flatMap(_.partitions.map(_.partition))
+        .filter(p => affectedSet(p.split("/")(0).stripPrefix("p_cell=").toLong))
+        .toSet
+      graft.plans.SnapshotLog.commit(tablePath, "images", newLineage, Map(
+        "diff_batch" -> 1.0,
+        "affected_cells" -> affected.size.toDouble,
+        "rows_written" -> newLineage.map(_.rows).sum.toDouble,
+        "write_sec" -> writeSec), removed = staleSpecs)
     }
   }
 

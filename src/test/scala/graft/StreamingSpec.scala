@@ -265,4 +265,63 @@ class StreamingSpec extends SparkFunSuite {
     val c2 = graft.cells.CellIndex.gridCellOf(20.005, 30.005)
     assert(out == Map(c1 -> 300L, c2 -> 300L))
   }
+
+  test("diffSync keeps the snapshot log and the id->p_cell index consistent: " +
+       "readCommitted sees new cells, the index resolves moves/deletes") {
+    import graft.cells.CellIndex
+    import graft.operators.ImageTable
+    val base = Files.createTempDirectory("graft_diff_snap_").toString
+    val (table, diffs, ckpt) = (s"$base/table", s"$base/diffs", s"$base/ckpt")
+    val rows = Fixtures.localImages(200, withBytes = false)
+    ImageTable.ingest(rows.toDF(), table)   // commits snapshot 0
+    def diffDF(items: Seq[(String, Fixtures.ImageRow)]) =
+      items.zipWithIndex.map { case ((op, r), i) =>
+        (op, i.toLong, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash)
+      }.toDF("op", "seq", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    // upsert into a BRAND-NEW corner cell + delete 10 + move 1
+    val cornerPhash = CellIndex.packCoord(CellIndex.toX(179.9), CellIndex.toY(89.9))
+    val cornerCell = CellIndex.cellId(CellIndex.unpackX(cornerPhash),
+      CellIndex.unpackY(cornerPhash), ImageTable.DefaultPRes)
+    assume(!new java.io.File(s"$table/p_cell=$cornerCell").exists())
+    val moved = rows(11).copy(phash = Fixtures.imageRow(8000L, withBytes = false).phash)
+    diffDF(Seq("upsert" -> rows(0).copy(image_id = "img_c", phash = cornerPhash),
+               "upsert" -> moved) ++
+           (1 to 10).map(i => "delete" -> rows(i)))
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+
+    // snapshot patched: readCommitted == raw read, INCLUDING the new cell
+    // (round-2 residual: the new cell would have been dropped as crash debris)
+    val raw = spark.read.parquet(table)
+    val committed = ImageTable.readCommitted(spark, table)
+    assert(raw.count() == 200 - 10 + 1)
+    assert(committed.count() == raw.count(),
+      "readCommitted disagrees with on-disk state after a diff batch")
+    assert(committed.where(col("p_cell") === cornerCell).count() == 1,
+      "diff-created cell invisible to snapshot readers")
+
+    // index content: upserted ids map to their CURRENT cell, deleted gone
+    val idx = spark.read.parquet(s"$table/_idx")
+    val m = idx.collect().map(r => r.getAs[String]("image_id") ->
+      r.getAs[Long]("p_cell")).toMap
+    assert(m.size == raw.count(), "index cardinality != store cardinality")
+    assert(m("img_c") == cornerCell)
+    assert(m(moved.image_id) == CellIndex.cellId(
+      CellIndex.unpackX(moved.phash), CellIndex.unpackY(moved.phash),
+      ImageTable.DefaultPRes))
+    (1 to 10).foreach(i => assert(!m.contains(rows(i).image_id),
+      "deleted id survived in the index"))
+
+    // second batch: delete the corner row — the index (not a store scan)
+    // must resolve its cell; the emptied cell leaves BOTH disk and lineage
+    diffDF(Seq("delete" -> rows(0).copy(image_id = "img_c", phash = cornerPhash)))
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    assert(!new java.io.File(s"$table/p_cell=$cornerCell").exists())
+    val committed2 = ImageTable.readCommitted(spark, table)
+    assert(committed2.count() == 190)
+    assert(!graft.plans.SnapshotLog.committedPartitions(table)
+      .exists(_.startsWith(s"p_cell=$cornerCell/")),
+      "emptied cell still in the committed lineage")
+  }
 }
