@@ -440,6 +440,95 @@ object SparkEntry {
     }),
     "q_image_extract" -> ((s, dir) => {     // rows-only flagship pipeline
       entry(s)
+    }),
+    "q_image_neardup" -> ((s, dir) => {     // rows-only (pHash of image bytes
+      // is not SQL-able — sibling justification like q_raster_decode).
+      // 120 broad-spectrum images + JPEG re-encodes of the first 30: the
+      // planted (img_i, re_i) pairs land within Hamming<=6 of the 32x32 DCT
+      // pHash; everything is deterministic, so the row set is stable.
+      import s.implicits._
+      val base = (0 until 120).map(i =>
+        (f"img_$i%04d", Fixtures.makeTexturedPng(i.toLong)))
+      val res = (0 until 30).map(i =>
+        (f"re_$i%04d", Raster.reencodeJpeg(Fixtures.makeTexturedPng(i.toLong), 0.9f)))
+      Raster.imageNearDup((base ++ res).toDF("image_id", "bytes"), maxHamming = 6)
+        .select("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
+    // ---- PBF round trip (S1/S5 end-to-end: encode -> splittable decode) --------
+    "q_pbf_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val nodesRaw = eventPoints(s, dir)
+        .select((col("event_id") + 1).as("id"), col("lon"), col("lat"))
+      val emptyTags = typedLit(Map.empty[String, String])
+      val nodesT = nodesRaw.withColumn("tags", emptyTags).as[Fixtures.NodeRow]
+      val waysT = nodesRaw.where(pmod(col("id"), lit(5)) === 0)
+        .select((col("id") / 5).cast("long").as("id"),
+                sequence(col("id") - 4, col("id")).as("refs"),
+                emptyTags.as("tags")).as[Fixtures.WayRow]
+      val relsT = nodesRaw.where(pmod(col("id"), lit(7)) === 0)
+        .select((col("id") / 7).cast("long").as("id"),
+          array(
+            struct(lit("outer").as("role"), lit(0).cast("byte").as("mtype"),
+                   (col("id") - 6).as("ref")),
+            struct(lit("inner").as("role"), lit(0).cast("byte").as("mtype"),
+                   (col("id") - 3).as("ref"))).as("members"),
+          emptyTags.as("tags")).as[Fixtures.RelationRow]
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pbf_gate_")
+      graft.sources.PbfSource.writePlanet(
+        nodesT.repartition(8), waysT.repartition(4), relsT.repartition(2),
+        tmp.toString)
+      // concatenate the kind-ordered parts into ONE file and read it back
+      // through the splittable path (frame index + range-partitioned decode)
+      val one = tmp.resolve("planet_concat.osm")
+      val os = java.nio.file.Files.newOutputStream(one)
+      try new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".pbf")).sortBy(_.getName)
+        .foreach(p => os.write(java.nio.file.Files.readAllBytes(p.toPath)))
+      finally os.close()
+      val (n, w, r) = graft.sources.PbfSource.readPlanetSplit(s, one.toString,
+        parallelism = 8)
+      // order-insensitive content digests the oracle recomputes from the
+      // same derived-planet SQL (md5 -> 15-hex-digit int -> modular sum;
+      // coords via ROUND(x*100): source values have 2 decimals, PBF
+      // round-trip error is ~1e-7 deg, so both engines round identically)
+      def dig(sCol: Column) = sum(pmod(
+        conv(substring(md5(sCol), 1, 15), 16, 10).cast("long"),
+        lit(1000000007L))).as("digest")
+      val nd = n.select(concat_ws(",", col("id"),
+        round(col("lon") * 100).cast("long"),
+        round(col("lat") * 100).cast("long")).as("s"))
+        .agg(count(lit(1)).as("n"), dig(col("s")))
+        .select(lit("node").as("kind"), col("n"), col("digest"))
+      val wd = w.select(concat_ws(":", col("id"),
+        concat_ws("-", transform(col("refs"), x => x.cast("string")))).as("s"))
+        .agg(count(lit(1)).as("n"), dig(col("s")))
+        .select(lit("way").as("kind"), col("n"), col("digest"))
+      val rd = r.select(concat_ws(":", col("id"),
+        concat_ws(";", transform(col("members"), m => concat_ws(",",
+          m.getField("role"), m.getField("mtype").cast("string"),
+          m.getField("ref"))))).as("s"))
+        .agg(count(lit(1)).as("n"), dig(col("s")))
+        .select(lit("relation").as("kind"), col("n"), col("digest"))
+      nd.unionByName(wd).unionByName(rd).orderBy("kind")
+    }),
+    // ---- golden emission order (O1: the reference's exact output sequence) -----
+    "q_golden_order" -> ((s, dir) => {
+      val t = derivedPlanet(s, dir)
+      PlanetExtract.bboxOrdered(t, qBox)
+        .select(col("kind"), col("id"), col("cell").cast("long").as("cell"),
+                col("emit_seq").cast("long").as("emit_seq"))
+        .orderBy("emit_seq")
+    }),
+    "q_embed_ivf_portable" -> ((s, dir) => { // IVF probe, oracle-checked: the
+      // portable build (md5-ordered init centroids, no Lloyd step) makes
+      // the whole index+probe SQL-replicable; the Lloyd-iterated fast path
+      // is the rows-only q_embed_ivf
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val (assigned, centroids) = Similarity.ivfBuildPortable(e, nLists = 16)
+      Similarity.ivfTopK(assigned, centroids, q, 10, nprobe = 4)
+        .select(col("vec_id"))
     })
   )
 
@@ -844,7 +933,98 @@ object SparkEntry {
            |FROM selnodes s JOIN cells c ON c.id = s.ref
            |UNION ALL SELECT 'way', wid, cell FROM selways
            |UNION ALL SELECT 'relation', rid, cell FROM selrels
-           |ORDER BY kind, id""".stripMargin
+           |ORDER BY kind, id""".stripMargin,
+      // PBF round trip: the oracle recomputes the per-kind counts and
+      // content digests from the SAME derived-planet SQL — any wire-codec
+      // bug (delta/zigzag/varint/string-table/quantization) flips a digest.
+      // Digest = sum of md5-15-hex-digit ints mod 1e9+7 (the q_simhash
+      // int-parse recipe); coords digested as ROUND(x*100) — source values
+      // have 2 decimals, PBF granularity error ~1e-7, so both engines
+      // round to the same integer.
+      "q_pbf_roundtrip" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |nodes AS (SELECT event_id + 1 AS id, lon, lat FROM pts),
+           |nh AS (SELECT CAST('0x' || substr(md5(
+           |    CAST(id AS VARCHAR) || ',' ||
+           |    CAST(CAST(ROUND(lon * 100) AS BIGINT) AS VARCHAR) || ',' ||
+           |    CAST(CAST(ROUND(lat * 100) AS BIGINT) AS VARCHAR)), 1, 15) AS BIGINT)
+           |    % 1000000007 AS h FROM nodes),
+           |ways AS (SELECT id // 5 AS wid, id AS last_id FROM nodes WHERE id % 5 = 0),
+           |wh AS (SELECT CAST('0x' || substr(md5(
+           |    CAST(wid AS VARCHAR) || ':' ||
+           |    array_to_string(generate_series(last_id - 4, last_id), '-')), 1, 15) AS BIGINT)
+           |    % 1000000007 AS h FROM ways),
+           |rels AS (SELECT id // 7 AS rid, id - 6 AS r1, id - 3 AS r2
+           |         FROM nodes WHERE id % 7 = 0),
+           |rh AS (SELECT CAST('0x' || substr(md5(
+           |    CAST(rid AS VARCHAR) || ':outer,0,' || CAST(r1 AS VARCHAR) ||
+           |    ';inner,0,' || CAST(r2 AS VARCHAR)), 1, 15) AS BIGINT)
+           |    % 1000000007 AS h FROM rels)
+           |SELECT 'node' AS kind, count(*) AS n, CAST(sum(h) AS BIGINT) AS digest FROM nh
+           |UNION ALL SELECT 'way', count(*), CAST(sum(h) AS BIGINT) FROM wh
+           |UNION ALL SELECT 'relation', count(*), CAST(sum(h) AS BIGINT) FROM rh
+           |ORDER BY kind""".stripMargin,
+      // golden emission order: stage (node<way<relation) x cell-major
+      // (xbin, ybin) x 32-slot LIFO way blocks x first-occurrence nodes x
+      // LIFO relations — pure window arithmetic over the derived planet
+      "q_golden_order" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |nodes AS (SELECT event_id + 1 AS id, lon, lat,
+           |  $xbinSql AS xbin, $ybinSql AS ybin FROM pts),
+           |cells AS (SELECT id, xbin * 16384 + ybin AS cell, xbin, ybin FROM nodes),
+           |selways AS (SELECT last.id // 5 AS wid, fn.cell, fn.xbin, fn.ybin,
+           |              last.id AS last_id
+           |            FROM nodes last JOIN cells fn ON fn.id = last.id - 4
+           |            WHERE last.id % 5 = 0 AND (${rectSqlOn("fn.")})),
+           |wslot AS (SELECT wid, cell, xbin, ybin, last_id,
+           |            row_number() OVER (PARTITION BY cell ORDER BY wid) - 1 AS slot
+           |          FROM selways),
+           |wrank AS (SELECT wid, cell, last_id,
+           |            row_number() OVER (ORDER BY xbin, ybin,
+           |              (slot // 32) DESC, slot) AS wr
+           |          FROM wslot),
+           |occ AS (SELECT wr, p AS pos, last_id - 4 + p AS node_id
+           |        FROM wrank, (SELECT unnest(range(0, 5)) AS p)),
+           |firstocc AS (SELECT node_id, min(wr * 8 + pos) AS mk FROM occ
+           |             GROUP BY node_id),
+           |noderows AS (SELECT 0 AS stage, 'node' AS kind, f.node_id AS id,
+           |               c.cell, f.mk // 8 AS k1, f.mk % 8 AS k2
+           |             FROM firstocc f JOIN cells c ON c.id = f.node_id),
+           |wayrows AS (SELECT 1 AS stage, 'way' AS kind, wid AS id, cell,
+           |              wr AS k1, 0 AS k2 FROM wrank),
+           |selrels AS (SELECT n.id // 7 AS rid, a.cell
+           |            FROM nodes n JOIN cells a ON a.id = n.id - 6
+           |            WHERE n.id % 7 = 0 AND (${rectSqlOn("a.")})),
+           |relrows AS (SELECT 2 AS stage, 'relation' AS kind, rid AS id, cell,
+           |              cell AS k1, -rid AS k2 FROM selrels),
+           |allrows AS (SELECT * FROM noderows UNION ALL SELECT * FROM wayrows
+           |            UNION ALL SELECT * FROM relrows)
+           |SELECT kind, id, CAST(cell AS BIGINT) AS cell,
+           |  row_number() OVER (ORDER BY stage, k1, k2) AS emit_seq
+           |FROM allrows ORDER BY emit_seq""".stripMargin,
+      // portable IVF: centroids = first 16 rows in md5(vec_id) order (no
+      // float math in the selection), assignment = per-row argmax cosine
+      // (ties -> lowest centroid id, matching Spark's first-max
+      // array_position), probe = top-4 lists by centroid-query cosine
+      "q_embed_ivf_portable" ->
+        """WITH ordered AS (SELECT vec_id, embedding FROM embeddings
+          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+          |cents AS (SELECT row_number() OVER
+          |    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+          |    embedding AS cv FROM ordered),
+          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          |scored AS (SELECT e.vec_id, e.embedding, c.cid,
+          |    list_cosine_similarity(e.embedding, c.cv) AS cs
+          |  FROM embeddings e CROSS JOIN cents c),
+          |assign AS (SELECT vec_id, embedding, cid FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY cs DESC, cid) AS rn FROM scored) WHERE rn = 1),
+          |probes AS (SELECT c.cid FROM cents c, q
+          |  ORDER BY list_cosine_similarity(c.cv, qv) DESC, c.cid LIMIT 4)
+          |SELECT vec_id FROM assign, q
+          |WHERE cid IN (SELECT cid FROM probes)
+          |ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+          |LIMIT 10""".stripMargin
     )
     // storage-path twins: identical result sets through the partitioned
     // write -> directory-pruned read round trip, so the oracle SQL is

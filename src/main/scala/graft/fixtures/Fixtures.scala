@@ -109,6 +109,30 @@ object Fixtures {
     bos.toByteArray
   }
 
+  /** Deterministic BROAD-SPECTRUM image: a random-sign 9x9 low-frequency
+    * DCT coefficient field rendered to pixels. pHash thresholds DCT
+    * coefficients at their median — the "few bits move under re-encode"
+    * contract needs every hashed coefficient well above codec noise (the
+    * 1/f spectrum natural photos have); gradients/noise PNGs don't provide
+    * that. Used by the image near-dup gate and RasterSpec. */
+  def makeTexturedPng(id: Long, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val rnd = new scala.util.Random(id * 1013904223L + 12345)
+    val amp = Array.tabulate(9, 9)((u, v) =>
+      (if (rnd.nextBoolean()) 1 else -1) * 60.0 / (1 + u + v))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      var s = 0.0
+      for (u <- 0 until 9; v <- 0 until 9 if u != 0 || v != 0)
+        s += amp(u)(v) * math.cos((2 * x + 1) * u * math.Pi / (2.0 * w)) *
+          math.cos((2 * y + 1) * v * math.Pi / (2.0 * h))
+      val c = math.max(0, math.min(255, 128 + s.toInt))
+      img.setRGB(x, y, (c << 16) | (c << 8) | c)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** One image row; pure function of (id, seed, withBytes). */
   def imageRow(id: Long, seed: Long = DefaultSeed, withBytes: Boolean = true,
                centers: Array[(Double, Double)] = null): ImageRow = {

@@ -104,6 +104,21 @@ object Similarity {
     (assign(embs, centroids), centroids)
   }
 
+  /** PORTABLE IVF build: centroids = the nLists rows FIRST in md5(vec_id)
+    * order (replicable in any engine with md5 — no float arithmetic in the
+    * selection), NO Lloyd iterations. The probe over this index is then
+    * fully expressible in ANSI SQL (centroids are literal table rows, the
+    * assignment is an argmax of cosines both engines compute in double) —
+    * the oracle-checkable twin of [[ivfBuild]], same plan shape. */
+  def ivfBuildPortable(embs: DataFrame, nLists: Int)
+      : (DataFrame, Array[Array[Float]]) = {
+    val centroids = embs.select(col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nLists).collect()
+      .map(_.getSeq[Float](0).toArray)
+    (assign(embs, centroids), centroids)
+  }
+
   private def assign(embs: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     // argmax over per-centroid cosine columns (static unroll, codegen'd).
     // LINEAR-size expression: array_max + first-match position. A pairwise

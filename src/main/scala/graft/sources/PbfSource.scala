@@ -86,7 +86,12 @@ object PbfSource {
    * decodes only its frames — the blob is the natural split unit (each
    * PrimitiveBlock is independently parsable by design, osmformat.proto).
    */
+  /** Driver header-scan counter (test observability: readPlanetSplit must
+    * index the file exactly once for all three kinds). */
+  private[graft] val indexPasses = new java.util.concurrent.atomic.AtomicLong(0)
+
   def indexBlobs(spark: SparkSession, file: String): Seq[BlobFrame] = {
+    indexPasses.incrementAndGet()
     val p = new org.apache.hadoop.fs.Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val size = fs.getFileStatus(p).getLen
@@ -128,11 +133,13 @@ object PbfSource {
    */
   def decodeFileSplit(spark: SparkSession, file: String,
                       want: PbfCodec.Wanted,
-                      parallelism: Int = 0): Dataset[(Seq[NodeRow], Seq[WayRow], Seq[RelationRow])] = {
+                      parallelism: Int = 0,
+                      preIndexed: Seq[BlobFrame] = null): Dataset[(Seq[NodeRow], Seq[WayRow], Seq[RelationRow])] = {
     import spark.implicits._
     val slices = if (parallelism > 0) parallelism
                  else spark.sparkContext.defaultParallelism
-    val frames = indexBlobs(spark, file).filter(_.blobType == "OSMData")
+    val frames = (if (preIndexed != null) preIndexed
+                  else indexBlobs(spark, file)).filter(_.blobType == "OSMData")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     spark.createDataset(frames.map(f => (f.start, f.len)))
@@ -158,17 +165,24 @@ object PbfSource {
       }
   }
 
-  /** Splittable planet read over one file (or several — frames union). */
+  /** Splittable planet read over one file: ONE driver index pass and ONE
+    * decode pass shared by all three entity kinds. The decoded triple is
+    * persisted (memory, spill to disk) so the three DataFrames' jobs read
+    * the cached partitions instead of re-inflating the whole file per kind
+    * — at planet scale the alternative is 3 full zlib passes. Caller may
+    * unpersist via the returned frames' Dataset lineage once all three
+    * tables are consumed or (better) written to parquet. */
   def readPlanetSplit(spark: SparkSession, file: String, parallelism: Int = 0)
       : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    def part(want: PbfCodec.Wanted) = decodeFileSplit(spark, file, want, parallelism)
-    (part(PbfCodec.Wanted(nodes = true, ways = false, relations = false))
-       .flatMap(_._1).toDF(),
-     part(PbfCodec.Wanted(nodes = false, ways = true, relations = false))
-       .flatMap(_._2).toDF(),
-     part(PbfCodec.Wanted(nodes = false, ways = false, relations = true))
-       .flatMap(_._3).toDF())
+    val idx = indexBlobs(spark, file)   // the ONLY header-scan of the file
+    val decoded = decodeFileSplit(spark, file,
+        PbfCodec.Wanted(nodes = true, ways = true, relations = true),
+        parallelism, preIndexed = idx)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (decoded.flatMap(_._1).toDF(),
+     decoded.flatMap(_._2).toDF(),
+     decoded.flatMap(_._3).toDF())
   }
 
   /** S5 sink: write typed entity Datasets as PBF part files. Part names

@@ -177,9 +177,12 @@ class PbfSourceSpec extends SparkFunSuite {
     val manyFrames = PbfSource.indexBlobs(spark, s"$manyDir/planet.pbf")
     assert(manyFrames.count(_.blobType == "OSMData") >= 14)   // 12+4+1 blocks
 
+    val passesBefore = PbfSource.indexPasses.get()
     val (n, w, r) = PbfSource.readPlanetSplit(spark, s"$manyDir/planet.pbf",
       parallelism = 4)
     assert(n.count() == planet.nodes.size)
+    assert(PbfSource.indexPasses.get() - passesBefore == 1,
+      "readPlanetSplit must index the file exactly ONCE for all three kinds")
     assert(w.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       planet.ways.map(_.id))
     assert(r.count() == planet.relations.size)
