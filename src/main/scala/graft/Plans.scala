@@ -79,6 +79,42 @@ object Plans {
         import spark.implicits._
         fmt(table.where(col("p_cell").isin(pCells: _*))
           .join(broadcast(cand.toDF("qid", "qlon", "qlat", "cell")), "cell"))
+      },
+      "random-plane LSH knn join (expect ONE source scan per self-join side " +
+        "— all 6 table signatures in a single projection, exploded to band " +
+        "structs; was nTables scans per side via union. At scale the two " +
+        "sides' identical (_t,_sig) exchanges dedupe via ReuseExchange; " +
+        "here AQE broadcasts the small side instead)" -> {
+        val embs = spark.range(20000).selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
+        fmt(Similarity.knnJoin(embs, k = 5, nTables = 6, bitsPerTable = 8))
+      },
+      "embedding near-dup join (same single-scan banded explode shape: one " +
+        "source scan per self-join side, was nTables per side)" -> {
+        val embs = spark.range(20000).selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
+        fmt(Dedup.embeddingNearDup(embs, cosThreshold = 0.8))
+      },
+      "diffSync delete-target resolve (expect PartitionFilters on idx_b — " +
+        "the id->p_cell INDEX lookup reads only the diffed ids' hash " +
+        "buckets; the store itself is never scanned to find victims)" -> {
+        import spark.implicits._
+        graft.streaming.StreamingIngest.buildCellIndex(spark, s"$dir/images")
+        val ids = Seq("img_000000000007", "img_000000000011")
+          .toDF("image_id")
+        val idx = spark.read.parquet(s"$dir/images/_idx")
+        val bs = ids.select(pmod(xxhash64(col("image_id")),
+          lit(graft.streaming.StreamingIngest.DefaultIdxBuckets)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        fmt(idx.where(col("idx_b").isin(bs: _*)).join(ids, "image_id")
+          .select("p_cell").distinct())
+      },
+      "language id (linear argmax: ONE word-array materialization, 5 score " +
+        "columns, array_max/array_position — not the exponential when-fold)" -> {
+        import spark.implicits._
+        val docs = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"))
+          .toDF("doc_id", "text")
+        fmt(TextOps.withLangId(docs).select("doc_id", "lang_pred"))
       })
 
     val md = new StringBuilder("# PLANS — physical-plan evidence\n\n")
@@ -86,7 +122,7 @@ object Plans {
     sections.foreach { case (title, plan) =>
       md.append(s"\n## $title\n\n```\n$plan```\n")
     }
-    val pw = new PrintWriter(new File("/root/repo/PLANS.md"))
+    val pw = new PrintWriter(new File("/root/repo/PLANS.md"), "UTF-8")
     pw.write(md.toString); pw.close()
     System.err.println("[plans] wrote PLANS.md")
     spark.stop()

@@ -11,7 +11,7 @@ import graft.cells.CellIndex
  * window (the kNN shape the design derives from the reference's grid,
  * SURVEY.md §2.3 last row / §7.6).
  *
- * Rounds r ∈ {1,4,16}: per-query disk(r) cells become a broadcast literal
+ * Rounds r ∈ {1,4,16,64}: per-query disk(r) cells become a broadcast literal
  * table equi-joined on `cell`, and — when the table carries the coarse
  * partition column `p_cell` — a literal `p_cell IN (...)` predicate derived
  * from the same disk cells makes the probe a directory-PRUNED scan
@@ -79,7 +79,12 @@ object Knn {
       df.collect().foreach(r => resolvedRows +=
         ((r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))))
 
-    for (r <- Seq(1, 4, 16) if unresolved.nonEmpty) {
+    // the r=64 round (disk = 129^2 = ~16.6k cells/query, still a broadcast
+    // literal + pruned scan) exists to keep genuinely sparse queries OFF the
+    // exact full-scan fallback: a query that is unresolved past r=64 has no
+    // neighbor within ~64 cell extents, which on any real dataset is a
+    // handful of queries, so the remaining fallback is a bounded rarity
+    for (r <- Seq(1, 4, 16, 64) if unresolved.nonEmpty) {
       val diskCells = unresolved.map { q =>
         q -> CellIndex.disk(CellIndex.xBin(q.lon), CellIndex.yBin(q.lat), r)
       }
