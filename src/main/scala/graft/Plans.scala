@@ -109,6 +109,18 @@ object Plans {
         fmt(idx.where(col("idx_b").isin(bs: _*)).join(ids, "image_id")
           .select("p_cell").distinct())
       },
+      "stored IVF index probe (expect PartitionFilters on list_id: the " +
+        "nprobe nearest lists are literal directories, the inverted-file " +
+        "read shape at 100 TB)" -> {
+        val embs = spark.range(20000).selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
+        val (assigned, cents) = Similarity.ivfBuildPortable(embs, nLists = 16)
+        val ivfDir = s"$dir/ivf_index"
+        Similarity.writeIvfIndex(assigned, cents, ivfDir)
+        val (stored, cents2) = Similarity.readIvfIndex(spark, ivfDir)
+        val q = Array.tabulate(64)(i => math.sin(7.0 * (i + 1)).toFloat)
+        fmt(Similarity.ivfTopK(stored, cents2, q, 10, nprobe = 4))
+      },
       "language id (linear argmax: ONE word-array materialization, 5 score " +
         "columns, array_max/array_position — not the exponential when-fold)" -> {
         import spark.implicits._

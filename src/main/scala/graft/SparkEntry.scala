@@ -446,12 +446,15 @@ object SparkEntry {
       // 120 broad-spectrum images + JPEG re-encodes of the first 30: the
       // planted (img_i, re_i) pairs land within Hamming<=6 of the 32x32 DCT
       // pHash; everything is deterministic, so the row set is stable.
+      // Fixture synthesis is distributed (range -> mapPartitions): each
+      // textured image costs ~25M cos() ops, driver-serial would dominate.
       import s.implicits._
-      val base = (0 until 120).map(i =>
-        (f"img_$i%04d", Fixtures.makeTexturedPng(i.toLong)))
-      val res = (0 until 30).map(i =>
-        (f"re_$i%04d", Raster.reencodeJpeg(Fixtures.makeTexturedPng(i.toLong), 0.9f)))
-      Raster.imageNearDup((base ++ res).toDF("image_id", "bytes"), maxHamming = 6)
+      val df = s.range(150).mapPartitions(_.map { i =>
+        if (i < 120) (f"img_$i%04d", Fixtures.makeTexturedPng(i))
+        else { val j = i - 120
+               (f"re_$j%04d", Raster.reencodeJpeg(Fixtures.makeTexturedPng(j), 0.9f)) }
+      }).toDF("image_id", "bytes")
+      Raster.imageNearDup(df, maxHamming = 6)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
     // ---- PBF round trip (S1/S5 end-to-end: encode -> splittable decode) --------

@@ -134,8 +134,59 @@ object Similarity {
       .drop(centroids.indices.map(i => s"_c$i"): _*)
   }
 
+  /** Persist an IVF index Hive-partitioned on `list_id`: a probe over the
+    * read-back table carries a literal `list_id IN (...)` predicate, so it
+    * reads ONLY the nprobe list directories (PartitionFilters in the plan)
+    * — the storage analogue of an inverted file, and the layout that makes
+    * ivfTopK a pruned scan at 100 TB instead of a full pass. Centroids ride
+    * along as a tiny JSON sidecar (nLists x dim floats, driver-small). */
+  def writeIvfIndex(assigned: DataFrame, centroids: Array[Array[Float]],
+                    path: String): Unit = {
+    // one file per list directory, not #tasks x #lists
+    assigned.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
+    val fs = p.getFileSystem(
+      assigned.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Read back a stored IVF index: (assigned rows, centroids). The
+    * underscore-prefixed sidecar is invisible to the parquet scan. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Array[Array[Float]]) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8")
+    } finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val centroids = JsonMethods.parse(json) match {
+      case JArray(lists) => lists.map {
+        case JArray(vs) => vs.map {
+          case JDouble(d) => d.toFloat
+          case JInt(i) => i.toFloat
+          case v => throw new IllegalArgumentException(s"bad centroid value $v")
+        }.toArray
+        case v => throw new IllegalArgumentException(s"bad centroid list $v")
+      }.toArray
+      case v => throw new IllegalArgumentException(s"bad centroid json $v")
+    }
+    (spark.read.parquet(path), centroids)
+  }
+
   /** IVF probe: rank lists by centroid similarity, scan only the top
-    * `nprobe` lists, exact re-rank within them. */
+    * `nprobe` lists, exact re-rank within them. Over a table read from
+    * [[writeIvfIndex]] the literal isin on the partition column `list_id`
+    * becomes PartitionFilters — a directory-pruned scan. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Float]],
               query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     def cos(a: Array[Float], b: Array[Float]): Double = {

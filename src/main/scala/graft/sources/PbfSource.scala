@@ -24,8 +24,8 @@ import graft.fixtures.Fixtures.{NodeRow, RelationRow, WayRow}
  *
  * Write path: one valid .pbf part file per partition, kind-segregated and
  * named so lexicographic part order preserves the nodes -> ways ->
- * relations stream invariant across concatenation. Local-FS API here
- * (sandbox); a real deployment swaps in the Hadoop FileSystem API.
+ * relations stream invariant across concatenation. Hadoop FileSystem API:
+ * the sink works against HDFS/object-store paths the same as local ones.
  */
 object PbfSource {
 
@@ -190,7 +190,9 @@ object PbfSource {
     * concatenation yields a stream honoring the PBF ordering invariant. */
   def writePlanet(nodes: Dataset[NodeRow], ways: Dataset[WayRow],
                   rels: Dataset[RelationRow], dir: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    val dPath = new org.apache.hadoop.fs.Path(dir)
+    dPath.getFileSystem(nodes.sparkSession.sparkContext.hadoopConfiguration)
+      .mkdirs(dPath)
     writeParts(nodes, dir, 0, "nodes") { (os, rows) =>
       PbfCodec.writePbfFile(os, rows, Seq.empty, Seq.empty) }
     writeParts(ways, dir, 1, "ways") { (os, rows) =>
@@ -200,17 +202,23 @@ object PbfSource {
   }
 
   /** One part file per partition; the task buffers its partition (bounded
-    * by the upstream partitioning — size partitions like any file sink). */
+    * by the upstream partitioning — size partitions like any file sink).
+    * Hadoop FS create from the TASK: executors write directly to the
+    * target filesystem, no driver funnel. */
   private def writeParts[T](ds: Dataset[T], dir: String, ordinal: Int,
                             kind: String)(
       encode: (java.io.OutputStream, Seq[T]) => Unit): Unit = {
     import org.apache.spark.TaskContext
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      ds.sparkSession.sparkContext.hadoopConfiguration)
     ds.toDF().sparkSession.sparkContext.runJob(ds.rdd, (it: Iterator[T]) => {
       val rows = it.toSeq
       if (rows.nonEmpty) {
         val pid = TaskContext.getPartitionId()
-        val f = Paths.get(dir, f"part-$ordinal-$kind-$pid%05d.pbf")
-        val os = Files.newOutputStream(f)
+        val f = new org.apache.hadoop.fs.Path(dir, f"part-$ordinal-$kind-$pid%05d.pbf")
+        val fs = f.getFileSystem(conf.value)
+        fs.setWriteChecksum(false)   // no .crc sidecars next to .pbf parts
+        val os = fs.create(f, true)
         try encode(os, rows) finally os.close()
       }
     })

@@ -194,6 +194,37 @@ class PbfSourceSpec extends SparkFunSuite {
     assert(whole == split)
   }
 
+  test("truncated zlib blob fails fast with an IOException (no infinite " +
+       "inflate loop)") {
+    def varint(v0: Long): Array[Byte] = {
+      var v = v0
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ((v & ~0x7FL) != 0) { out += ((v & 0x7F) | 0x80).toByte; v >>>= 7 }
+      out += v.toByte
+      out.toArray
+    }
+    // deflate 1000 bytes, keep only the first half: inflate will stall
+    // with needsInput() at some offset < rawSize
+    val payload = Array.tabulate(1000)(i => (i * 37 % 251).toByte)
+    val d = new java.util.zip.Deflater()
+    d.setInput(payload); d.finish()
+    val buf = new Array[Byte](4096)
+    val n = d.deflate(buf); d.end()
+    val trunc = buf.take(n / 2)
+    val blob = Array[Byte](0x10) ++ varint(1000) ++            // raw_size
+      Array[Byte](0x1A) ++ varint(trunc.length) ++ trunc       // zlib_data
+    val hdrName = "OSMData".getBytes("UTF-8")
+    val header = Array[Byte](0x0A) ++ varint(hdrName.length) ++ hdrName ++
+      Array[Byte](0x18) ++ varint(blob.length)                 // datasize
+    val file = Array[Byte](
+      (header.length >>> 24).toByte, (header.length >>> 16).toByte,
+      (header.length >>> 8).toByte, header.length.toByte) ++ header ++ blob
+    val ex = intercept[java.io.IOException] {
+      graft.sources.PbfCodec.frames(file).next()
+    }
+    assert(ex.getMessage.contains("truncated or corrupt"))
+  }
+
   test("distributed PBF sink: part files re-read to the same row set") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft_pbf_out_").toString

@@ -231,6 +231,28 @@ class PipelineOpsSpec extends SparkFunSuite {
     cached.unpersist()
   }
 
+  test("stored IVF index: write/read round-trips centroids + assignment; " +
+       "probe over the stored table is directory-pruned and result-identical") {
+    val (assigned, centroids) = Similarity.ivfBuildPortable(embs, nLists = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    Similarity.writeIvfIndex(assigned, centroids, dir)
+    val (stored, cents2) = Similarity.readIvfIndex(spark, dir)
+    assert(cents2.length == centroids.length)
+    centroids.indices.foreach(i =>
+      assert(java.util.Arrays.equals(cents2(i), centroids(i)), s"centroid $i"))
+    val q = randVec(424242)
+    val mem = Similarity.ivfTopK(assigned, centroids, q, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val onDisk = Similarity.ivfTopK(stored, cents2, q, 10, nprobe = 4)
+    assert(onDisk.collect().map(_.getLong(0)).toSeq == mem,
+      "stored-index probe diverged from the in-memory probe")
+    // the probe's literal list_id isin must reach the scan as a partition
+    // filter: only the nprobe list directories are read
+    val plan = onDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"stored IVF probe is not directory-pruned:\n$plan")
+  }
+
   test("axisTopK (oracle-checkable probe): finds self and planted partner; recall vs brute") {
     val q = vecRows.find(_._1 == 3L).get._2
     val brute = Similarity.bruteForceTopK(embs, q, 10).collect().map(_.getLong(0)).toSet
