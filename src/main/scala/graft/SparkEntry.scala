@@ -514,6 +514,13 @@ object SparkEntry {
         .select(lit("relation").as("kind"), col("n"), col("digest"))
       nd.unionByName(wd).unionByName(rd).orderBy("kind")
     }),
+    "q_relation_closure" -> ((s, dir) => { // Q3 fix: one-level member closure —
+      // selected relations' node members are fetched and unioned in
+      val t = derivedPlanet(s, dir)
+      PlanetExtract.bboxWithRelationClosure(t, qBox)
+        .select(col("kind"), col("id"), col("cell").cast("long").as("cell"))
+        .orderBy("kind", "id")
+    }),
     // ---- golden emission order (O1: the reference's exact output sequence) -----
     "q_golden_order" -> ((s, dir) => {
       val t = derivedPlanet(s, dir)
@@ -936,6 +943,34 @@ object SparkEntry {
            |FROM selnodes s JOIN cells c ON c.id = s.ref
            |UNION ALL SELECT 'way', wid, cell FROM selways
            |UNION ALL SELECT 'relation', rid, cell FROM selrels
+           |ORDER BY kind, id""".stripMargin,
+      // relation closure (Q3 fix): base extract + the selected relations'
+      // node members (the derived planet's relations carry exactly two node
+      // members, id-6 and id-3), each emitted once
+      "q_relation_closure" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |nodes AS (SELECT event_id + 1 AS id, lon, lat,
+           |  $xbinSql AS xbin, $ybinSql AS ybin FROM pts),
+           |cells AS (SELECT id, xbin * 16384 + ybin AS cell, xbin, ybin FROM nodes),
+           |selways AS (SELECT last.id // 5 AS wid, fn.cell, last.id AS last_id
+           |            FROM nodes last JOIN cells fn ON fn.id = last.id - 4
+           |            WHERE last.id % 5 = 0 AND (${rectSqlOn("fn.")})),
+           |selnodes AS (SELECT DISTINCT r.ref FROM
+           |  (SELECT unnest(generate_series(last_id - 4, last_id)) AS ref
+           |   FROM selways) r),
+           |selrels AS (SELECT n.id // 7 AS rid, n.id - 6 AS r1, n.id - 3 AS r2, a.cell
+           |            FROM nodes n JOIN cells a ON a.id = n.id - 6
+           |            WHERE n.id % 7 = 0 AND (${rectSqlOn("a.")})),
+           |membernodes AS (SELECT DISTINCT ref FROM
+           |  (SELECT r1 AS ref FROM selrels UNION ALL SELECT r2 FROM selrels)),
+           |unioned AS (
+           |  SELECT 'node' AS kind, c.id AS id, c.cell AS cell
+           |  FROM selnodes s JOIN cells c ON c.id = s.ref
+           |  UNION ALL SELECT 'way', wid, cell FROM selways
+           |  UNION ALL SELECT 'relation', rid, cell FROM selrels
+           |  UNION ALL SELECT 'node', c.id, c.cell
+           |  FROM membernodes m JOIN cells c ON c.id = m.ref)
+           |SELECT DISTINCT kind, id, CAST(cell AS BIGINT) AS cell FROM unioned
            |ORDER BY kind, id""".stripMargin,
       // PBF round trip: the oracle recomputes the per-kind counts and
       // content digests from the SAME derived-planet SQL — any wire-codec
