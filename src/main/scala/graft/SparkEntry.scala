@@ -55,12 +55,22 @@ object SparkEntry {
     * ids; way w = nodes [5w-4 .. 5w]; relation r = node members
     * (7r-6, 7r-3). Ingested through the REAL PlanetExtract pipeline
     * (first-node binning J5, relation anchoring J6). */
-  private def derivedPlanet(s: SparkSession, dir: String): PlanetExtract.PlanetTables = {
+  private def derivedPlanet(s: SparkSession, dir: String,
+                            danglingRefs: Boolean = false): PlanetExtract.PlanetTables = {
     val nodesRaw = eventPoints(s, dir)
       .select((col("event_id") + 1).as("id"), col("lon"), col("lat"))
-    val waysRaw = nodesRaw.where(pmod(col("id"), lit(5)) === 0)
+    val waysRaw0 = nodesRaw.where(pmod(col("id"), lit(5)) === 0)
       .select((col("id") / 5).cast("long").as("id"),
               sequence(col("id") - 4, col("id")).as("refs"))
+    // dangling-ref variant (strict-mode gate): every 11th way's LAST ref
+    // points at a nonexistent node (wid + 1e10) — the reference reads a
+    // zeroed page for it and emits a phantom node at cell 0 (vex.c:941-944)
+    val waysRaw =
+      if (!danglingRefs) waysRaw0
+      else waysRaw0.withColumn("refs",
+        when(pmod(col("id"), lit(11)) === 0,
+          concat(slice(col("refs"), 1, 4), array(col("id") + 10000000000L)))
+          .otherwise(col("refs")))
     val relsRaw = nodesRaw.where(pmod(col("id"), lit(7)) === 0)
       .select((col("id") / 7).cast("long").as("id"),
         array(
@@ -514,6 +524,14 @@ object SparkEntry {
         .select(lit("relation").as("kind"), col("n"), col("digest"))
       nd.unionByName(wd).unionByName(rd).orderBy("kind")
     }),
+    "q_planet_extract_strict" -> ((s, dir) => {  // strict compat mode over a
+      // planet WITH dangling way refs: the reference's zero-page quirk —
+      // phantom nodes emitted at cell 0 for refs no node carries
+      val t = derivedPlanet(s, dir, danglingRefs = true)
+      PlanetExtract.bbox(t, qBox, strictCompat = true)
+        .select(col("kind"), col("id"), col("cell").cast("long").as("cell"))
+        .orderBy("kind", "id")
+    }),
     "q_relation_closure" -> ((s, dir) => { // Q3 fix: one-level member closure —
       // selected relations' node members are fetched and unioned in
       val t = derivedPlanet(s, dir)
@@ -941,6 +959,35 @@ object SparkEntry {
            |            WHERE n.id % 7 = 0 AND (${rectSqlOn("a.")}))
            |SELECT 'node' AS kind, c.id AS id, c.cell AS cell
            |FROM selnodes s JOIN cells c ON c.id = s.ref
+           |UNION ALL SELECT 'way', wid, cell FROM selways
+           |UNION ALL SELECT 'relation', rid, cell FROM selrels
+           |ORDER BY kind, id""".stripMargin,
+      // strict mode over dangling refs (B-quirk family): every 11th way's
+      // last ref is the nonexistent wid + 1e10; strict emits it as a
+      // phantom node at cell 0 (LEFT JOIN + COALESCE replicates the
+      // reference's zeroed-page read). qBox has no sign wrap, so strict
+      // and fixed rectangle covers coincide and rectSql is shared.
+      "q_planet_extract_strict" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |nodes AS (SELECT event_id + 1 AS id, lon, lat,
+           |  $xbinSql AS xbin, $ybinSql AS ybin FROM pts),
+           |cells AS (SELECT id, xbin * 16384 + ybin AS cell, xbin, ybin FROM nodes),
+           |selways AS (SELECT last.id // 5 AS wid, fn.cell, last.id AS last_id
+           |            FROM nodes last JOIN cells fn ON fn.id = last.id - 4
+           |            WHERE last.id % 5 = 0 AND (${rectSqlOn("fn.")})),
+           |selrefs AS (SELECT DISTINCT ref FROM (
+           |  SELECT unnest(generate_series(last_id - 4, last_id)) AS ref
+           |  FROM selways WHERE wid % 11 <> 0
+           |  UNION ALL
+           |  SELECT unnest(generate_series(last_id - 4, last_id - 1)) AS ref
+           |  FROM selways WHERE wid % 11 = 0
+           |  UNION ALL
+           |  SELECT wid + 10000000000 AS ref FROM selways WHERE wid % 11 = 0) r),
+           |selrels AS (SELECT n.id // 7 AS rid, a.cell
+           |            FROM nodes n JOIN cells a ON a.id = n.id - 6
+           |            WHERE n.id % 7 = 0 AND (${rectSqlOn("a.")}))
+           |SELECT 'node' AS kind, s.ref AS id, COALESCE(c.cell, 0) AS cell
+           |FROM selrefs s LEFT JOIN cells c ON c.id = s.ref
            |UNION ALL SELECT 'way', wid, cell FROM selways
            |UNION ALL SELECT 'relation', rid, cell FROM selrels
            |ORDER BY kind, id""".stripMargin,
