@@ -532,6 +532,30 @@ object SparkEntry {
         .select(col("kind"), col("id"), col("cell").cast("long").as("cell"))
         .orderBy("kind", "id")
     }),
+    "q_planet_extract_b1" -> ((s, dir) => { // J6 strict B1: relations whose
+      // FIRST member is a way anchor at nodes[cumulative-ref-offset] — the
+      // reference treats the way's node_ref_offset as a node id
+      // (vex.c:311-313). Derived ways all carry 5 refs, so offset(w) =
+      // 5*(w-1): the quirk is deterministic and SQL-replicable (w=1 =>
+      // node 0 => absent => cell 0).
+      val nodesRaw = eventPoints(s, dir)
+        .select((col("event_id") + 1).as("id"), col("lon"), col("lat"))
+      val waysRaw = nodesRaw.where(pmod(col("id"), lit(5)) === 0)
+        .select((col("id") / 5).cast("long").as("id"),
+                sequence(col("id") - 4, col("id")).as("refs"))
+      val nw = nodesRaw.agg(max("id")).collect()(0).getLong(0) / 5
+      val relsRaw = nodesRaw.where(pmod(col("id"), lit(7)) === 0)
+        .select((col("id") / 7).cast("long").as("id"),
+          array(
+            struct(lit("outer").as("role"), lit(1).cast("byte").as("mtype"),
+                   (pmod((col("id") / 7).cast("long") * 13, lit(nw)) + 1).as("ref")),
+            struct(lit("inner").as("role"), lit(0).cast("byte").as("mtype"),
+                   (col("id") - 3).as("ref"))).as("members"))
+      val t = PlanetExtract.ingest(nodesRaw, waysRaw, relsRaw, strictB1 = true)
+      PlanetExtract.bbox(t, qBox)
+        .select(col("kind"), col("id"), col("cell").cast("long").as("cell"))
+        .orderBy("kind", "id")
+    }),
     "q_relation_closure" -> ((s, dir) => { // Q3 fix: one-level member closure —
       // selected relations' node members are fetched and unioned in
       val t = derivedPlanet(s, dir)
@@ -988,6 +1012,34 @@ object SparkEntry {
            |            WHERE n.id % 7 = 0 AND (${rectSqlOn("a.")}))
            |SELECT 'node' AS kind, s.ref AS id, COALESCE(c.cell, 0) AS cell
            |FROM selrefs s LEFT JOIN cells c ON c.id = s.ref
+           |UNION ALL SELECT 'way', wid, cell FROM selways
+           |UNION ALL SELECT 'relation', rid, cell FROM selrels
+           |ORDER BY kind, id""".stripMargin,
+      // strict B1 anchoring: relation rid's first member is way
+      // wref = (rid*13) % nw + 1; the strict anchor node id is the way's
+      // cumulative ref offset 5*(wref-1) (all derived ways have 5 refs);
+      // node id 0 (wref=1) is absent => cell 0, bins 0 => never selected
+      "q_planet_extract_b1" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |nodes AS (SELECT event_id + 1 AS id, lon, lat,
+           |  $xbinSql AS xbin, $ybinSql AS ybin FROM pts),
+           |cells AS (SELECT id, xbin * 16384 + ybin AS cell, xbin, ybin FROM nodes),
+           |selways AS (SELECT last.id // 5 AS wid, fn.cell, last.id AS last_id
+           |            FROM nodes last JOIN cells fn ON fn.id = last.id - 4
+           |            WHERE last.id % 5 = 0 AND (${rectSqlOn("fn.")})),
+           |selnodes AS (SELECT DISTINCT r.ref FROM
+           |  (SELECT unnest(generate_series(last_id - 4, last_id)) AS ref
+           |   FROM selways) r),
+           |nw AS (SELECT max(id) // 5 AS n FROM nodes),
+           |relsb AS (SELECT n.id // 7 AS rid,
+           |            5 * (((n.id // 7) * 13) % (SELECT n FROM nw) + 1 - 1) AS anchor
+           |          FROM nodes n WHERE n.id % 7 = 0),
+           |anch AS (SELECT r.rid, COALESCE(c.cell, 0) AS cell,
+           |           COALESCE(c.xbin, 0) AS xbin, COALESCE(c.ybin, 0) AS ybin
+           |         FROM relsb r LEFT JOIN cells c ON c.id = r.anchor),
+           |selrels AS (SELECT rid, cell FROM anch WHERE (${rectSqlOn("")}))
+           |SELECT 'node' AS kind, c.id AS id, c.cell AS cell
+           |FROM selnodes s JOIN cells c ON c.id = s.ref
            |UNION ALL SELECT 'way', wid, cell FROM selways
            |UNION ALL SELECT 'relation', rid, cell FROM selrels
            |ORDER BY kind, id""".stripMargin,
