@@ -498,7 +498,7 @@ object SparkEntry {
         .filter(_.getName.endsWith(".pbf")).sortBy(_.getName)
         .foreach(p => os.write(java.nio.file.Files.readAllBytes(p.toPath)))
       finally os.close()
-      val (n, w, r) = graft.sources.PbfSource.readPlanetSplit(s, one.toString,
+      val split = graft.sources.PbfSource.readPlanetSplit(s, one.toString,
         parallelism = 8)
       // order-insensitive content digests the oracle recomputes from the
       // same derived-planet SQL (md5 -> 15-hex-digit int -> modular sum;
@@ -507,22 +507,34 @@ object SparkEntry {
       def dig(sCol: Column) = sum(pmod(
         conv(substring(md5(sCol), 1, 15), 16, 10).cast("long"),
         lit(1000000007L))).as("digest")
-      val nd = n.select(concat_ws(",", col("id"),
+      val nd = split.nodes.select(concat_ws(",", col("id"),
         round(col("lon") * 100).cast("long"),
         round(col("lat") * 100).cast("long")).as("s"))
         .agg(count(lit(1)).as("n"), dig(col("s")))
         .select(lit("node").as("kind"), col("n"), col("digest"))
-      val wd = w.select(concat_ws(":", col("id"),
+      val wd = split.ways.select(concat_ws(":", col("id"),
         concat_ws("-", transform(col("refs"), x => x.cast("string")))).as("s"))
         .agg(count(lit(1)).as("n"), dig(col("s")))
         .select(lit("way").as("kind"), col("n"), col("digest"))
-      val rd = r.select(concat_ws(":", col("id"),
+      val rd = split.relations.select(concat_ws(":", col("id"),
         concat_ws(";", transform(col("members"), m => concat_ws(",",
           m.getField("role"), m.getField("mtype").cast("string"),
           m.getField("ref"))))).as("s"))
         .agg(count(lit(1)).as("n"), dig(col("s")))
         .select(lit("relation").as("kind"), col("n"), col("digest"))
-      nd.unionByName(wd).unionByName(rd).orderBy("kind")
+      // evaluate EAGERLY (3 rows), then release the decoded cache and the
+      // temp planet copy — a lazy result would pin both until the driver
+      // happens to consume it
+      val rows = nd.unionByName(wd).unionByName(rd).orderBy("kind").collect()
+        .map(r0 => (r0.getString(0), r0.getLong(1), r0.getLong(2))).toSeq
+      split.unpersist()
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          new java.io.File(p.toString).listFiles().foreach(f => rm(f.toPath))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(tmp)
+      rows.toDF("kind", "n", "digest")
     }),
     "q_planet_extract_strict" -> ((s, dir) => {  // strict compat mode over a
       // planet WITH dangling way refs: the reference's zero-page quirk —

@@ -41,6 +41,23 @@ object Dedup {
       .where(col("_bucket_n") <= maxBucket)
       .drop("_bucket_n")
 
+  /** Banded LSH bucket rows over an embeddings table from ONE scan: all
+    * nTables signatures are computed in a single projection and exploded
+    * to (_t, _sig) band structs, then hot-bucket capped. `sigOf(t)` is the
+    * per-table signature column (random hyperplanes, axis signs, ...) —
+    * the one shape behind embeddingNearDup, knnJoin and axisKnnJoin, so a
+    * scan-count or cap change is a one-site edit. */
+  private[operators] def bandedBuckets(embs: DataFrame, nTables: Int,
+                                       sigOf: Int => Column,
+                                       maxBucket: Int): DataFrame =
+    capBuckets(
+      embs.select(col("vec_id"), col("embedding"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"), sigOf(t).as("sig"))): _*)).as("_band"))
+        .select(col("vec_id"), col("embedding"),
+          col("_band.t").as("_t"), col("_band.sig").as("_sig")),
+      Seq("_t", "_sig"), maxBucket)
+
   /** Word n-gram shingles of `text`, as a deduplicated array column.
     * Empty words are filtered BEFORE shingling so leading/repeated spaces
     * can never leak into a shingle — this makes the construction exactly
@@ -265,15 +282,8 @@ object Dedup {
                        maxBucket: Int = 1000): DataFrame = {
     val planes = (0 until nTables)
       .map(t => vec.randomPlanes(bitsPerTable, dim, seed + t))
-    val tables = capBuckets(
-      embs.select(col("vec_id"), col("embedding"),
-        explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("t"),
-            vec.hyperplane_sig(col("embedding"), planes(t)).as("sig"))): _*))
-          .as("_band"))
-        .select(col("vec_id"), col("embedding"),
-          col("_band.t").as("_t"), col("_band.sig").as("_sig")),
-      Seq("_t", "_sig"), maxBucket)
+    val tables = bandedBuckets(embs, nTables,
+      t => vec.hyperplane_sig(col("embedding"), planes(t)), maxBucket)
     val a = tables.select(col("_t"), col("_sig"), col("vec_id").as("a_id"),
       col("embedding").as("_ea"))
     val b = tables.select(col("_t"), col("_sig"), col("vec_id").as("b_id"),

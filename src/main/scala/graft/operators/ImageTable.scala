@@ -88,19 +88,20 @@ object ImageTable {
     val loadMetrics = obs.get.map { case (k, v) =>
       s"observed_$k" -> v.toString.toDouble }
 
+    // a full re-ingest rewrites cells the diff-sync index may reference:
+    // drop the index (next diff batch rebuilds it in one scan) rather than
+    // let stale entries silently mis-target later deletes/moves
+    graft.streaming.StreamingIngest.invalidateCellIndex(spark, path)
     commitFromTable(spark, path, writeSec, loadMetrics)
   }
 
-  /** Build lineage records by scanning the just-written table (one cheap
-    * aggregate over parquet) and commit the snapshot. */
-  private def commitFromTable(spark: SparkSession, path: String,
-                              writeSec: Double,
-                              extraMetrics: Map[String, Double] = Map.empty)
-      : SnapshotLog.Snapshot = {
-    val written = spark.read.parquet(path)
-    val lineage = written.groupBy("p_cell", "p_salt").agg(
+  /** Per-partition lineage records of `df`: row count, order-insensitive
+    * content checksum (sum of per-row hashes mod 1e9+7), id range. THE
+    * single definition — ingest, resume and the streaming diff merge all
+    * commit through it, so their snapshots stay checksum-compatible. */
+  private[graft] def lineageOf(df: DataFrame, writeSec: Double): Seq[PartitionLineage] =
+    df.groupBy("p_cell", "p_salt").agg(
         count(lit(1)).as("rows"),
-        // order-insensitive content checksum: sum of per-row hashes
         sum(pmod(xxhash64(col("image_id"), col("phash")), lit(1000000007L))).as("checksum"),
         min("image_id").as("min_id"), max("image_id").as("max_id"))
       .collect()
@@ -108,6 +109,14 @@ object ImageTable {
         s"p_cell=${r.getAs[Number](0).longValue}/p_salt=${r.getAs[Number](1).intValue}",
         r.getLong(2), r.getLong(3), r.getString(4), r.getString(5), writeSec))
       .toSeq
+
+  /** Build lineage records by scanning the just-written table (one cheap
+    * aggregate over parquet) and commit the snapshot. */
+  private def commitFromTable(spark: SparkSession, path: String,
+                              writeSec: Double,
+                              extraMetrics: Map[String, Double] = Map.empty)
+      : SnapshotLog.Snapshot = {
+    val lineage = lineageOf(spark.read.parquet(path), writeSec)
     val totalRows = lineage.map(_.rows).sum
     SnapshotLog.commit(path, "images", lineage, Map(
       "total_rows" -> totalRows.toDouble,
@@ -156,15 +165,8 @@ object ImageTable {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("p_cell", "p_salt").parquet(path)
     val writeSec = (System.nanoTime() - t0) / 1e9
-    val newLineage = salted.groupBy("p_cell", "p_salt").agg(
-        count(lit(1)).as("rows"),
-        sum(pmod(xxhash64(col("image_id"), col("phash")), lit(1000000007L))).as("checksum"),
-        min("image_id").as("min_id"), max("image_id").as("max_id"))
-      .collect()
-      .map(r => PartitionLineage(
-        s"p_cell=${r.getAs[Number](0).longValue}/p_salt=${r.getAs[Number](1).intValue}",
-        r.getLong(2), r.getLong(3), r.getString(4), r.getString(5), writeSec))
-      .toSeq
+    graft.streaming.StreamingIngest.invalidateCellIndex(images.sparkSession, path)
+    val newLineage = lineageOf(salted, writeSec)
     val snap = SnapshotLog.commit(path, "images", newLineage, Map(
       "total_rows" -> newLineage.map(_.rows).sum.toDouble,
       "resumed" -> 1.0, "write_sec" -> writeSec))

@@ -83,8 +83,16 @@ object Knn {
     // literal + pruned scan) exists to keep genuinely sparse queries OFF the
     // exact full-scan fallback: a query that is unresolved past r=64 has no
     // neighbor within ~64 cell extents, which on any real dataset is a
-    // handful of queries, so the remaining fallback is a bounded rarity
-    for (r <- Seq(1, 4, 16, 64) if unresolved.nonEmpty) {
+    // handful of queries, so the remaining fallback is a bounded rarity.
+    // Candidate-table cap: the disk cells are DRIVER-materialized and
+    // broadcast, so a round whose |unresolved| x (2r+1)^2 would exceed the
+    // cap is skipped (wide rings only ever run for few stragglers; many
+    // unresolved queries fall through to the bounded distributed fallback
+    // instead of OOMing the driver)
+    val maxCandRows = 4000000L
+    for (r <- Seq(1, 4, 16, 64)
+         if unresolved.nonEmpty &&
+           unresolved.size.toLong * (2L * r + 1) * (2L * r + 1) <= maxCandRows) {
       val diskCells = unresolved.map { q =>
         q -> CellIndex.disk(CellIndex.xBin(q.lon), CellIndex.yBin(q.lat), r)
       }

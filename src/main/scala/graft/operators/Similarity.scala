@@ -223,14 +223,8 @@ object Similarity {
     require(nTables * bits <= dim,
       s"axis-sign family reads dims [0, ${nTables * bits}) but dim=$dim " +
         "(ANSI element_at would throw past the array end)")
-    val sigs = Dedup.capBuckets(
-      embs.select(col("vec_id"), col("embedding"),
-        explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("t"), axisSig(col("embedding"), t, bits).as("sig"))): _*))
-          .as("_band"))
-        .select(col("vec_id"), col("embedding"),
-          col("_band.t").as("_t"), col("_band.sig").as("_sig")),
-      Seq("_t", "_sig"), maxBucket)
+    val sigs = Dedup.bandedBuckets(embs, nTables,
+      t => axisSig(col("embedding"), t, bits), maxBucket)
     val a = sigs.where(probePred)
       .select(col("_t"), col("_sig"), col("vec_id").as("a_id"), col("embedding").as("_ea"))
     val b = sigs.select(col("_t"), col("_sig"), col("vec_id").as("b_id"), col("embedding").as("_eb"))
@@ -255,15 +249,8 @@ object Similarity {
               dim: Int = 64, seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     val planes = (0 until nTables)
       .map(t => vec.randomPlanes(bitsPerTable, dim, seed + t))
-    val tables = Dedup.capBuckets(
-      embs.select(col("vec_id"), col("embedding"),
-        explode(array((0 until nTables).map(t =>
-          struct(lit(t).as("t"),
-            vec.hyperplane_sig(col("embedding"), planes(t)).as("sig"))): _*))
-          .as("_band"))
-        .select(col("vec_id"), col("embedding"),
-          col("_band.t").as("_t"), col("_band.sig").as("_sig")),
-      Seq("_t", "_sig"), maxBucket)
+    val tables = Dedup.bandedBuckets(embs, nTables,
+      t => vec.hyperplane_sig(col("embedding"), planes(t)), maxBucket)
     val a = tables.select(col("_t"), col("_sig"), col("vec_id").as("a_id"),
       col("embedding").as("_ea"))
     val b = tables.select(col("_t"), col("_sig"), col("vec_id").as("b_id"),

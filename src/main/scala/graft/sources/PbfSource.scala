@@ -165,24 +165,32 @@ object PbfSource {
       }
   }
 
+  /** Result of a splittable planet read: the three entity tables plus the
+    * handle to the shared decoded cache backing them. Call [[unpersist]]
+    * once the tables are consumed (or written out) — the derived
+    * DataFrames cannot release the parent cache themselves. */
+  final case class SplitPlanet(nodes: DataFrame, ways: DataFrame,
+                               relations: DataFrame,
+                               private val cache: Dataset[(Seq[NodeRow], Seq[WayRow], Seq[RelationRow])]) {
+    def unpersist(): Unit = cache.unpersist()
+  }
+
   /** Splittable planet read over one file: ONE driver index pass and ONE
     * decode pass shared by all three entity kinds. The decoded triple is
     * persisted (memory, spill to disk) so the three DataFrames' jobs read
     * the cached partitions instead of re-inflating the whole file per kind
-    * — at planet scale the alternative is 3 full zlib passes. Caller may
-    * unpersist via the returned frames' Dataset lineage once all three
-    * tables are consumed or (better) written to parquet. */
+    * — at planet scale the alternative is 3 full zlib passes. */
   def readPlanetSplit(spark: SparkSession, file: String, parallelism: Int = 0)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : SplitPlanet = {
     import spark.implicits._
     val idx = indexBlobs(spark, file)   // the ONLY header-scan of the file
     val decoded = decodeFileSplit(spark, file,
         PbfCodec.Wanted(nodes = true, ways = true, relations = true),
         parallelism, preIndexed = idx)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (decoded.flatMap(_._1).toDF(),
-     decoded.flatMap(_._2).toDF(),
-     decoded.flatMap(_._3).toDF())
+    SplitPlanet(decoded.flatMap(_._1).toDF(),
+                decoded.flatMap(_._2).toDF(),
+                decoded.flatMap(_._3).toDF(), decoded)
   }
 
   /** S5 sink: write typed entity Datasets as PBF part files. Part names
@@ -216,10 +224,15 @@ object PbfSource {
       if (rows.nonEmpty) {
         val pid = TaskContext.getPartitionId()
         val f = new org.apache.hadoop.fs.Path(dir, f"part-$ordinal-$kind-$pid%05d.pbf")
-        val fs = f.getFileSystem(conf.value)
-        fs.setWriteChecksum(false)   // no .crc sidecars next to .pbf parts
-        val os = fs.create(f, true)
-        try encode(os, rows) finally os.close()
+        // a PRIVATE FileSystem instance: setWriteChecksum on the JVM-cached
+        // shared instance would silently disable checksums for every other
+        // writer in this executor for the rest of its life
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(f.toUri, conf.value)
+        try {
+          fs.setWriteChecksum(false)   // no .crc sidecars next to .pbf parts
+          val os = fs.create(f, true)
+          try encode(os, rows) finally os.close()
+        } finally fs.close()
       }
     })
   }

@@ -26,7 +26,9 @@ object StreamingIngest {
   /** Micro-batch geocoded ingest: srcDir (parquet files arriving over time)
     * -> derive cells/tiles -> partitioned parquet. Trigger.AvailableNow
     * drains everything currently present and stops — callable per "minute".
-    */
+    * If destDir is ALSO maintained by [[diffSync]], call
+    * [[invalidateCellIndex]] after each drain: rows appended here are
+    * unknown to the diff-merge's id -> p_cell index. */
   def ingestOnce(spark: SparkSession, srcDir: String, destDir: String,
                  checkpointDir: String): StreamingQuery = {
     val stream = spark.readStream.schema(imagesSchema).parquet(srcDir)
@@ -91,6 +93,37 @@ object StreamingIngest {
   private def idxBucket(buckets: Int): Column =
     pmod(xxhash64(col("image_id")), lit(buckets)).cast("int")
 
+  /** Index metadata sidecar: records the bucket count the on-disk index was
+    * built with. A batch running with a DIFFERENT bucket count would hash
+    * ids into buckets the entries don't live in and silently miss deletes —
+    * a mismatch (or missing meta) forces a rebuild instead. */
+  private def writeIdxMeta(fs: org.apache.hadoop.fs.FileSystem,
+                           tablePath: String, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(idxPath(tablePath), "_meta.json")
+    val os = fs.create(p, true)
+    try os.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+    finally os.close()
+  }
+  private def readIdxBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                             tablePath: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(idxPath(tablePath), "_meta.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+    "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+  }
+
+  /** Drop the id -> p_cell index. Writers that rewrite the store OUTSIDE
+    * the diff-merge path (full/partial re-ingest) MUST call this — a stale
+    * index would silently mis-target later deletes/moves. The next diff
+    * batch bootstraps a fresh index with one scan. */
+  def invalidateCellIndex(spark: SparkSession, tablePath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(idxPath(tablePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Build (or rebuild) the compact image_id -> p_cell index over an
     * existing store: ONE narrow scan, written Hive-partitioned on a hash
     * bucket of image_id so per-batch lookups and updates read/rewrite only
@@ -147,13 +180,18 @@ object StreamingIngest {
     val store = if (hasData) spark.read.parquet(tablePath) else null
     val ids = derived.select(col("image_id")).distinct()
     // bootstrap the id -> p_cell index for a pre-index store (one scan,
-    // amortized over every later batch). "Present" = has bucket dirs: a
-    // delete-heavy batch can empty the index, leaving a dir that would
-    // fail schema inference
+    // amortized over every later batch). "Present" = has bucket dirs AND a
+    // matching bucket-count meta: a delete-heavy batch can empty the index
+    // (a bucketless dir would fail schema inference), and an index built
+    // with a different bucket count must be rebuilt, not trusted
     val hIdx = new org.apache.hadoop.fs.Path(idxPath(tablePath))
     def idxHasData = fs.exists(hIdx) && fs.listStatus(hIdx)
-      .exists(st => st.isDirectory && st.getPath.getName.startsWith("idx_b="))
-    if (store != null && !idxHasData) buildCellIndex(spark, tablePath, idxBuckets)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("idx_b=")) &&
+      readIdxBuckets(fs, tablePath).contains(idxBuckets)
+    if (store != null && !idxHasData) {
+      buildCellIndex(spark, tablePath, idxBuckets)
+      writeIdxMeta(fs, tablePath, idxBuckets)
+    }
     val hasIdx = idxHasData
     // buckets the diffed ids hash into: driver-small (<= idxBuckets)
     val idBuckets = ids.select(idxBucket(idxBuckets).as("_ib")).distinct()
@@ -264,6 +302,9 @@ object StreamingIngest {
       val d = new org.apache.hadoop.fs.Path(s"${idxPath(tablePath)}/idx_b=$b")
       if (fs.exists(d)) fs.delete(d, true)
     }
+    // first batch on a fresh table creates the index without a bootstrap:
+    // record its bucket count too
+    if (readIdxBuckets(fs, tablePath).isEmpty) writeIdxMeta(fs, tablePath, idxBuckets)
 
     // ---- snapshot lineage patch (only when the table HAS a log) --------------
     // rewritten leaves get fresh lineage; every parent leaf under an
@@ -271,17 +312,7 @@ object StreamingIngest {
     // agrees with the on-disk state after the merge. Cost: one aggregate
     // over the (localCheckpointed) affected partitions, not the table.
     if (graft.plans.SnapshotLog.latestId(tablePath).isDefined) {
-      val newLineage = merged.groupBy("p_cell", "p_salt").agg(
-          org.apache.spark.sql.functions.count(lit(1)).as("rows"),
-          org.apache.spark.sql.functions.sum(
-            pmod(xxhash64(col("image_id"), col("phash")), lit(1000000007L))).as("checksum"),
-          org.apache.spark.sql.functions.min("image_id").as("min_id"),
-          org.apache.spark.sql.functions.max("image_id").as("max_id"))
-        .collect()
-        .map(r => graft.plans.SnapshotLog.PartitionLineage(
-          s"p_cell=${r.getAs[Number](0).longValue}/p_salt=${r.getAs[Number](1).intValue}",
-          r.getLong(2), r.getLong(3), r.getString(4), r.getString(5), writeSec))
-        .toSeq
+      val newLineage = ImageTable.lineageOf(merged, writeSec)
       val affectedSet = affected.toSet
       val staleSpecs = graft.plans.SnapshotLog.latest(tablePath).toSeq
         .flatMap(_.partitions.map(_.partition))

@@ -178,8 +178,9 @@ class PbfSourceSpec extends SparkFunSuite {
     assert(manyFrames.count(_.blobType == "OSMData") >= 14)   // 12+4+1 blocks
 
     val passesBefore = PbfSource.indexPasses.get()
-    val (n, w, r) = PbfSource.readPlanetSplit(spark, s"$manyDir/planet.pbf",
+    val split = PbfSource.readPlanetSplit(spark, s"$manyDir/planet.pbf",
       parallelism = 4)
+    val (n, w, r) = (split.nodes, split.ways, split.relations)
     assert(n.count() == planet.nodes.size)
     assert(PbfSource.indexPasses.get() - passesBefore == 1,
       "readPlanetSplit must index the file exactly ONCE for all three kinds")
@@ -189,9 +190,10 @@ class PbfSourceSpec extends SparkFunSuite {
     // content identical to the per-file binaryFile path
     val whole = PbfSource.readNodes(spark, pbfDir).collect()
       .map(x => (x.id, x.lon, x.lat)).toSet
-    val split = n.select("id", "lon", "lat").collect()
+    val splitRows = n.select("id", "lon", "lat").collect()
       .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2))).toSet
-    assert(whole == split)
+    assert(whole == splitRows)
+    split.unpersist()
   }
 
   test("truncated zlib blob fails fast with an IOException (no infinite " +

@@ -266,6 +266,44 @@ class StreamingSpec extends SparkFunSuite {
     assert(out == Map(c1 -> 300L, c2 -> 300L))
   }
 
+  test("batch re-ingest invalidates the diff index; a post-resume delete " +
+       "still targets the right partition (no stale-index miss)") {
+    import graft.cells.CellIndex
+    import graft.operators.ImageTable
+    val base = Files.createTempDirectory("graft_diff_stale_").toString
+    val (table, diffs, ckpt) = (s"$base/table", s"$base/diffs", s"$base/ckpt")
+    val rows = Fixtures.localImages(100, withBytes = false)
+    ImageTable.ingest(rows.toDF(), table)
+    def diffDF(items: Seq[(String, Fixtures.ImageRow)]) =
+      items.zipWithIndex.map { case ((op, r), i) =>
+        (op, i.toLong, r.image_id, r.bytes, r.w, r.h, r.fmt, r.caption, r.phash)
+      }.toDF("op", "seq", "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    // diff 1 creates the index
+    diffDF(Seq("upsert" -> Fixtures.imageRow(9000L, withBytes = false)))
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    assert(new java.io.File(s"$table/_idx").exists())
+    // a BATCH writer (resume path) adds a row the index has never seen
+    val cornerPhash = CellIndex.packCoord(CellIndex.toX(179.9), CellIndex.toY(89.9))
+    val cornerCell = CellIndex.cellId(CellIndex.unpackX(cornerPhash),
+      CellIndex.unpackY(cornerPhash), ImageTable.DefaultPRes)
+    assume(!new java.io.File(s"$table/p_cell=$cornerCell").exists())
+    ImageTable.ingestResume(
+      Seq(rows(0).copy(image_id = "img_x", phash = cornerPhash)).toDF(), table)
+    assert(!new java.io.File(s"$table/_idx").exists(),
+      "batch re-ingest left a stale diff index behind")
+    // the delete must still find img_x's partition (fresh bootstrap), not
+    // silently no-op off stale index contents
+    diffDF(Seq("delete" -> rows(0).copy(image_id = "img_x", phash = cornerPhash)))
+      .coalesce(1).write.mode("append").parquet(diffs)
+    StreamingIngest.diffSync(spark, diffs, table, ckpt).awaitTermination()
+    val out = spark.read.parquet(table)
+    assert(out.where(col("image_id") === "img_x").count() == 0,
+      "stale-index delete miss: the row survived")
+    assert(!new java.io.File(s"$table/p_cell=$cornerCell").exists())
+    assert(out.count() == 101)
+  }
+
   test("diffSync keeps the snapshot log and the id->p_cell index consistent: " +
        "readCommitted sees new cells, the index resolves moves/deletes") {
     import graft.cells.CellIndex
