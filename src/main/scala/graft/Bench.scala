@@ -185,7 +185,12 @@ object Bench {
       System.err.println(f"[bench] hw probe: raw thread scaling $n->${n * 4} " +
         f"= $sp%.2fx of 4x ideal")
     }
-    val (nThreads, hwSpeedup) = probes.maxBy(_._2)
+    // prefer the 2/8 pair unless 4/16 probes CLEARLY better: the flagship
+    // at 4N runs ~4N worker threads PLUS GC/scheduler/IO threads, so the
+    // N=4 pair's upper level sits in this host's >16-runnable-thread
+    // collapse zone — which the bare 16-thread busy-loop probe cannot see
+    val (nThreads, hwSpeedup) =
+      if (probes(1)._2 > probes(0)._2 * 1.10) probes(1) else probes(0)
     System.err.println(s"[bench] chosen pair: local[$nThreads] vs local[${nThreads * 4}]")
     // Up to 10 pairs, alternating measurement order within the pair
     // (N-first / 4N-first) so slow host drift can't systematically favor
