@@ -345,6 +345,13 @@ object SparkEntry {
           tbl(s, dir, "documents").where(col("doc_id") < 1000), nGram = 3,
           nHashes = 4, bands = 4, threshold = 0.5, maxBucket = 0)
         .orderBy("a_id", "b_id")),
+    "q_dedup_clusters" -> ((s, dir) =>      // near-dup CLUSTERS: connected
+      // components over the verified MinHash-LSH pair list (min-label =
+      // canonical survivor id); same bounded slice as q_minhash_pairs
+      Dedup.connectedComponents(Dedup.minhashLshPortable(
+          tbl(s, dir, "documents").where(col("doc_id") < 1000), nGram = 3,
+          nHashes = 4, bands = 4, threshold = 0.5, maxBucket = 0))
+        .orderBy("id")),
     "q_simhash" -> ((s, dir) =>             // portable 60-bit simhash (oracle=SQL)
       Dedup.withSimhashPortable(tbl(s, dir, "documents"))
         .select("doc_id", "simhash").orderBy("doc_id")),
@@ -649,6 +656,26 @@ object SparkEntry {
     }.mkString(", ")
     val bestSql = "GREATEST(s_de, s_en, s_es, s_fr, s_it)"
     val caseSql = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    // shared CTE chain of the portable MinHash-LSH pipeline on the bounded
+    // 1000-doc slice (q_minhash_pairs and the q_dedup_clusters closure)
+    val minhashPairCtes =
+      """d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |  t -> length(t) > 0) AS w FROM d),
+        |sh AS (SELECT doc_id, list_distinct(list_filter(list_transform(
+        |  range(1, greatest(len(w) - 2, 1) + 1),
+        |  i -> array_to_string(w[i:i+2], ' ')), s -> length(s) > 0)) AS shs FROM ws),
+        |sigs AS (SELECT doc_id, shs,
+        |  list_min(list_transform(shs, s -> md5(s || '#0'))) AS sig0,
+        |  list_min(list_transform(shs, s -> md5(s || '#1'))) AS sig1,
+        |  list_min(list_transform(shs, s -> md5(s || '#2'))) AS sig2,
+        |  list_min(list_transform(shs, s -> md5(s || '#3'))) AS sig3 FROM sh),
+        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.shs AS sa, b.shs AS sb
+        |         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |           AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR
+        |                a.sig2 = b.sig2 OR a.sig3 = b.sig3)),
+        |scored AS (SELECT a_id, b_id, len(list_intersect(sa, sb)) AS inter,
+        |           len(sa) AS na, len(sb) AS nb FROM cand)""".stripMargin
     // shared postings/vertices CTEs for the routable-graph gates (the SQL
     // twin of routableWays: A = 5-node runs, B = [id-20,id-10,id] crossers)
     val routablePostsSql =
@@ -921,26 +948,23 @@ object SparkEntry {
           |FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
       "q_minhash_pairs" ->
-        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
-          |ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
-          |  t -> length(t) > 0) AS w FROM d),
-          |sh AS (SELECT doc_id, list_distinct(list_filter(list_transform(
-          |  range(1, greatest(len(w) - 2, 1) + 1),
-          |  i -> array_to_string(w[i:i+2], ' ')), s -> length(s) > 0)) AS shs FROM ws),
-          |sigs AS (SELECT doc_id, shs,
-          |  list_min(list_transform(shs, s -> md5(s || '#0'))) AS sig0,
-          |  list_min(list_transform(shs, s -> md5(s || '#1'))) AS sig1,
-          |  list_min(list_transform(shs, s -> md5(s || '#2'))) AS sig2,
-          |  list_min(list_transform(shs, s -> md5(s || '#3'))) AS sig3 FROM sh),
-          |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.shs AS sa, b.shs AS sb
-          |         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-          |           AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR
-          |                a.sig2 = b.sig2 OR a.sig3 = b.sig3)),
-          |scored AS (SELECT a_id, b_id, len(list_intersect(sa, sb)) AS inter,
-          |           len(sa) AS na, len(sb) AS nb FROM cand)
-          |SELECT a_id, b_id, inter / (na + nb - inter) AS jaccard
-          |FROM scored WHERE inter / (na + nb - inter) >= 0.5
-          |ORDER BY a_id, b_id""".stripMargin,
+        s"""WITH $minhashPairCtes
+           |SELECT a_id, b_id, inter / (na + nb - inter) AS jaccard
+           |FROM scored WHERE inter / (na + nb - inter) >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
+      // near-dup clusters: connected components of the verified pair list
+      // via a recursive reachability closure; label = component minimum
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |prs AS (SELECT a_id, b_id FROM scored
+           |        WHERE inter / (na + nb - inter) >= 0.5),
+           |edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+           |          UNION SELECT b_id, a_id FROM prs),
+           |reach AS (SELECT src AS id, dst AS r FROM edges
+           |          UNION
+           |          SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+           |SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id
+           |ORDER BY id""".stripMargin,
       "q_fingerprint" ->
         """SELECT doc_id, md5(array_to_string(list_filter(
           |  string_split_regex(text, '\s+'), t -> length(t) > 0), ' ')) AS fp

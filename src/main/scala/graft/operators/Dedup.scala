@@ -268,6 +268,43 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /**
+   * Connected components over near-dup pairs — the step that turns a pair
+   * list into dedup CLUSTERS (each document labeled with its cluster's
+   * minimum doc id, the canonical survivor). Iterative min-label
+   * propagation: every node adopts the minimum label among itself and its
+   * neighbors until fixpoint. Converges in O(component diameter) rounds —
+   * near-dup clusters are dense and shallow, so few rounds in practice;
+   * each round is ONE shuffle keyed on id (join + groupBy), and labels are
+   * localCheckpointed so the plan does not grow with iterations. Documents
+   * with no pair at all are not emitted (they are their own cluster).
+   * Returns (id, label).
+   */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)   // the pair list may be expensive; compute once
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("_dl")), "dst")
+        .groupBy("src").agg(min("_dl").as("_nmin"))
+        .select(col("src").as("id"), col("_nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .withColumn("_new", least(col("label"), coalesce(col("_nmin"), col("label"))))
+        .localCheckpoint(true)
+      changed = updated.where(col("_new") < col("label")).count()
+      labels = updated.select(col("id"), col("_new").as("label"))
+      i += 1
+    }
+    labels.select(col("id"), col("label"))
+  }
+
   /** Embedding near-dup: hyperplane-LSH bucket join + exact cosine verify.
     * Multiple independent signature tables raise recall.
     * Buckets over `maxBucket` rows are dropped (see capBuckets); 0 disables.
