@@ -352,6 +352,37 @@ object SparkEntry {
           tbl(s, dir, "documents").where(col("doc_id") < 1000), nGram = 3,
           nHashes = 4, bands = 4, threshold = 0.5, maxBucket = 0))
         .orderBy("id")),
+    "q_dedup_corpus" -> ((s, dir) => {      // end-to-end dedup: corpus ->
+      // cluster canonicals only (pairs -> components -> anti-join)
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 1000)
+      val pairs = Dedup.minhashLshPortable(docs, nGram = 3, nHashes = 4,
+        bands = 4, threshold = 0.5, maxBucket = 0)
+      Dedup.dropClusterDuplicates(docs, pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_sample_mix" -> ((s, dir) => {        // deterministic stratified
+      // sampling (data-mixing weights): md5-threshold membership, so the
+      // sample itself is recomputable cross-engine
+      val docs = tbl(s, dir, "documents")
+      val stratum = when(length(col("text")) < 200, "short")
+        .when(length(col("text")) < 1000, "medium").otherwise("long")
+      Sampling.stratifiedSample(docs.withColumn("st", stratum), "doc_id",
+          col("st"), Map("short" -> 0.1, "medium" -> 0.5, "long" -> 1.0),
+          salt = "mix")
+        .select("doc_id", "st").orderBy("doc_id")
+    }),
+    "q_decontaminate" -> ((s, dir) => {     // benchmark decontamination:
+      // containment of "benchmark" docs (even ids) in "corpus" docs (odd
+      // ids) via the shingle-postings join, exact (no df cut) on the
+      // bounded slice
+      val slice = tbl(s, dir, "documents").where(col("doc_id") < 1000)
+      Dedup.crossContamination(
+          slice.where(pmod(col("doc_id"), lit(2)) === 1),
+          slice.where(pmod(col("doc_id"), lit(2)) === 0),
+          nGram = 2, minContainment = 0.3, maxDocFreq = 0)
+        .select("doc_id", "bench_id", "inter", "containment")
+        .orderBy("doc_id", "bench_id")
+    }),
     "q_simhash" -> ((s, dir) =>             // portable 60-bit simhash (oracle=SQL)
       Dedup.withSimhashPortable(tbl(s, dir, "documents"))
         .select("doc_id", "simhash").orderBy("doc_id")),
@@ -952,6 +983,53 @@ object SparkEntry {
            |SELECT a_id, b_id, inter / (na + nb - inter) AS jaccard
            |FROM scored WHERE inter / (na + nb - inter) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin,
+      // end-to-end dedup: survivors = docs whose component label is
+      // themselves (or who have no near-dup pair at all)
+      "q_dedup_corpus" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |prs AS (SELECT a_id, b_id FROM scored
+           |        WHERE inter / (na + nb - inter) >= 0.5),
+           |edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+           |          UNION SELECT b_id, a_id FROM prs),
+           |reach AS (SELECT src AS id, dst AS r FROM edges
+           |          UNION
+           |          SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+           |labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+           |SELECT doc_id FROM d
+           |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+           |ORDER BY doc_id""".stripMargin,
+      // deterministic stratified sample: md5-threshold membership per
+      // length-band stratum (rates short 0.1 / medium 0.5 / long 1.0)
+      "q_sample_mix" ->
+        """WITH st AS (SELECT doc_id,
+          |  CASE WHEN length(text) < 200 THEN 'short'
+          |       WHEN length(text) < 1000 THEN 'medium'
+          |       ELSE 'long' END AS st FROM documents),
+          |b AS (SELECT doc_id, st,
+          |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15)
+          |    AS BIGINT) % 10000 AS bkt FROM st)
+          |SELECT doc_id, st FROM b
+          |WHERE bkt < (CASE st WHEN 'short' THEN 1000
+          |             WHEN 'medium' THEN 5000 ELSE 10000 END)
+          |ORDER BY doc_id""".stripMargin,
+      // decontamination: benchmark-in-corpus containment over 2-gram
+      // shingle postings (odd ids = corpus, even ids = benchmark)
+      "q_decontaminate" ->
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+          |ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          |  t -> length(t) > 0) AS w FROM d),
+          |sh AS (SELECT doc_id, list_distinct(list_filter(list_transform(
+          |  range(1, greatest(len(w) - 1, 1) + 1),
+          |  i -> array_to_string(w[i:i+1], ' ')), s -> length(s) > 0)) AS shs FROM ws),
+          |cp AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 2 = 1),
+          |bp AS (SELECT doc_id AS bench_id, len(shs) AS nb, unnest(shs) AS s
+          |       FROM sh WHERE doc_id % 2 = 0),
+          |j AS (SELECT cp.doc_id, bp.bench_id, bp.nb, count(*) AS inter
+          |      FROM cp JOIN bp ON cp.s = bp.s GROUP BY 1, 2, 3)
+          |SELECT doc_id, bench_id, inter,
+          |       inter / greatest(nb, 1) AS containment
+          |FROM j WHERE inter / greatest(nb, 1) >= 0.3
+          |ORDER BY doc_id, bench_id""".stripMargin,
       // near-dup clusters: connected components of the verified pair list
       // via a recursive reachability closure; label = component minimum
       "q_dedup_clusters" ->

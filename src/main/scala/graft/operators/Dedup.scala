@@ -305,6 +305,49 @@ object Dedup {
     labels.select(col("id"), col("label"))
   }
 
+  /** Corpus -> deduplicated corpus: drop every document labeled with a
+    * cluster minimum other than itself (the cluster minimum is the
+    * canonical survivor). `pairs` can come from ANY near-dup detector
+    * (minhashLsh, simhashNearDup, ngramJaccard, imageNearDup). */
+  def dropClusterDuplicates(docs: DataFrame, pairs: DataFrame,
+                            idCol: String = "doc_id"): DataFrame = {
+    val dupes = connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Cross-corpus n-gram contamination — the benchmark-decontamination
+   * primitive: for each (corpus doc, benchmark doc) pair sharing at least
+   * one shingle, the CONTAINMENT of the benchmark doc in the corpus doc
+   * (|A ∩ B| / |B|: 1.0 = the benchmark text appears verbatim modulo
+   * word order). Shingle-postings join, never all-pairs; `maxDocFreq`
+   * drops boilerplate shingles from the CORPUS postings (same stop-shingle
+   * discipline as [[ngramJaccard]], containment becomes a lower bound).
+   * Returns (doc_id, bench_id, inter, containment >= minContainment).
+   */
+  def crossContamination(corpus: DataFrame, benchmark: DataFrame,
+                         nGram: Int = 3, minContainment: Double = 0.5,
+                         maxDocFreq: Int = 100000): DataFrame = {
+    val cp = corpus.select(col("doc_id"),
+      explode(shingles(col("text"), nGram)).as("_s"))
+    val cpCut =
+      if (maxDocFreq <= 0) cp
+      else cp.withColumn("_df", count(lit(1)).over(Window.partitionBy("_s")))
+        .where(col("_df") <= maxDocFreq).drop("_df")
+    val bp = benchmark
+      .select(col("doc_id").as("bench_id"), shingles(col("text"), nGram).as("_sh"))
+      .withColumn("_nb", size(col("_sh")))
+      .select(col("bench_id"), col("_nb"), explode(col("_sh")).as("_s"))
+    cpCut.join(bp, "_s")
+      .groupBy("doc_id", "bench_id", "_nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter") / greatest(col("_nb"), lit(1)))
+      .where(col("containment") >= minContainment)
+      .select("doc_id", "bench_id", "inter", "containment")
+  }
+
   /** Embedding near-dup: hyperplane-LSH bucket join + exact cosine verify.
     * Multiple independent signature tables raise recall.
     * Buckets over `maxBucket` rows are dropped (see capBuckets); 0 disables.

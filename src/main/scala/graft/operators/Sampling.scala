@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data pipelines. Membership is a pure
+ * function of the row id (hash-threshold), NOT an RNG draw:
+ *  - re-running a resumed pipeline yields the SAME sample (idempotent
+ *    retries, reproducible experiments);
+ *  - growing the table never reshuffles previous membership (each row's
+ *    fate is independent of the others);
+ *  - the md5 basis makes the sample itself oracle-checkable cross-engine
+ *    (the driver gate recomputes membership in DuckDB).
+ * All pure column expressions — the filter pushes to the scan.
+ */
+object Sampling {
+
+  private val Buckets = 10000L
+
+  /** Hash bucket in [0, 10000) from the row id (+ salt): the first 15 hex
+    * digits of md5 parsed as an integer (exact in both engines), mod 1e4. */
+  def hashBucket(id: Column, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long"), lit(Buckets))
+
+  /** Keep each row iff its hash bucket < rate * 10000 (rate resolution
+    * 1e-4). `salt` decorrelates independent samples of the same table. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+                 salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0)
+    df.where(hashBucket(col(idCol), salt) < math.round(rate * Buckets))
+  }
+
+  /** Stratified deterministic sampling — the data-mixing primitive: each
+    * stratum keeps its own rate (e.g. {web -> 0.1, books -> 1.0}). Rows in
+    * strata absent from `rates` are DROPPED (explicit mixing weights only;
+    * pass 1.0 to keep a stratum whole). One scan, no shuffle: the
+    * per-stratum threshold is a CASE expression over the stratum column. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratum: Column,
+                       rates: Map[String, Double], salt: String = ""): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0))
+    val threshold = rates.foldLeft(lit(0L)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(math.round(r * Buckets))).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol), salt) < threshold)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 
 /** Dedup / similarity / text-analysis operators vs brute-force oracles on
   * fixtures with planted duplicates and near-duplicates. */
@@ -246,6 +246,54 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(Seq(10L, 11L).forall(labels(_) == 10L), s"pair: $labels")
     assert((30L to 37L).forall(labels(_) == 30L), s"8-chain: $labels")
     assert(labels.size == 17, "unexpected extra labeled nodes")
+  }
+
+  test("hash sampling is deterministic, rate-accurate, insensitive to table " +
+       "growth, and decorrelated across salts") {
+    val ids = (0L until 20000L).map(i => Tuple1(i)).toDF("id")
+    val kept = Sampling.hashSample(ids, "id", 0.3).collect().map(_.getLong(0)).toSet
+    // rate accuracy (law of large numbers over a hash that behaves uniformly)
+    assert(math.abs(kept.size / 20000.0 - 0.3) < 0.02, s"rate ${kept.size / 20000.0}")
+    // determinism + growth-insensitivity: the first half's membership is
+    // unchanged when sampled as part of a half-sized table
+    val keptHalf = Sampling.hashSample(ids.where(col("id") < 10000), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptHalf == kept.filter(_ < 10000))
+    // a different salt draws an (almost) independent sample
+    val salted = Sampling.hashSample(ids, "id", 0.3, salt = "b")
+      .collect().map(_.getLong(0)).toSet
+    val overlap = kept.intersect(salted).size / 20000.0
+    assert(math.abs(overlap - 0.09) < 0.02, s"salt overlap $overlap")   // ~rate^2
+    // stratified: per-stratum rates honored, absent strata dropped
+    val st = ids.withColumn("s", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val mixed = Sampling.stratifiedSample(st, "id", col("s"), Map("a" -> 0.5))
+      .collect().map(_.getLong(0))
+    assert(mixed.forall(_ % 2 == 0), "stratum b not dropped")
+    assert(math.abs(mixed.length / 10000.0 - 0.5) < 0.03)
+  }
+
+  test("dropClusterDuplicates keeps exactly one canonical doc per cluster; " +
+       "crossContamination finds planted benchmark leakage") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),          // dup of 1
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),            // dup of 3
+      (5L, "totally unrelated content words here")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val surv = Dedup.dropClusterDuplicates(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 3L, 5L))
+    // contamination: corpus doc 11 embeds benchmark doc 20 verbatim
+    val corpus = Seq(
+      (11L, "prefix words one two three four five suffix words"),
+      (12L, "nothing shared with the benchmark at all")).toDF("doc_id", "text")
+    val bench = Seq((20L, "one two three four five")).toDF("doc_id", "text")
+    val hits = Dedup.crossContamination(corpus, bench, nGram = 2,
+        minContainment = 0.9, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(hits.length == 1 && hits(0)._1 == 11L && hits(0)._2 == 20L)
+    assert(hits(0)._3 == 1.0, s"containment ${hits(0)._3}")  // all 4 bigrams present
   }
 
   test("stored IVF index: write/read round-trips centroids + assignment; " +
