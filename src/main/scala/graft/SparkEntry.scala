@@ -383,6 +383,20 @@ object SparkEntry {
         .select("doc_id", "bench_id", "inter", "containment")
         .orderBy("doc_id", "bench_id")
     }),
+    "q_pipeline_clean" -> ((s, dir) => {    // the composed text-cleaning
+      // pipeline a training-data user actually runs: quality filter ->
+      // language filter -> cluster dedup -> deterministic sample; every
+      // stage individually oracle-proven, this gate pins the COMPOSITION
+      val slice = tbl(s, dir, "documents").where(col("doc_id") < 1000)
+      val scored = TextOps.withQuality(TextOps.withLangId(slice))
+      val filtered = scored.where(
+        col("quality_pts") >= 5000 && col("lang_pred") =!= "und")
+      val pairs = Dedup.minhashLshPortable(slice, nGram = 3, nHashes = 4,
+        bands = 4, threshold = 0.5, maxBucket = 0)
+      val deduped = Dedup.dropClusterDuplicates(filtered, pairs)
+      Sampling.hashSample(deduped, "doc_id", 0.5, salt = "clean")
+        .select("doc_id", "lang_pred", "quality_pts").orderBy("doc_id")
+    }),
     "q_simhash" -> ((s, dir) =>             // portable 60-bit simhash (oracle=SQL)
       Dedup.withSimhashPortable(tbl(s, dir, "documents"))
         .select("doc_id", "simhash").orderBy("doc_id")),
@@ -687,6 +701,28 @@ object SparkEntry {
     }.mkString(", ")
     val bestSql = "GREATEST(s_de, s_en, s_es, s_fr, s_it)"
     val caseSql = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    // shared quality-score pieces (q_quality and the composed pipeline)
+    def qualityCte(src: String) =
+      s"""qparts AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
+         |    CASE WHEN len(list_filter(string_split(text, ' '), t -> length(t) > 0)) > 0
+         |      THEN CAST(length(text) - len(list_filter(string_split(text, ' '), t -> length(t) > 0)) + 1 AS DOUBLE)
+         |           / len(list_filter(string_split(text, ' '), t -> length(t) > 0))
+         |      ELSE 0.0 END AS mean_word_len,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / GREATEST(length(text), 1) AS alpha_ratio,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |      / GREATEST(length(text), 1) AS punct_ratio,
+         |    CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS DOUBLE)
+         |      / GREATEST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)), 1) AS distinct_ratio
+         |  FROM $src)""".stripMargin
+    val qualityPtsSql =
+      """(CASE WHEN n_words BETWEEN 10 AND 10000 THEN 3000 ELSE 0 END +
+        |   CASE WHEN mean_word_len BETWEEN 2.5 AND 12.0 THEN 2000 ELSE 0 END +
+        |   CASE WHEN alpha_ratio > 0.6 THEN 2000 ELSE 0 END +
+        |   CASE WHEN punct_ratio < 0.2 THEN 1000 ELSE 0 END +
+        |   CAST(TRUNC(distinct_ratio * 2000) AS BIGINT))""".stripMargin
     // shared CTE chain of the portable MinHash-LSH pipeline on the bounded
     // 1000-doc slice (q_minhash_pairs and the q_dedup_clusters closure)
     val minhashPairCtes =
@@ -864,27 +900,9 @@ object SparkEntry {
           |    AS tokens_bpe
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_quality" ->
-        """WITH q AS (
-          |  SELECT doc_id,
-          |    len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_words,
-          |    CASE WHEN len(list_filter(string_split(text, ' '), t -> length(t) > 0)) > 0
-          |      THEN CAST(length(text) - len(list_filter(string_split(text, ' '), t -> length(t) > 0)) + 1 AS DOUBLE)
-          |           / len(list_filter(string_split(text, ' '), t -> length(t) > 0))
-          |      ELSE 0.0 END AS mean_word_len,
-          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-          |      / GREATEST(length(text), 1) AS alpha_ratio,
-          |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-          |      / GREATEST(length(text), 1) AS punct_ratio,
-          |    CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS DOUBLE)
-          |      / GREATEST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)), 1) AS distinct_ratio
-          |  FROM documents)
-          |SELECT doc_id, n_words,
-          |  (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 3000 ELSE 0 END +
-          |   CASE WHEN mean_word_len BETWEEN 2.5 AND 12.0 THEN 2000 ELSE 0 END +
-          |   CASE WHEN alpha_ratio > 0.6 THEN 2000 ELSE 0 END +
-          |   CASE WHEN punct_ratio < 0.2 THEN 1000 ELSE 0 END +
-          |   CAST(TRUNC(distinct_ratio * 2000) AS BIGINT)) AS quality_pts
-          |FROM q ORDER BY doc_id""".stripMargin,
+        s"""WITH ${qualityCte("documents")}
+           |SELECT doc_id, n_words, $qualityPtsSql AS quality_pts
+           |FROM qparts ORDER BY doc_id""".stripMargin,
       "q_lang_id" ->
         s"""WITH toks AS (
            |  SELECT doc_id, list_distinct(list_filter(
@@ -1030,6 +1048,37 @@ object SparkEntry {
           |       inter / greatest(nb, 1) AS containment
           |FROM j WHERE inter / greatest(nb, 1) >= 0.3
           |ORDER BY doc_id, bench_id""".stripMargin,
+      // the composed cleaning pipeline: quality >= 5000 pts AND a detected
+      // language AND not a non-canonical cluster member AND in the 50%
+      // deterministic sample — each stage the same SQL proven by its own
+      // gate, composed over the bounded slice
+      "q_pipeline_clean" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |prs AS (SELECT a_id, b_id FROM scored
+           |        WHERE inter / (na + nb - inter) >= 0.5),
+           |edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+           |          UNION SELECT b_id, a_id FROM prs),
+           |reach AS (SELECT src AS id, dst AS r FROM edges
+           |          UNION
+           |          SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+           |labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+           |toks AS (SELECT doc_id, list_distinct(list_filter(
+           |  string_split_regex(lower(text), '[^a-z]+'), t -> length(t) > 0)) AS words
+           |  FROM d),
+           |lsc AS (SELECT doc_id, $scoreSql FROM toks),
+           |lbest AS (SELECT doc_id, s_de, s_en, s_es, s_fr, s_it, $bestSql AS m FROM lsc),
+           |lang AS (SELECT doc_id, CASE WHEN m = 0 THEN 'und' $caseSql END AS lang_pred
+           |         FROM lbest),
+           |${qualityCte("d")},
+           |qual AS (SELECT doc_id, $qualityPtsSql AS quality_pts FROM qparts)
+           |SELECT d.doc_id, lang.lang_pred, qual.quality_pts
+           |FROM d JOIN lang ON lang.doc_id = d.doc_id
+           |       JOIN qual ON qual.doc_id = d.doc_id
+           |WHERE qual.quality_pts >= 5000 AND lang.lang_pred <> 'und'
+           |  AND d.doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+           |  AND CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'clean'), 1, 15)
+           |      AS BIGINT) % 10000 < 5000
+           |ORDER BY d.doc_id""".stripMargin,
       // near-dup clusters: connected components of the verified pair list
       // via a recursive reachability closure; label = component minimum
       "q_dedup_clusters" ->
