@@ -222,10 +222,25 @@ object Bench {
     System.err.println(f"[bench] flagship local[$nThreads]: $tN%.2f s; " +
       f"local[${nThreads * 4}]: $t4N%.2f s " +
       f"(pairs: ${pairs.map(p => f"${p._1}%.1f/${p._2}%.1f").mkString(", ")})")
-    val eff = (tN / t4N) / 4.0
+    // If the per-level minima never co-occurred plausibly (min/min ABOVE
+    // ideal: the N-level minimum is still steal-contaminated while 4N got a
+    // clean window), fall back to the MEDIAN of the genuinely paired
+    // ratios — each pair is measured back-to-back in one noise window, so
+    // its ratio is a real observation; the median resists steal in either
+    // direction. When min/min lands at or below ideal it is the truest
+    // estimate (both levels clean) and is used directly.
+    val minmin = tN / t4N
+    val ratios = pairs.map(p => p._1 / p._2).sorted
+    val ratio = if (minmin / 4.0 > 1.02) {
+      val med = ratios(ratios.size / 2)
+      System.err.println(f"[bench] min/min ${minmin / 4.0}%.3f implausible " +
+        f"(contaminated N minimum) -> median paired ratio $med%.2f")
+      med
+    } else minmin
+    val eff = ratio / 4.0
     // engine efficiency against the parallel capacity the host actually
     // delivered during this run (capped at the ideal 4x)
-    val effHwNorm = (tN / t4N) / math.min(4.0, hwSpeedup)
+    val effHwNorm = ratio / math.min(4.0, hwSpeedup)
     val thrN = BenchRows / tN
     val thr4N = BenchRows / t4N
 
