@@ -232,7 +232,10 @@ object Bench {
     val minmin = tN / t4N
     val ratios = pairs.map(p => p._1 / p._2).sorted
     val ratio = if (minmin / 4.0 > 1.02) {
-      val med = ratios(ratios.size / 2)
+      // true median (the fallback path always has the full even pair count;
+      // the upper-middle element alone would bias the estimate upward)
+      val med = if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+                else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
       System.err.println(f"[bench] min/min ${minmin / 4.0}%.3f implausible " +
         f"(contaminated N minimum) -> median paired ratio $med%.2f")
       med

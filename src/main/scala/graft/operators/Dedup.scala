@@ -252,12 +252,8 @@ object Dedup {
     val sh = docs.select(col("doc_id"), shingles(col("text"), nGram).as("_sh"))
       .withColumn("_size", size(col("_sh")))
     val postingsAll = sh.select(col("doc_id"), col("_size"), explode(col("_sh")).as("_s"))
-    val postings =
-      if (maxDocFreq <= 0) postingsAll
-      else postingsAll
-        .withColumn("_df", count(lit(1)).over(Window.partitionBy("_s")))
-        .where(col("_df") <= maxDocFreq)
-        .drop("_df")
+    // the stop-shingle cut IS the hot-bucket cap, keyed on the shingle
+    val postings = capBuckets(postingsAll, Seq("_s"), maxDocFreq)
     val a = postings.select(col("_s"), col("doc_id").as("a_id"), col("_size").as("_na"))
     val b = postings.select(col("_s"), col("doc_id").as("b_id"), col("_size").as("_nb"))
     a.join(b, "_s").where(col("a_id") < col("b_id"))
@@ -288,6 +284,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    var prev = labels
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -295,13 +292,30 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("_dl")), "dst")
         .groupBy("src").agg(min("_dl").as("_nmin"))
         .select(col("src").as("id"), col("_nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .withColumn("_new", least(col("label"), coalesce(col("_nmin"), col("label"))))
-        .localCheckpoint(true)
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("_nmin"), col("label"))).as("_m"))
+      // pointer jumping (path compression): also adopt the CURRENT label of
+      // one's label — convergence drops from O(diameter) to O(log diameter)
+      // rounds, so maxIters=20 covers any real component (2^20 diameter)
+      val updated = stepped
+        .join(labels.select(col("id").as("_lid"), col("label").as("_llab")),
+          stepped("_m") === col("_lid"), "left")
+        .select(col("id"), col("label"),
+          least(col("_m"), coalesce(col("_llab"), col("_m"))).as("_new"))
+        .localCheckpoint(true)   // EAGER: materialized here, so the previous
+      if (prev ne updated) prev.unpersist()   // round's blocks can go now
+      prev = updated
       changed = updated.where(col("_new") < col("label")).count()
       labels = updated.select(col("id"), col("_new").as("label"))
       i += 1
     }
+    edges.unpersist()
+    // truncated propagation would silently ship WRONG clusters (two
+    // "canonical" survivors in one component) — refuse instead
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(pathological component diameter); raise maxIters")
     labels.select(col("id"), col("label"))
   }
 
@@ -332,10 +346,7 @@ object Dedup {
                          maxDocFreq: Int = 100000): DataFrame = {
     val cp = corpus.select(col("doc_id"),
       explode(shingles(col("text"), nGram)).as("_s"))
-    val cpCut =
-      if (maxDocFreq <= 0) cp
-      else cp.withColumn("_df", count(lit(1)).over(Window.partitionBy("_s")))
-        .where(col("_df") <= maxDocFreq).drop("_df")
+    val cpCut = capBuckets(cp, Seq("_s"), maxDocFreq)   // stop-shingle cut
     val bp = benchmark
       .select(col("doc_id").as("bench_id"), shingles(col("text"), nGram).as("_sh"))
       .withColumn("_nb", size(col("_sh")))

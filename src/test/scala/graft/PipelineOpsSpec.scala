@@ -234,18 +234,21 @@ class PipelineOpsSpec extends SparkFunSuite {
   test("connectedComponents: chains, triangles and isolated pairs label " +
        "with their component minimum (canonical survivor)") {
     // components: chain 5-3-9-1 (min 1), triangle 20-21-22 (min 20),
-    // pair 11-10 (min 10); a long 8-node chain exercises multi-round
-    // propagation (diameter 7)
+    // pair 11-10 (min 10), an 8-node chain, and a 40-node chain whose
+    // diameter (39) exceeds the round cap — pointer jumping must converge
+    // in O(log diameter) rounds, not O(diameter)
     val chain8 = (30L to 37L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val chain40 = (100L to 139L).sliding(2).map(s => (s(1), s(0))).toSeq
     val pairs = (Seq((5L, 3L), (9L, 3L), (9L, 1L), (21L, 20L), (22L, 21L),
-      (20L, 22L), (11L, 10L)) ++ chain8).toDF("a_id", "b_id")
+      (20L, 22L), (11L, 10L)) ++ chain8 ++ chain40).toDF("a_id", "b_id")
     val labels = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 3L, 5L, 9L).forall(labels(_) == 1L), s"chain: $labels")
     assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L), s"triangle: $labels")
     assert(Seq(10L, 11L).forall(labels(_) == 10L), s"pair: $labels")
     assert((30L to 37L).forall(labels(_) == 30L), s"8-chain: $labels")
-    assert(labels.size == 17, "unexpected extra labeled nodes")
+    assert((100L to 139L).forall(labels(_) == 100L), s"40-chain: $labels")
+    assert(labels.size == 57, "unexpected extra labeled nodes")
   }
 
   test("hash sampling is deterministic, rate-accurate, insensitive to table " +
