@@ -32,6 +32,17 @@ object Sampling {
     df.where(hashBucket(col(idCol), salt) < math.round(rate * Buckets))
   }
 
+  /** FAST-path twin of [[hashSample]]: xxhash64 membership (codegen, no
+    * string md5 per row) — same determinism/growth-insensitivity contract,
+    * not oracle-checkable cross-engine (DuckDB lacks xxhash64; the md5
+    * variant is the gated one, same duality as minhash/simhash). */
+  def hashSampleFast(df: DataFrame, idCol: String, rate: Double,
+                     seed: Long = 0L): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0)
+    df.where(pmod(xxhash64(col(idCol), lit(seed)), lit(Buckets)) <
+      math.round(rate * Buckets))
+  }
+
   /** Stratified deterministic sampling — the data-mixing primitive: each
     * stratum keeps its own rate (e.g. {web -> 0.1, books -> 1.0}). Rows in
     * strata absent from `rates` are DROPPED (explicit mixing weights only;

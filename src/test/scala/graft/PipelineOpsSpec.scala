@@ -267,6 +267,13 @@ class PipelineOpsSpec extends SparkFunSuite {
       .collect().map(_.getLong(0)).toSet
     val overlap = kept.intersect(salted).size / 20000.0
     assert(math.abs(overlap - 0.09) < 0.02, s"salt overlap $overlap")   // ~rate^2
+    // fast path: same contracts (rate, determinism across growth)
+    val fast = Sampling.hashSampleFast(ids, "id", 0.3).collect()
+      .map(_.getLong(0)).toSet
+    assert(math.abs(fast.size / 20000.0 - 0.3) < 0.02)
+    val fastHalf = Sampling.hashSampleFast(ids.where(col("id") < 10000), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(fastHalf == fast.filter(_ < 10000))
     // stratified: per-stratum rates honored, absent strata dropped
     val st = ids.withColumn("s", when(col("id") % 2 === 0, "a").otherwise("b"))
     val mixed = Sampling.stratifiedSample(st, "id", col("s"), Map("a" -> 0.5))
