@@ -275,6 +275,14 @@ object Dedup {
    * localCheckpointed so the plan does not grow with iterations. Documents
    * with no pair at all are not emitted (they are their own cluster).
    * Returns (id, label).
+   *
+   * Cache hygiene: the final labels are persisted to a scratch parquet and
+   * read back, and EVERY iteration checkpoint is unpersisted before
+   * returning — repeated clustering calls leave zero blocks pinned for the
+   * session lifetime (a pipeline at scale calls this per corpus shard).
+   * Scratch location: `spark.graft.scratchDir` (default: the JVM temp dir;
+   * point it at shared storage — HDFS/S3 — on a multi-node cluster). The
+   * scratch files are deleted at FileSystem shutdown.
    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -313,10 +321,22 @@ object Dedup {
     edges.unpersist()
     // truncated propagation would silently ship WRONG clusters (two
     // "canonical" survivors in one component) — refuse instead
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds " +
-        "(pathological component diameter); raise maxIters")
-    labels.select(col("id"), col("label"))
+    if (changed > 0) {
+      prev.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(pathological component diameter); raise maxIters")
+    }
+    // materialize the result OFF the checkpoint blocks, then release them
+    val spark = pairs.sparkSession
+    val scratch = spark.conf.get("spark.graft.scratchDir",
+      System.getProperty("java.io.tmpdir") + "/graft_scratch") +
+      s"/cc_${java.util.UUID.randomUUID()}"
+    labels.select(col("id"), col("label")).write.parquet(scratch)
+    prev.unpersist()
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    spark.read.parquet(scratch)
   }
 
   /** Corpus -> deduplicated corpus: drop every document labeled with a

@@ -85,47 +85,61 @@ object Knn {
     // neighbor within ~64 cell extents, which on any real dataset is a
     // handful of queries, so the remaining fallback is a bounded rarity.
     // Candidate-table cap: the disk cells are DRIVER-materialized and
-    // broadcast, so a round whose |unresolved| x (2r+1)^2 would exceed the
-    // cap is skipped (wide rings only ever run for few stragglers; many
-    // unresolved queries fall through to the bounded distributed fallback
-    // instead of OOMing the driver)
+    // broadcast, so each PROBE is bounded to maxCandRows rows. A round
+    // whose |unresolved| x (2r+1)^2 exceeds the cap is CHUNKED into
+    // cap-sized probe jobs (at r=1 the chunk holds ~444k queries, so huge
+    // query sets still resolve through the cheap pruned path); only when a
+    // round would need more than maxChunks probes is it skipped — those
+    // queries fall through to later rounds or the bounded distributed
+    // fallback instead of OOMing the driver or flooding the scheduler.
     val maxCandRows = 4000000L
-    for (r <- Seq(1, 4, 16, 64)
-         if unresolved.nonEmpty &&
-           unresolved.size.toLong * (2L * r + 1) * (2L * r + 1) <= maxCandRows) {
-      val diskCells = unresolved.map { q =>
-        q -> CellIndex.disk(CellIndex.xBin(q.lon), CellIndex.yBin(q.lat), r)
-      }
-      val cand = diskCells.flatMap { case (q, cells) =>
-        cells.map(c => (q.qid, q.lon, q.lat, c))
-      }.toDF("qid", "qlon", "qlat", "cell")
-      // partition pruning: the disk cells' coarse Morton prefixes as a
-      // literal predicate — Catalyst turns it into PartitionFilters, so the
-      // probe scans only the touched directories, never the whole table
-      val probe =
-        if (!hasPCell) points
-        else {
-          val pCells = diskCells.iterator.flatMap(_._2)
-            .map(c => CellIndex.coarseCellOfGrid(c, pRes)).toSeq.distinct
-          points.where(col("p_cell").isin(pCells: _*))
+    val maxChunks = 16
+    for (r <- Seq(1, 4, 16, 64) if unresolved.nonEmpty) {
+      val diskSize = (2L * r + 1) * (2L * r + 1)
+      val chunkLen = math.max(1L, maxCandRows / diskSize).toInt
+      val nChunks = (unresolved.size.toLong + chunkLen - 1) / chunkLen
+      if (nChunks <= maxChunks) {
+        val resolvedThisRound = Set.newBuilder[Long]
+        for (chunk <- unresolved.grouped(chunkLen)) {
+          val diskCells = chunk.map { q =>
+            q -> CellIndex.disk(CellIndex.xBin(q.lon), CellIndex.yBin(q.lat), r)
+          }
+          val cand = diskCells.flatMap { case (q, cells) =>
+            cells.map(c => (q.qid, q.lon, q.lat, c))
+          }.toDF("qid", "qlon", "qlat", "cell")
+          // partition pruning: the disk cells' coarse Morton prefixes as a
+          // literal predicate — Catalyst turns it into PartitionFilters, so
+          // the probe scans only the touched directories, never the whole
+          // table
+          val probe =
+            if (!hasPCell) points
+            else {
+              val pCells = diskCells.iterator.flatMap(_._2)
+                .map(c => CellIndex.coarseCellOfGrid(c, pRes)).toSeq.distinct
+              points.where(col("p_cell").isin(pCells: _*))
+            }
+          val topk = probe
+            .join(broadcast(cand), "cell")
+            .withColumn("dist", distCol)
+            .withColumn("rank", row_number().over(w))
+            .where(col("rank") <= k)
+            .select(col("qid"), col("qlat"), col("id"), col("dist"), col("rank"))
+            .collect()                       // one evaluation per chunk
+          // resolution check: k-th neighbor inside the guarantee radius
+          val byQ = topk.groupBy(_.getLong(0))
+          val resolved = byQ.collect {
+            case (qid, rows) if rows.length >= k &&
+              rows.map(_.getDouble(3)).max <= diskBoundMeters(rows.head.getDouble(1), r) => qid
+          }.toSet
+          if (resolved.nonEmpty) {
+            topk.filter(r0 => resolved(r0.getLong(0))).foreach(r0 => resolvedRows +=
+              ((r0.getLong(0), r0.getLong(2), r0.getDouble(3), r0.getInt(4))))
+            resolvedThisRound ++= resolved
+          }
         }
-      val topk = probe
-        .join(broadcast(cand), "cell")
-        .withColumn("dist", distCol)
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select(col("qid"), col("qlat"), col("id"), col("dist"), col("rank"))
-        .collect()                       // one evaluation per round
-      // resolution check: k-th neighbor inside the guarantee radius
-      val byQ = topk.groupBy(_.getLong(0))
-      val resolved = byQ.collect {
-        case (qid, rows) if rows.length >= k &&
-          rows.map(_.getDouble(3)).max <= diskBoundMeters(rows.head.getDouble(1), r) => qid
-      }.toSet
-      if (resolved.nonEmpty) {
-        topk.filter(r0 => resolved(r0.getLong(0))).foreach(r0 => resolvedRows +=
-          ((r0.getLong(0), r0.getLong(2), r0.getDouble(3), r0.getInt(4))))
-        unresolved = unresolved.filterNot(q => resolved(q.qid))
+        val resolvedSet = resolvedThisRound.result()
+        if (resolvedSet.nonEmpty)
+          unresolved = unresolved.filterNot(q => resolvedSet(q.qid))
       }
     }
 

@@ -25,14 +25,15 @@ object StreamingIngest {
 
   /** Micro-batch geocoded ingest: srcDir (parquet files arriving over time)
     * -> derive cells/tiles -> partitioned parquet. Trigger.AvailableNow
-    * drains everything currently present and stops — callable per "minute".
-    * If destDir is ALSO maintained by [[diffSync]], call
-    * [[invalidateCellIndex]] after each drain: rows appended here are
-    * unknown to the diff-merge's id -> p_cell index. */
+    * drains everything currently present and stops — callable per "minute";
+    * the returned query has already terminated. The diff-merge id -> p_cell
+    * index is invalidated automatically after the drain (rows appended here
+    * are unknown to it; a stale index would silently mis-target later
+    * deletes — same auto-invalidation the batch writers have). */
   def ingestOnce(spark: SparkSession, srcDir: String, destDir: String,
                  checkpointDir: String): StreamingQuery = {
     val stream = spark.readStream.schema(imagesSchema).parquet(srcDir)
-    ImageTable.derive(stream)
+    val q = ImageTable.derive(stream)
       .writeStream
       .format("parquet")
       .option("path", destDir)
@@ -40,6 +41,9 @@ object StreamingIngest {
       .partitionBy("p_cell")
       .trigger(Trigger.AvailableNow())
       .start()
+    q.awaitTermination()
+    invalidateCellIndex(spark, destDir)
+    q
   }
 
   /**
@@ -270,6 +274,17 @@ object StreamingIngest {
       .collect()
       .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
       .toSet
+    // CRASH GUARD: the store overwrite below and the index rewrite further
+    // down are two non-atomic writes. Drop the index META first — a caller
+    // (batch diff application has no checkpoint replay) dying between the
+    // two writes then leaves an index that FAILS the meta check, forcing
+    // the next batch's bootstrap rebuild instead of trusting entries that
+    // no longer match the store (an id upserted by the crashed batch would
+    // be absent from the stale index, so a later delete of it would resolve
+    // no affected cell and silently survive). Meta is re-written only after
+    // the index rewrite succeeds.
+    val metaP = new org.apache.hadoop.fs.Path(idxPath(tablePath), "_meta.json")
+    if (fs.exists(metaP)) fs.delete(metaP, false)
     val t0 = System.nanoTime()
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")   // per-write, no session leak
@@ -302,9 +317,10 @@ object StreamingIngest {
       val d = new org.apache.hadoop.fs.Path(s"${idxPath(tablePath)}/idx_b=$b")
       if (fs.exists(d)) fs.delete(d, true)
     }
-    // first batch on a fresh table creates the index without a bootstrap:
-    // record its bucket count too
-    if (readIdxBuckets(fs, tablePath).isEmpty) writeIdxMeta(fs, tablePath, idxBuckets)
+    // index rewrite complete and consistent with the store: (re-)commit the
+    // meta (it was dropped above as the crash guard; a fresh table's first
+    // batch records its bucket count here too)
+    writeIdxMeta(fs, tablePath, idxBuckets)
 
     // ---- snapshot lineage patch (only when the table HAS a log) --------------
     // rewritten leaves get fresh lineage; every parent leaf under an
