@@ -122,11 +122,22 @@ object Plans {
         fmt(Similarity.ivfTopK(stored, cents2, q, 10, nprobe = 4))
       },
       "language id (linear argmax: ONE word-array materialization, 5 score " +
-        "columns, array_max/array_position — not the exponential when-fold)" -> {
+        "columns, array_max/array_position — not the exponential when-fold; " +
+        "parquet-backed so the plan shows the real FileScan + three Projects " +
+        "instead of a ConvertToLocalRelation-pre-evaluated LocalTableScan)" -> {
         import spark.implicits._
-        val docs = Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"))
-          .toDF("doc_id", "text")
-        fmt(TextOps.withLangId(docs).select("doc_id", "lang_pred"))
+        val ddir = s"$dir/langid_docs"
+        Seq((1L, "the cat and the dog"), (2L, "der hund und die katze"))
+          .toDF("doc_id", "text").write.parquet(ddir)
+        fmt(TextOps.withLangId(spark.read.parquet(ddir))
+          .select("doc_id", "lang_pred"))
+      },
+      "refined bbox extract over the stored planet (expect the per-way bin " +
+        "BOUNDS ranges as PushedFilters on the ways scan — only ways whose " +
+        "bound rects touch the bbox are exploded, never the whole table; " +
+        "the reference's vex.c:883 single-cell-index TODO, fixed)" -> {
+        val stored = PlanetExtract.readTables(spark, s"$dir/planet_store")
+        fmt(PlanetExtract.bboxRefined(stored, b))
       })
 
     val md = new StringBuilder("# PLANS — physical-plan evidence\n\n")

@@ -230,6 +230,27 @@ object SparkEntry {
         .select(col("kind"), col("id"), col("cell").cast("long").as("cell"))
         .orderBy("kind", "id")
     }),
+    "q_way_bounds" -> ((s, dir) => {        // per-way bin bounds (ingest
+      // metadata behind the refined-extract pruning): min/max xbin/ybin
+      // over ALL of each way's refs, recomputed by DuckDB from the same
+      // derived planet
+      val t = derivedPlanet(s, dir)
+      t.ways.select(col("id"),
+          col("xbin_min").cast("long").as("xbin_min"),
+          col("xbin_max").cast("long").as("xbin_max"),
+          col("ybin_min").cast("long").as("ybin_min"),
+          col("ybin_max").cast("long").as("ybin_max"))
+        .orderBy("id")
+    }),
+    "q_bbox_refined" -> ((s, dir) => {      // refined extract (the engine
+      // extension fixing the reference's vex.c:883 TODO): nodes strictly
+      // inside the bbox; ways touching it via ANY node — reached through
+      // the per-way bound prefilter, never a full refs explode
+      val t = derivedPlanet(s, dir)
+      PlanetExtract.bboxRefined(t, qBox)
+        .select(col("kind"), col("id"), col("cell").cast("long").as("cell"))
+        .orderBy("kind", "id")
+    }),
     // ---- joins & dedup shapes (J2/J3/J7) --------------------------------------
     "q_join_expand" -> ((s, dir) => {       // J2: 1:N expansion join
       val o = tbl(s, dir, "orders")
@@ -294,6 +315,31 @@ object SparkEntry {
         .orderBy(desc("weight"), col("w")).limit(100)
         .select("w", "n", "weight")
     }),
+    "q_role_stats" -> ((s, dir) => {        // F5 role codec census
+      // (tagstats.py:84-99): roles drawn from a fixed 8-entry list by
+      // rid — dictionary hits, unknown roles (collapse to [OTHER]), and
+      // the strict prefix quirks ("out" -> outer, "s" -> south,
+      // "" -> forward); fixed and strict modes emitted side by side
+      val roleList = Seq("outer", "inner", "from", "via",
+        "unknown_role", "out", "s", "")
+      val rl = array(roleList.map(lit): _*)
+      val relsRaw = eventPoints(s, dir)
+        .select((col("event_id") + 1).as("id"))
+        .where(pmod(col("id"), lit(7)) === 0)
+        .select((col("id") / 7).cast("long").as("rid"))
+        .select(col("rid"), array(
+          struct(element_at(rl, pmod(col("rid"), lit(8)).cast("int") + 1).as("role"),
+                 lit(0).cast("byte").as("mtype"), (col("rid") * 7 - 6).as("ref")),
+          struct(element_at(rl, pmod(col("rid") + 3, lit(8)).cast("int") + 1).as("role"),
+                 lit(0).cast("byte").as("mtype"), (col("rid") * 7 - 3).as("ref")))
+          .as("members"))
+      graft.functions.TagDict.roleStats(relsRaw, strict = false)
+        .withColumn("mode", lit("fixed"))
+        .unionByName(graft.functions.TagDict.roleStats(relsRaw, strict = true)
+          .withColumn("mode", lit("strict")))
+        .select("mode", "role", "n")
+        .orderBy("mode", "role")
+    }),
     "q_window_rank" -> ((s, dir) => {       // §2.5 window/top-k per key
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("l_suppkey")
@@ -323,6 +369,28 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
                 col("quality_pts"))
         .orderBy("doc_id")),
+    "q_repetition" -> ((s, dir) =>          // Gopher-style repetition
+      // signals as pure integer counts (cross-engine exact): total/top
+      // word and bigram occurrence counts per document
+      TextOps.repetitionStats(tbl(s, dir, "documents"))
+        .select("doc_id", "n_words", "top_word_n", "n_bigrams", "top_bigram_n")
+        .orderBy("doc_id")),
+    "q_pii" -> ((s, dir) => {               // PII census + redaction over
+      // deterministically planted email/phone/IP strings (every 10th doc);
+      // counts AND the md5 of the redacted text are oracle-checked
+      val planted = tbl(s, dir, "documents").withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(" mail u"), col("doc_id").cast("string"),
+            lit("@ex.com tel 555-0142 ip 10.0.0.7")))
+          .otherwise(col("text")))
+      TextOps.withPii(planted)
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          md5(col("text_redacted")).as("red_md5"))
+        .orderBy("doc_id")
+    }),
     "q_lang_id" -> ((s, dir) =>
       TextOps.withLangId(tbl(s, dir, "documents"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
@@ -371,6 +439,12 @@ object SparkEntry {
           salt = "mix")
         .select("doc_id", "st").orderBy("doc_id")
     }),
+    "q_sample_fast" -> ((s, dir) =>         // rows-only (xxhash64-threshold
+      // membership is not SQL-able in DuckDB; the md5 twin q_sample_mix is
+      // the oracle-checked sibling of the same shape) — deterministic, so
+      // the row set is stable across runs and scales
+      Sampling.hashSampleFast(tbl(s, dir, "documents"), "doc_id", 0.3, seed = 7L)
+        .select("doc_id").orderBy("doc_id")),
     "q_decontaminate" -> ((s, dir) => {     // benchmark decontamination:
       // containment of "benchmark" docs (even ids) in "corpus" docs (odd
       // ids) via the shingle-postings join, exact (no df cut) on the
@@ -1030,6 +1104,106 @@ object SparkEntry {
           |WHERE bkt < (CASE st WHEN 'short' THEN 1000
           |             WHEN 'medium' THEN 5000 ELSE 10000 END)
           |ORDER BY doc_id""".stripMargin,
+      // per-way bin bounds: min/max bins over each way's 5-node ref run,
+      // recomputed with a generate_series join
+      "q_way_bounds" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |nodes AS (SELECT event_id + 1 AS id,
+           |  $xbinSql AS xbin, $ybinSql AS ybin FROM pts),
+           |ways AS (SELECT id // 5 AS wid, id AS last_id FROM nodes WHERE id % 5 = 0),
+           |refs AS (SELECT wid, unnest(generate_series(last_id - 4, last_id)) AS ref
+           |         FROM ways)
+           |SELECT r.wid AS id,
+           |  min(n.xbin) AS xbin_min, max(n.xbin) AS xbin_max,
+           |  min(n.ybin) AS ybin_min, max(n.ybin) AS ybin_max
+           |FROM refs r JOIN nodes n ON n.id = r.ref
+           |GROUP BY r.wid ORDER BY id""".stripMargin,
+      // refined extract: nodes strictly inside the bbox; a way is in iff
+      // ANY of its refs is an in-box node (the bound prefilter is
+      // conservative, so the oracle needs only the exact semantics)
+      "q_bbox_refined" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |nodes AS (SELECT event_id + 1 AS id, lon, lat,
+           |  $xbinSql AS xbin, $ybinSql AS ybin FROM pts),
+           |cells AS (SELECT id, xbin * 16384 + ybin AS cell FROM nodes),
+           |nin AS (SELECT n.id, c.cell FROM nodes n JOIN cells c ON c.id = n.id
+           |        WHERE n.lon >= ${qBox.minLon} AND n.lon <= ${qBox.maxLon}
+           |          AND n.lat >= ${qBox.minLat} AND n.lat <= ${qBox.maxLat}),
+           |ways AS (SELECT id // 5 AS wid, id AS last_id FROM nodes WHERE id % 5 = 0),
+           |win AS (SELECT DISTINCT w.wid, fc.cell FROM ways w
+           |        JOIN cells fc ON fc.id = w.last_id - 4
+           |        JOIN nin ON nin.id BETWEEN w.last_id - 4 AND w.last_id)
+           |SELECT 'node' AS kind, id, cell FROM nin
+           |UNION ALL SELECT 'way', wid, cell FROM win
+           |ORDER BY kind, id""".stripMargin,
+      // F5 role census: the oracle maps each synthesized role index to its
+      // canonical form independently from the reference dictionary
+      // (tags.c:294-316) — fixed = exact match or [OTHER]; strict = the
+      // prefix compare in scan order ("out"->outer, "s"->south,
+      // ""->forward)
+      "q_role_stats" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |rids AS (SELECT (event_id + 1) // 7 AS rid FROM pts
+           |         WHERE (event_id + 1) % 7 = 0),
+           |m AS (SELECT rid % 8 AS i FROM rids
+           |      UNION ALL SELECT (rid + 3) % 8 FROM rids),
+           |canon AS (SELECT
+           |  CASE i WHEN 0 THEN 'outer' WHEN 1 THEN 'inner' WHEN 2 THEN 'from'
+           |         WHEN 3 THEN 'via' ELSE '[OTHER]' END AS fixed_role,
+           |  CASE i WHEN 0 THEN 'outer' WHEN 1 THEN 'inner' WHEN 2 THEN 'from'
+           |         WHEN 3 THEN 'via' WHEN 4 THEN '[OTHER]' WHEN 5 THEN 'outer'
+           |         WHEN 6 THEN 'south' WHEN 7 THEN 'forward' END AS strict_role
+           |  FROM m)
+           |SELECT 'fixed' AS mode, fixed_role AS role, count(*) AS n
+           |FROM canon GROUP BY 2
+           |UNION ALL SELECT 'strict', strict_role, count(*) FROM canon GROUP BY 2
+           |ORDER BY mode, role""".stripMargin,
+      // repetition census: total/top occurrence counts of words and
+      // word-bigrams (bigrams NON-distinct; DuckDB range() is
+      // end-exclusive, list slicing 1-based)
+      "q_repetition" ->
+        """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          |  t -> length(t) > 0) AS w FROM documents),
+          |wt AS (SELECT doc_id, t, count(*) AS c FROM
+          |  (SELECT doc_id, unnest(w) AS t FROM ws) GROUP BY doc_id, t),
+          |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+          |       CAST(max(c) AS BIGINT) AS top_word_n FROM wt GROUP BY doc_id),
+          |bt AS (SELECT doc_id, g, count(*) AS c FROM
+          |  (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          |     i -> w[i] || ' ' || w[i + 1])) AS g FROM ws) GROUP BY doc_id, g),
+          |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |       CAST(max(c) AS BIGINT) AS top_bigram_n FROM bt GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  COALESCE(wa.n_words, 0) AS n_words,
+          |  COALESCE(wa.top_word_n, 0) AS top_word_n,
+          |  COALESCE(ba.n_bigrams, 0) AS n_bigrams,
+          |  COALESCE(ba.top_bigram_n, 0) AS top_bigram_n
+          |FROM documents d
+          |LEFT JOIN wa ON wa.doc_id = d.doc_id
+          |LEFT JOIN ba ON ba.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+      // PII census + redaction: same planting, same patterns (restricted
+      // to syntax Java regex and RE2 read identically), same email ->
+      // phone -> ipv4 replacement order
+      "q_pii" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b[0-9]{3}-[0-9]{4}\\b"
+        val ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+        s"""WITH planted AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 10 = 0
+           |    THEN text || ' mail u' || CAST(doc_id AS VARCHAR) ||
+           |         '@ex.com tel 555-0142 ip 10.0.0.7'
+           |    ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$email', 0)) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$phone', 0)) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(text, '$ipv4', 0)) AS BIGINT) AS n_ipv4,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$email', '<PII>', 'g'), '$phone', '<PII>', 'g'),
+           |    '$ipv4', '<PII>', 'g')) AS red_md5
+           |FROM planted ORDER BY doc_id""".stripMargin
+      },
       // decontamination: benchmark-in-corpus containment over 2-gram
       // shingle postings (odd ids = corpus, even ids = benchmark)
       "q_decontaminate" ->

@@ -183,4 +183,19 @@ object TagDict {
   /** Apply the load-time tag pipeline to a planet table. */
   def withCleanTags(df: DataFrame, strict: Boolean = false): DataFrame =
     df.withColumn("tags", cleanTags(col("tags"), strict))
+
+  /** Relation-role frequency table (the tagstats.py:84-99 role census):
+    * explode members, run each role through the LOSSY F5 round-trip
+    * (encode_role -> decode_role — roles outside the 20-entry dictionary
+    * collapse to "[OTHER]"), group by canonical role. strict replicates
+    * the reference's prefix compare (a role that is a PREFIX of a
+    * dictionary entry matches the first such entry in scan order, e.g.
+    * "out" -> "outer", "" -> "forward"). Returns (role, n). */
+  def roleStats(relations: DataFrame,
+                strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{count, explode, lit}
+    relations.select(explode(col("members")).as("m"))
+      .select(canonicalRole(col("m").getField("role"), strict).as("role"))
+      .groupBy("role").agg(count(lit(1)).as("n"))
+  }
 }

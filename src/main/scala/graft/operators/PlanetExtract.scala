@@ -49,11 +49,26 @@ object PlanetExtract {
     // exactly one cell, vex.c:511 + TODO vex.c:883)
     val firstNodeCell = nodes.select(col("id").as("_fn_id"),
                                      col("cell").as("_fn_cell"))
+    // per-way bin BOUNDS over ALL refs — the pruning metadata that fixes the
+    // reference's acknowledged single-cell way index limitation (vex.c:883
+    // TODO): [[bboxRefined]] pre-filters ways on bbox-overlap of these
+    // bounds instead of exploding every way's refs per extract. One
+    // aggregate over the ref explode, paid once at ingest. Dangling refs
+    // contribute nothing (inner join); a way with NO resolvable ref gets
+    // null bounds — it has no geometry and can never match a refined
+    // extract.
+    val wayBounds = waysRaw.select(col("id"), explode(col("refs")).as("_r"))
+      .join(nodes.select(col("id").as("_r"), col("xbin").as("_bx"),
+        col("ybin").as("_by")), "_r")
+      .groupBy("id")
+      .agg(min("_bx").as("xbin_min"), max("_bx").as("xbin_max"),
+           min("_by").as("ybin_min"), max("_by").as("ybin_max"))
     val ways = withBins(
       waysRaw.withColumn("_first_ref", element_at(col("refs"), 1))
         .join(firstNodeCell, col("_first_ref") === col("_fn_id"), "left"),
       coalesce(col("_fn_cell"), lit(0)))   // absent node => zeroed coord => cell 0
       .drop("_first_ref", "_fn_id", "_fn_cell")
+      .join(wayBounds, Seq("id"), "left")
 
     // J6: relation anchor. mtype: 0=node, 1=way, 2=relation.
     val m1 = element_at(col("members"), 1)
@@ -304,14 +319,38 @@ object PlanetExtract {
   def writeExtract(extract: DataFrame, path: String): Unit =
     extract.write.mode("overwrite").partitionBy("kind").parquet(path)
 
+  /** bbox-overlap predicate over the per-way bin bounds columns written by
+    * [[ingest]] — true iff the way's bound rectangle intersects any cover
+    * rect of `b`. Conservative by construction: a way with a node inside
+    * the bbox has that node's bins inside its bounds, so it always
+    * overlaps. Null bounds (no resolvable refs) fail the comparison and
+    * are dropped — such ways have no geometry to match. */
+  def wayBoundsOverlap(b: BBox): Column =
+    CellIndex.coverRects(b).map { case ((x0, x1), (y0, y1)) =>
+      col("xbin_min") <= x1 && col("xbin_max") >= x0 &&
+        col("ybin_min") <= y1 && col("ybin_max") >= y0
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
   /** Engine-extension extract: cell pruning THEN exact refinement — nodes
-    * strictly inside the bbox, ways intersecting it via any node. */
+    * strictly inside the bbox, ways intersecting it via any node.
+    *
+    * Scale path: ways are PRE-FILTERED on the stored per-way bin bounds
+    * ([[wayBoundsOverlap]]) before their refs are exploded — plain column
+    * range predicates that push to the parquet scan (row-group min/max
+    * skipping), so a planet-scale refined extract explodes only the ways
+    * whose bound rectangles touch the bbox, never the whole table. The
+    * exact semi-join against the in-box nodes remains the decider; the
+    * bound filter only shrinks its input. Tables ingested before bounds
+    * existed (no xbin_min column) fall back to the full explode. */
   def bboxRefined(t: PlanetTables, b: BBox): DataFrame = {
     val inBox = col("lon") >= b.minLon && col("lon") <= b.maxLon &&
                 col("lat") >= b.minLat && col("lat") <= b.maxLat
     val nodesIn = t.nodes.where(bboxPredicate(b)).where(inBox)
     val nodeIds = nodesIn.select(col("id").as("_nid"))
-    val waysIn = t.ways
+    val waysPruned =
+      if (t.ways.columns.contains("xbin_min")) t.ways.where(wayBoundsOverlap(b))
+      else t.ways
+    val waysIn = waysPruned
       .select(col("*"), explode(col("refs")).as("_ref"))
       .join(nodeIds, col("_ref") === col("_nid"), "left_semi")
       .dropDuplicates("id")

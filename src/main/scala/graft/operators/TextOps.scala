@@ -105,6 +105,75 @@ object TextOps {
       .withColumn("quality", col("quality_pts") / 10000.0)
   }
 
+  // ---- repetition / boilerplate signals ---------------------------------------
+
+  /**
+   * Per-document repetition counts (the Gopher-style repetition quality
+   * filters restated as integers so they are cross-engine exact): total
+   * word occurrences, occurrence count of the MOST FREQUENT word, total
+   * word-bigram occurrences, and occurrence count of the most frequent
+   * bigram. A document dominated by one repeated phrase has
+   * top_bigram_n / n_bigrams near 1 — callers derive the fractions and
+   * thresholds. Returns (doc_id, n_words, top_word_n, n_bigrams,
+   * top_bigram_n); empty documents yield all zeros.
+   *
+   * Shape: one explode + two-level hash aggregate per unit (map-side
+   * combined partial counts keyed on (doc_id, token) — never a window,
+   * never a per-doc collect), so it scales with corpus size.
+   */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), " +"), w => length(w) > 0)
+    val base = docs.select(col("doc_id"), words.as("_w"))
+    // bigrams NON-distinct (repetition is about multiplicity); guard the
+    // size<2 case — sequence(1, 0) would DESCEND, not produce empty
+    val bigrams = when(size(col("_w")) >= 2,
+      transform(sequence(lit(1), size(col("_w")) - 1),
+        i => concat_ws(" ", element_at(col("_w"), i), element_at(col("_w"), i + 1))))
+      .otherwise(array())
+    def counted(tokens: DataFrame, totalName: String, topName: String) =
+      tokens.groupBy("doc_id", "_t").agg(count(lit(1)).as("_c"))
+        .groupBy("doc_id")
+        .agg(sum("_c").as(totalName), max("_c").as(topName))
+    val w = counted(base.select(col("doc_id"), explode(col("_w")).as("_t")),
+      "n_words", "top_word_n")
+    val g = counted(base.select(col("doc_id"), explode(bigrams).as("_t")),
+      "n_bigrams", "top_bigram_n")
+    docs.select(col("doc_id"))
+      .join(w, Seq("doc_id"), "left").join(g, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("top_word_n"), lit(0L)).as("top_word_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
+
+  // ---- PII detection / redaction ----------------------------------------------
+
+  /** Conservative ASCII PII patterns, deliberately restricted to syntax
+    * both Java regex and RE2 interpret identically (no backrefs, no
+    * lookaround): email, NNN-NNNN phone fragments, dotted-quad IPv4. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Replace every PII match with a sentinel. Applied email -> phone ->
+    * ipv4 (fixed order: redaction must be deterministic for fingerprint
+    * stability). Pure column expressions — pushes into the scan projection. */
+  def redactPii(text: Column): Column = {
+    val r1 = regexp_replace(text, EmailRe, "<PII>")
+    val r2 = regexp_replace(r1, PhoneRe, "<PII>")
+    regexp_replace(r2, Ipv4Re, "<PII>")
+  }
+
+  /** PII census + redaction: per-document match counts for each pattern
+    * plus the redacted text — the standard pre-training scrub stage. */
+  def withPii(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails", size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
+      .withColumn("n_ipv4", size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))))
+      .withColumn("text_redacted", redactPii(col("text")))
+
   // ---- fingerprinting ---------------------------------------------------------
 
   /** Rolling polynomial hash over word hashes (Rabin-Karp flavored):

@@ -417,4 +417,51 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(overlap(sk(10L), sk(200L)) > 0.5)     // planted near-dup
     assert(overlap(sk(30L), sk(40L)) < 0.3)      // unrelated
   }
+
+  test("repetitionStats matches brute force; repeated phrase dominates bigrams") {
+    val crafted = Seq(
+      (900L, "spam ham spam ham spam ham spam ham"),  // one bigram dominates
+      (901L, "all words here are completely distinct"),
+      (902L, ""),                                      // empty -> all zeros
+      (903L, "solo")).toDF("doc_id", "text")           // one word, no bigram
+    val input = docs.unionByName(crafted)
+    val got = TextOps.repetitionStats(input).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // brute force over the same rows
+    val rows = docRows ++ Seq(900L -> "spam ham spam ham spam ham spam ham",
+      901L -> "all words here are completely distinct", 902L -> "", 903L -> "solo")
+    rows.foreach { case (id, text) =>
+      val w = text.split(" +").filter(_.nonEmpty)
+      val bg = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      def top(ts: Seq[String]) =
+        if (ts.isEmpty) 0L else ts.groupBy(identity).values.map(_.size).max.toLong
+      assert(got(id) == (w.length.toLong, top(w.toSeq), bg.length.toLong, top(bg)),
+        s"doc $id: got ${got(id)}")
+    }
+    // the planted spam/ham doc: 7 bigrams, "spam ham" appears 4 times
+    assert(got(900L) == (8L, 4L, 7L, 4L))
+    assert(got(902L) == (0L, 0L, 0L, 0L))
+  }
+
+  test("PII census counts planted identifiers and redaction removes them all") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@mail.example.org or 555-0199 thanks"),
+      (2L, "server at 192.168.1.254 and 10.0.0.7 no mail"),
+      (3L, "clean text with no identifiers at all"),
+      (4L, "a@b.io c@d.net 111-2222 333-4444 1.2.3.4")).toDF("doc_id", "text")
+    val got = TextOps.withPii(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
+          r.getAs[Int]("n_ipv4")), r.getAs[String]("text_redacted"))).toMap
+    assert(got(1L)._1 == ((1, 1, 0)), got(1L).toString)
+    assert(got(2L)._1 == ((0, 0, 2)))
+    assert(got(3L)._1 == ((0, 0, 0)))
+    assert(got(4L)._1 == ((2, 2, 1)))
+    assert(got(3L)._2 == "clean text with no identifiers at all")
+    // redacted text has zero remaining matches for any pattern
+    val re = TextOps.withPii(TextOps.withPii(df)
+      .select(col("doc_id"), col("text_redacted").as("text")))
+    assert(re.where(col("n_emails") + col("n_phones") + col("n_ipv4") > 0).count() == 0)
+  }
 }

@@ -169,4 +169,40 @@ class PlanetExtractSpec extends SparkFunSuite {
     val expectWays = planet.ways.filter(_.refs.exists(inBox)).map(_.id).toSet
     assert(wayIds == expectWays)
   }
+
+  test("per-way bin bounds match brute force over each way's resolvable refs") {
+    val nodeBins = planet.nodes.map(n =>
+      n.id -> (CellIndex.xBin(n.lon), CellIndex.yBin(n.lat))).toMap
+    val expect = planet.ways.flatMap { w =>
+      val bins = w.refs.flatMap(nodeBins.get)
+      if (bins.isEmpty) None
+      else Some(w.id -> (bins.map(_._1).min, bins.map(_._1).max,
+                         bins.map(_._2).min, bins.map(_._2).max))
+    }.toMap
+    val got = tFixed.ways
+      .select("id", "xbin_min", "xbin_max", "ybin_min", "ybin_max")
+      .where($"xbin_min".isNotNull)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(got == expect)
+    // a way with only dangling refs carries null bounds
+    assert(tFixed.ways.count() == planet.ways.size)
+  }
+
+  test("refined extract through the bound prefilter equals the full-explode " +
+       "path, and the prefilter actually prunes") {
+    val b = bboxes(0)._2
+    val pruned = rowSet(PlanetExtract.bboxRefined(tFixed, b))
+    // force the legacy full-explode path by hiding the bounds columns
+    val noBounds = PlanetExtract.PlanetTables(tFixed.nodes,
+      tFixed.ways.drop("xbin_min", "xbin_max", "ybin_min", "ybin_max"),
+      tFixed.relations)
+    val full = rowSet(PlanetExtract.bboxRefined(noBounds, b))
+    assert(pruned == full)
+    // the bound filter must shrink the exploded input for a small bbox
+    val kept = tFixed.ways.where(PlanetExtract.wayBoundsOverlap(b)).count()
+    assert(kept < tFixed.ways.count(), s"prefilter kept all $kept ways")
+    assert(kept >= pruned.count(_._1 == "way"))
+  }
 }

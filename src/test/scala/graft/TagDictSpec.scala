@@ -104,4 +104,23 @@ class TagDictSparkSpec extends SparkFunSuite {
       assert(got(id) == graft.functions.TagDict.processTags(tags), s"id=$id")
     }
   }
+
+  test("roleStats: lossy F5 census in fixed and strict (prefix-quirk) modes") {
+    import org.apache.spark.sql.functions.{col, struct, lit, array}
+    def mem(role: String) = struct(lit(role).as("role"),
+      lit(0).cast("byte").as("mtype"), lit(1L).as("ref"))
+    val rels = Seq(1L, 2L).toDF("id").select(col("id"), array(
+      mem("outer"), mem("inner"), mem("unknown_role"), mem("out"),
+      mem("s"), mem("")).as("members"))
+    def census(strict: Boolean) =
+      graft.functions.TagDict.roleStats(rels, strict).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fixed: exact dictionary match or [OTHER]
+    assert(census(strict = false) ==
+      Map("outer" -> 2L, "inner" -> 2L, "[OTHER]" -> 8L))
+    // strict: "out" is a prefix of "outer"; "s" matches "south" (first
+    // s-entry in scan order); "" matches "forward" (prefix of everything)
+    assert(census(strict = true) == Map("outer" -> 4L, "inner" -> 2L,
+      "south" -> 2L, "forward" -> 2L, "[OTHER]" -> 2L))
+  }
 }
