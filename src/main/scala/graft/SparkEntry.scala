@@ -391,6 +391,19 @@ object SparkEntry {
           md5(col("text_redacted")).as("red_md5"))
         .orderBy("doc_id")
     }),
+    "q_chunk" -> ((s, dir) =>               // context-window chunking: 16-word
+      // windows, 4-word overlap; chunk text pinned cross-engine via md5
+      TextOps.chunkDocs(tbl(s, dir, "documents"), chunkWords = 16, overlap = 4)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"),
+          col("n_chunk_words").cast("long").as("n_chunk_words"))
+        .orderBy("doc_id", "chunk_id")),
+    "q_corpus_stats" -> ((s, dir) =>        // per-language corpus report with
+      // EXACT rank-based median (portable: rank selection, not engine-
+      // specific percentile interpolation)
+      TextOps.corpusStats(tbl(s, dir, "documents"))
+        .select("lang_pred", "n_docs", "total_words", "median_words", "max_words")
+        .orderBy("lang_pred")),
     "q_lang_id" -> ((s, dir) =>
       TextOps.withLangId(tbl(s, dir, "documents"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
@@ -1104,6 +1117,43 @@ object SparkEntry {
           |WHERE bkt < (CASE st WHEN 'short' THEN 1000
           |             WHEN 'medium' THEN 5000 ELSE 10000 END)
           |ORDER BY doc_id""".stripMargin,
+      // chunking: 16-word windows, step 12; DuckDB list slice l[a:b] is
+      // 1-based INCLUSIVE and clamps past the end, matching Spark slice
+      "q_chunk" ->
+        """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          |  t -> length(t) > 0) AS w FROM documents),
+          |nc AS (SELECT doc_id, w,
+          |  CASE WHEN len(w) <= 16 THEN 1
+          |       ELSE 1 + (len(w) - 16 + 11) // 12 END AS n FROM ws),
+          |ch AS (SELECT doc_id, w, unnest(range(0, n)) AS chunk_id FROM nc),
+          |sl AS (SELECT doc_id, chunk_id,
+          |  w[chunk_id * 12 + 1 : chunk_id * 12 + 16] AS c FROM ch)
+          |SELECT doc_id, chunk_id, md5(array_to_string(c, ' ')) AS chunk_md5,
+          |       CAST(len(c) AS BIGINT) AS n_chunk_words
+          |FROM sl ORDER BY doc_id, chunk_id""".stripMargin,
+      // per-language corpus stats; median = rank (n+1)//2 by (n_words,
+      // doc_id) — exact in both engines, no percentile interpolation
+      "q_corpus_stats" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, text, list_distinct(list_filter(
+           |    string_split_regex(lower(text), '[^a-z]+'), t -> length(t) > 0)) AS words
+           |  FROM documents),
+           |scored AS (SELECT doc_id, text, $scoreSql FROM toks),
+           |best AS (SELECT doc_id, text, s_de, s_en, s_es, s_fr, s_it,
+           |         $bestSql AS m FROM scored),
+           |lang AS (SELECT doc_id,
+           |  CASE WHEN m = 0 THEN 'und' $caseSql END AS lang_pred,
+           |  CAST(len(list_filter(string_split(text, ' '),
+           |    t -> length(t) > 0)) AS BIGINT) AS n_words FROM best),
+           |r AS (SELECT lang_pred, doc_id, n_words,
+           |  row_number() OVER (PARTITION BY lang_pred ORDER BY n_words, doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY lang_pred) AS cnt FROM lang)
+           |SELECT lang_pred, count(*) AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS total_words,
+           |  CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN n_words END) AS BIGINT)
+           |    AS median_words,
+           |  CAST(max(n_words) AS BIGINT) AS max_words
+           |FROM r GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
       // per-way bin bounds: min/max bins over each way's 5-node ref run,
       // recomputed with a generate_series join
       "q_way_bounds" ->

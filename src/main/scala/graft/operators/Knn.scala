@@ -59,11 +59,13 @@ object Knn {
    *   (PartitionFilters in the plan) instead of a full-table scan per round.
    * @param pRes resolution of the `p_cell` column when present (the
    *   ImageTable.DefaultPRes layout is 5).
+   * @param maxCandRows cap on broadcast candidate rows per probe job (disk
+   *   cells are driver-materialized); rounds needing more are chunked.
    * @return (qid, id, dist, rank) — exactly k rows per query (fewer iff the
    *   whole table has < k rows).
    */
   def knn(points: DataFrame, queries: Seq[Query], k: Int,
-          pRes: Int = 5): DataFrame = {
+          pRes: Int = 5, maxCandRows: Long = 4000000L): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     require(k >= 1)
@@ -92,7 +94,6 @@ object Knn {
     // round would need more than maxChunks probes is it skipped — those
     // queries fall through to later rounds or the bounded distributed
     // fallback instead of OOMing the driver or flooding the scheduler.
-    val maxCandRows = 4000000L
     val maxChunks = 16
     for (r <- Seq(1, 4, 16, 64) if unresolved.nonEmpty) {
       val diskSize = (2L * r + 1) * (2L * r + 1)

@@ -147,6 +147,64 @@ object TextOps {
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
   }
 
+  // ---- chunking ---------------------------------------------------------------
+
+  /**
+   * Split each document into fixed-size word windows with overlap — the
+   * training-data chunking step (context-window packing). Chunk i covers
+   * words [i*(chunkWords-overlap), i*(chunkWords-overlap) + chunkWords);
+   * the last chunk may be short; a document with <= chunkWords words (or
+   * zero) yields exactly one chunk. Returns one row per chunk:
+   * (all doc columns, chunk_id, chunk_text, n_chunk_words).
+   *
+   * Pure column expressions + one explode — no shuffle, no UDF; the
+   * generate scales with output size and pushes through the scan.
+   */
+  def chunkDocs(docs: DataFrame, chunkWords: Int, overlap: Int): DataFrame = {
+    require(chunkWords > 0 && overlap >= 0 && overlap < chunkWords)
+    val step = chunkWords - overlap
+    val words = filter(split(col("text"), " +"), w => length(w) > 0)
+    val base = docs.withColumn("_w", words)
+    // integer ceil((n - chunkWords) / step) on the >chunkWords branch; the
+    // arithmetic stays integral (Spark `/` would widen to double)
+    val nChunks = when(size(col("_w")) <= chunkWords, lit(1))
+      .otherwise(lit(1) +
+        floor((size(col("_w")) - chunkWords + step - 1) / lit(step)).cast("int"))
+    base
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("_chunk",
+        slice(col("_w"), col("chunk_id") * step + 1, lit(chunkWords)))
+      .withColumn("chunk_text", concat_ws(" ", col("_chunk")))
+      .withColumn("n_chunk_words", size(col("_chunk")))
+      .drop("_w", "_chunk")
+  }
+
+  // ---- corpus statistics ------------------------------------------------------
+
+  /**
+   * Per-language corpus report: document count, total word occurrences,
+   * exact LOWER-MEDIAN and max document word count. The median is the
+   * rank-(n+1)/2 element by (n_words, doc_id) — window arithmetic, exact
+   * and identical in any engine (percentile functions differ in
+   * interpolation across engines, rank selection does not). One window
+   * partitioned by language + one aggregate.
+   */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = withLangId(docs)
+      .withColumn("n_words", tokenCountWs(col("text")).cast("long"))
+    val w = Window.partitionBy("lang_pred").orderBy(col("n_words"), col("doc_id"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("lang_pred")))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        max(when(col("_rn") === floor((col("_cnt") + 1) / 2).cast("int"),
+          col("n_words"))).as("median_words"),
+        max("n_words").as("max_words"))
+  }
+
   // ---- PII detection / redaction ----------------------------------------------
 
   /** Conservative ASCII PII patterns, deliberately restricted to syntax

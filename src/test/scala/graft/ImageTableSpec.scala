@@ -165,5 +165,11 @@ class ImageTableSpec extends SparkFunSuite {
       }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
       assert(got(q.qid) == brute, s"qid=${q.qid}")
     }
+    // a candidate cap small enough to force CHUNKED rounds (each probe job
+    // bounded, several per round) must return the identical neighbor lists
+    val chunked = Knn.knn(pts, queries, k, maxCandRows = 40).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    assert(chunked == got, "chunked rounds diverged from unchunked")
   }
 }

@@ -444,6 +444,56 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(got(902L) == (0L, 0L, 0L, 0L))
   }
 
+  test("chunkDocs: window/overlap arithmetic matches brute force, round-trips " +
+       "content, and degenerate docs yield one chunk") {
+    val crafted = Seq(
+      (910L, (1 to 40).map(i => s"w$i").mkString(" ")),   // 40 words
+      (911L, (1 to 16).map(i => s"w$i").mkString(" ")),   // exactly one window
+      (912L, "only three words"),
+      (913L, "")).toDF("doc_id", "text")
+    val input = docs.unionByName(crafted)
+    val got = TextOps.chunkDocs(input, chunkWords = 16, overlap = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        (r.getAs[String]("chunk_text"), r.getAs[Int]("n_chunk_words"))).toMap
+    val rows = docRows ++ Seq(910L -> (1 to 40).map(i => s"w$i").mkString(" "),
+      911L -> (1 to 16).map(i => s"w$i").mkString(" "),
+      912L -> "only three words", 913L -> "")
+    rows.foreach { case (id, text) =>
+      val w = text.split(" +").filter(_.nonEmpty)
+      val n = if (w.length <= 16) 1 else 1 + math.ceil((w.length - 16) / 12.0).toInt
+      val expect = (0 until n).map(i => w.slice(i * 12, i * 12 + 16))
+      expect.zipWithIndex.foreach { case (c, i) =>
+        assert(got((id, i)) == (c.mkString(" "), c.length), s"doc $id chunk $i")
+      }
+      assert(!got.contains((id, n)), s"doc $id emitted extra chunk")
+      // every word occurs in some chunk; consecutive chunks share `overlap`
+      if (w.nonEmpty) assert(expect.flatten.toSet == w.toSet)
+    }
+    assert(got((913L, 0)) == ("", 0))
+  }
+
+  test("corpusStats: per-language counts, totals and exact lower median " +
+       "match brute force") {
+    val input = Seq(
+      (1L, "the cat and the dog sat"),                    // en, 6 words
+      (2L, "the fox is quick and that is that"),          // en, 8
+      (3L, "the end of it is near and far for now"),      // en, 10
+      (4L, "der hund und die katze"),                     // de, 5
+      (5L, "xyzzy plugh qwerty")).toDF("doc_id", "text")  // und, 3
+    val got = TextOps.corpusStats(input).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got("en") == (3L, 24L, 8L, 10L), got("en").toString)  // median of 6,8,10
+    assert(got("de") == (1L, 5L, 5L, 5L))
+    assert(got("und") == (1L, 3L, 3L, 3L))
+    // even-count stratum takes the LOWER median: ranks (n+1)/2 = 2 of 4
+    val even = input.unionByName(Seq((6L, "the a of to in is that for " +
+      "with was and more words here now")).toDF("doc_id", "text"))
+    val g2 = TextOps.corpusStats(even).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(g2("en") == 8L)   // word counts 6,8,10,15 -> lower median 8
+  }
+
   test("PII census counts planted identifiers and redaction removes them all") {
     val df = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org or 555-0199 thanks"),
