@@ -276,23 +276,27 @@ object Dedup {
    * with no pair at all are not emitted (they are their own cluster).
    * Returns (id, label).
    *
-   * Cache hygiene: the final labels are persisted to a scratch parquet and
-   * read back, and EVERY iteration checkpoint is unpersisted before
-   * returning — repeated clustering calls leave zero blocks pinned for the
-   * session lifetime (a pipeline at scale calls this per corpus shard).
+   * Cache hygiene: iteration state is persisted through
+   * `GraftBridge.persistedCopy`, which (unlike `localCheckpoint`) returns
+   * the backing RDD handle — each superseded round is released
+   * DETERMINISTICALLY the moment its successor materializes, and the final
+   * labels are written to a scratch parquet and read back before the last
+   * handle is dropped, so repeated clustering calls leave ZERO blocks
+   * pinned (localCheckpoint blocks answer only to the GC-driven
+   * ContextCleaner — the round-3 session-storage accumulation defect).
    * Scratch location: `spark.graft.scratchDir` (default: the JVM temp dir;
    * point it at shared storage — HDFS/S3 — on a multi-node cluster). The
    * scratch files are deleted at FileSystem shutdown.
    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct()
-      .localCheckpoint(true)   // the pair list may be expensive; compute once
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var prev = labels
+    import org.apache.spark.sql.classic.GraftBridge.persistedCopy
+    val (edges, edgesRdd) = persistedCopy(      // the pair list may be
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))   // expensive;
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .distinct())                            // compute once
+    var (labels, labelsRdd) = persistedCopy(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -306,34 +310,34 @@ object Dedup {
       // pointer jumping (path compression): also adopt the CURRENT label of
       // one's label — convergence drops from O(diameter) to O(log diameter)
       // rounds, so maxIters=20 covers any real component (2^20 diameter)
-      val updated = stepped
+      val (updated, updatedRdd) = persistedCopy(stepped
         .join(labels.select(col("id").as("_lid"), col("label").as("_llab")),
           stepped("_m") === col("_lid"), "left")
         .select(col("id"), col("label"),
-          least(col("_m"), coalesce(col("_llab"), col("_m"))).as("_new"))
-        .localCheckpoint(true)   // EAGER: materialized here, so the previous
-      if (prev ne updated) prev.unpersist()   // round's blocks can go now
-      prev = updated
+          least(col("_m"), coalesce(col("_llab"), col("_m"))).as("_new")))
+      labelsRdd.unpersist(false)   // superseded; successor is materialized
+      labelsRdd = updatedRdd
       changed = updated.where(col("_new") < col("label")).count()
       labels = updated.select(col("id"), col("_new").as("label"))
       i += 1
     }
-    edges.unpersist()
+    edgesRdd.unpersist(true)   // blocking: the post-call cache state is
+                               // part of the contract (zero pinned blocks)
     // truncated propagation would silently ship WRONG clusters (two
     // "canonical" survivors in one component) — refuse instead
     if (changed > 0) {
-      prev.unpersist()
+      labelsRdd.unpersist(true)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           "(pathological component diameter); raise maxIters")
     }
-    // materialize the result OFF the checkpoint blocks, then release them
+    // materialize the result OFF the persisted blocks, then release them
     val spark = pairs.sparkSession
     val scratch = spark.conf.get("spark.graft.scratchDir",
       System.getProperty("java.io.tmpdir") + "/graft_scratch") +
       s"/cc_${java.util.UUID.randomUUID()}"
     labels.select(col("id"), col("label")).write.parquet(scratch)
-    prev.unpersist()
+    labelsRdd.unpersist(true)
     val p = new org.apache.hadoop.fs.Path(scratch)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
     spark.read.parquet(scratch)
