@@ -484,6 +484,12 @@ object SparkEntry {
       Sampling.hashSample(deduped, "doc_id", 0.5, salt = "clean")
         .select("doc_id", "lang_pred", "quality_pts").orderBy("doc_id")
     }),
+    "q_dup_passages" -> ((s, dir) =>        // verbatim-span detection: every
+      // 8-word window shared by >= 2 docs, with doc/occurrence counts
+      Dedup.duplicatePassages(tbl(s, dir, "documents"), windowWords = 8)
+        .select(md5(col("passage")).as("passage_md5"), col("n_docs"),
+          col("n_occ"), col("min_doc"))
+        .orderBy("passage_md5")),
     "q_simhash" -> ((s, dir) =>             // portable 60-bit simhash (oracle=SQL)
       Dedup.withSimhashPortable(tbl(s, dir, "documents"))
         .select("doc_id", "simhash").orderBy("doc_id")),
@@ -1117,6 +1123,18 @@ object SparkEntry {
           |WHERE bkt < (CASE st WHEN 'short' THEN 1000
           |             WHEN 'medium' THEN 5000 ELSE 10000 END)
           |ORDER BY doc_id""".stripMargin,
+      // duplicate passages: 8-word stride-1 windows in >= 2 docs
+      "q_dup_passages" ->
+        """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          |  t -> length(t) > 0) AS w FROM documents),
+          |wins AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+          |  THEN list_transform(range(1, len(w) - 8 + 2),
+          |       i -> array_to_string(w[i:i+7], ' '))
+          |  ELSE [] END) AS p FROM ws),
+          |g AS (SELECT p, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+          |      min(doc_id) AS min_doc FROM wins GROUP BY p)
+          |SELECT md5(p) AS passage_md5, n_docs, n_occ, min_doc
+          |FROM g WHERE n_docs >= 2 ORDER BY passage_md5""".stripMargin,
       // chunking: 16-word windows, step 12; DuckDB list slice l[a:b] is
       // 1-based INCLUSIVE and clamps past the end, matching Spark slice
       "q_chunk" ->

@@ -356,6 +356,36 @@ object Dedup {
   }
 
   /**
+   * Exact duplicate-PASSAGE detection — the verbatim-span primitive of
+   * substring-level corpus dedup: every `windowWords`-word window (stride
+   * 1, full windows only) that occurs in >= 2 distinct documents, with its
+   * document count, total occurrence count, and lowest containing doc id.
+   * Unlike the shingle-set ops above this keeps MULTIPLICITY and position
+   * coverage: a boilerplate footer repeated across a corpus surfaces here
+   * even when whole-document similarity is low.
+   *
+   * Shape: one explode (n-W+1 windows per doc) + one hash aggregate keyed
+   * on the window text — map-side partial aggregation collapses repeats
+   * before the shuffle, and the output is bounded by DISTINCT duplicated
+   * windows, never by the pair count. Returns
+   * (passage, n_docs, n_occ, min_doc).
+   */
+  def duplicatePassages(docs: DataFrame, windowWords: Int = 8): DataFrame = {
+    require(windowWords >= 1)
+    val words = filter(split(col("text"), " +"), w => length(w) > 0)
+    val wins = when(size(col("_w")) >= windowWords,
+      transform(sequence(lit(1), size(col("_w")) - windowWords + 1),
+        i => concat_ws(" ", slice(col("_w"), i, lit(windowWords)))))
+      .otherwise(array())
+    docs.select(col("doc_id"), words.as("_w"))
+      .select(col("doc_id"), explode(wins).as("passage"))
+      .groupBy("passage")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+           min("doc_id").as("min_doc"))
+      .where(col("n_docs") >= 2)
+  }
+
+  /**
    * Cross-corpus n-gram contamination — the benchmark-decontamination
    * primitive: for each (corpus doc, benchmark doc) pair sharing at least
    * one shingle, the CONTAINMENT of the benchmark doc in the corpus doc

@@ -494,6 +494,35 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(g2("en") == 8L)   // word counts 6,8,10,15 -> lower median 8
   }
 
+  test("duplicatePassages finds exactly the brute-force shared windows with " +
+       "correct multiplicities") {
+    val crafted = Seq(
+      (920L, "x boiler plate footer text y unique920 tail words here"),
+      (921L, "z boiler plate footer text q unique921 other tail stuff"),
+      (922L, "boiler plate footer text boiler plate footer text pad0 pad1"),
+      (923L, "short one")).toDF("doc_id", "text")
+    val w = 4
+    val got = Dedup.duplicatePassages(docs.unionByName(crafted), windowWords = w)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // brute force over the same corpus
+    val rows = docRows ++ Seq(920L -> "x boiler plate footer text y unique920 tail words here",
+      921L -> "z boiler plate footer text q unique921 other tail stuff",
+      922L -> "boiler plate footer text boiler plate footer text pad0 pad1",
+      923L -> "short one")
+    val occ = rows.flatMap { case (id, text) =>
+      val ws = text.split(" +").filter(_.nonEmpty)
+      ws.sliding(w).filter(_.length == w).map(win => (win.mkString(" "), id))
+    }
+    val expect = occ.groupBy(_._1).collect {
+      case (p, os) if os.map(_._2).distinct.size >= 2 =>
+        p -> (os.map(_._2).distinct.size.toLong, os.size.toLong, os.map(_._2).min)
+    }.toMap
+    assert(got == expect)
+    // the planted footer: docs 920/921/922, with 922 contributing TWO occurrences
+    assert(got("boiler plate footer text") == (3L, 4L, 920L))
+  }
+
   test("PII census counts planted identifiers and redaction removes them all") {
     val df = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org or 555-0199 thanks"),
