@@ -147,18 +147,27 @@ object Bench {
 
   /** Multi-file mirror of an sf dir under /tmp: each single-row-group
     * driver table rewritten as `parts` parquet files so scans parallelize
-    * (see class doc). Built once, reused across runs. */
+    * (see class doc). Rebuilt whenever the SOURCE fingerprint (file names,
+    * sizes, mtimes) changes — a regenerated testdata dir must never be
+    * benchmarked against a stale mirror. */
   private def mirrorSfDir(spark: SparkSession, sfDir: String, parts: Int): String = {
     val dst = "/tmp/graft_bench_mirror_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (!Files.exists(Paths.get(dst, "_MIRROR_OK"))) {
+    val srcFiles = new java.io.File(sfDir).listFiles().toSeq.sortBy(_.getName)
+      .filter(_.getName.endsWith(".parquet"))
+    val fingerprint = srcFiles
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}:$parts")
+      .mkString("\n")
+    val okFile = Paths.get(dst, "_MIRROR_OK")
+    val fresh = Files.exists(okFile) &&
+      new String(Files.readAllBytes(okFile), "UTF-8") == fingerprint
+    if (!fresh) {
       new java.io.File(dst).mkdirs()
-      for (f <- new java.io.File(sfDir).listFiles().toSeq.sortBy(_.getName)
-           if f.getName.endsWith(".parquet")) {
+      for (f <- srcFiles) {
         spark.read.parquet(f.toString).repartition(parts)
           .write.mode("overwrite").parquet(s"$dst/${f.getName}")
         System.err.println(s"[bench] mirrored ${f.getName} -> $parts files")
       }
-      Files.write(Paths.get(dst, "_MIRROR_OK"), Array.empty[Byte])
+      Files.write(okFile, fingerprint.getBytes("UTF-8"))
     }
     dst
   }
@@ -241,14 +250,19 @@ object Bench {
     val results =
       if (scalingOnly) Seq.empty[(String, Double, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        def once(): Double = time {
-          try fn(spark, benchDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-        }._1
+        // a failed gate records -1 (NOT its failure wall time — that would
+        // silently deflate the judge-facing total while looking green)
+        def once(): Double = {
+          val (sec, ok) = time {
+            try { fn(spark, benchDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          }
+          if (ok) sec else -1.0
+        }
         val cold = once()
         val warm = once()
-        val best = math.min(cold, warm)
+        val best = if (cold < 0 || warm < 0) -1.0 else math.min(cold, warm)
         System.err.println(f"[bench] $name%-24s cold $cold%8.2f s  warm $warm%8.2f s")
         (name, cold, best)
       }
@@ -370,9 +384,15 @@ object Bench {
 
     // append to BENCH.md for the judge (best effort)
     try {
-      // each embedded row doubles its leading pipe: stripMargin consumes one
-      val pipelineRows = pipeline.map { case (n, r) =>
-        f"|| pipeline $n | ${r}%.0f |" }.mkString("\n")
+      // stripMargin strips one leading pipe per LINE OF THE TEMPLATE, not
+      // per embedded line — so the interpolation must sit at the start of
+      // an unmargined template line, with every embedded row carrying its
+      // own single pipe. An empty row set emits a placeholder row (a blank
+      // line would terminate the markdown table).
+      val pipelineRows =
+        if (pipeline.isEmpty) "| pipeline tier | not measured (scaling-only run) |"
+        else pipeline.map { case (n, r) => f"| pipeline $n | ${r}%.0f |" }
+          .mkString("\n")
       val md =
         f"""
            |## Bench run (${java.time.Instant.now()})
@@ -385,8 +405,9 @@ object Bench {
            |
            || metric | value |
            ||---|---|
-           |$pipelineRows
-           || queries total (${results.size} queries, warm, $sfDir) | $total%.1f s |
+           |""".stripMargin +
+        pipelineRows + "\n" +
+        f"""|| queries total (${results.size} queries, warm, $sfDir) | $total%.1f s |
            || flagship tiling+extract ($BenchRows rows), local[$nThreads] (N) | $tN%.2f s (${thrN / 1e6}%.2f M rows/s) |
            || flagship tiling+extract, local[${nThreads * 4}] (4N) | $t4N%.2f s (${thr4N / 1e6}%.2f M rows/s) |
            || scaling efficiency (T_N/T_4N)/4 | $eff%.3f (target >= 0.8) |

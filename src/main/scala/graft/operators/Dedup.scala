@@ -58,13 +58,22 @@ object Dedup {
           col("_band.t").as("_t"), col("_band.sig").as("_sig")),
       Seq("_t", "_sig"), maxBucket)
 
+  /** THE whitespace tokenizer: non-empty runs between spaces. This exact
+    * expression is cross-engine-parity-critical — every DuckDB oracle twin
+    * restates it as `list_filter(string_split(text, ' '), t -> len(t)>0)`
+    * — so every operator that tokenizes words MUST use this one helper
+    * (shingles, simhash, passages, token counts, repetition, chunking);
+    * changing the separator class here means changing every oracle too. */
+  private[operators] def wsWords(text: Column): Column =
+    filter(split(text, " +"), w => length(w) > 0)
+
   /** Word n-gram shingles of `text`, as a deduplicated array column.
     * Empty words are filtered BEFORE shingling so leading/repeated spaces
     * can never leak into a shingle — this makes the construction exactly
     * `string_split(text, ' ')` + filter in ANSI SQL for ANY spacing, which
     * the DuckDB oracles replicate. */
   def shingles(text: Column, n: Int): Column = {
-    val words = filter(split(text, " +"), w => length(w) > 0)
+    val words = wsWords(text)
     array_distinct(filter(
       transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))),
@@ -174,8 +183,7 @@ object Dedup {
     * sums, NOT 64 re-walks of the token array. */
   def withSimhash(docs: DataFrame): DataFrame = {
     val tokens = docs.select(col("doc_id"),
-      explode(array_distinct(filter(split(col("text"), " +"),
-        w => length(w) > 0))).as("_w"))
+      explode(array_distinct(wsWords(col("text")))).as("_w"))
       .withColumn("_h", xxhash64(col("_w")))
     val voteCols = (0 until 64).map(i =>
       sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, 1)
@@ -218,8 +226,7 @@ object Dedup {
     * ([[withSimhash]]). Same one-explode + 60-map-side-combined-sums shape. */
   def withSimhashPortable(docs: DataFrame): DataFrame = {
     val tokens = docs.select(col("doc_id"),
-      explode(array_distinct(filter(split(col("text"), " +"),
-        w => length(w) > 0))).as("_w"))
+      explode(array_distinct(wsWords(col("text")))).as("_w"))
       .withColumn("_h", conv(substring(md5(col("_w")), 1, 15), 16, 10).cast("long"))
     val voteCols = (0 until 60).map(i =>
       sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, 1)
@@ -285,8 +292,10 @@ object Dedup {
    * pinned (localCheckpoint blocks answer only to the GC-driven
    * ContextCleaner — the round-3 session-storage accumulation defect).
    * Scratch location: `spark.graft.scratchDir` (default: the JVM temp dir;
-   * point it at shared storage — HDFS/S3 — on a multi-node cluster). The
-   * scratch files are deleted at FileSystem shutdown.
+   * point it at shared storage — HDFS/S3 — on a multi-node cluster). One
+   * `cc_<uuid>` result dir remains per call (the returned frame reads it);
+   * deleted at FileSystem shutdown, or earlier via
+   * [[purgeClusterScratch]] once returned frames are consumed.
    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.sql.classic.GraftBridge.persistedCopy
@@ -343,6 +352,22 @@ object Dedup {
     spark.read.parquet(scratch)
   }
 
+  /** Delete every clustering scratch result under the configured scratch
+    * dir. [[connectedComponents]] leaves one `cc_<uuid>` parquet per call —
+    * the RETURNED frame reads it, and deleteOnExit only cleans at JVM
+    * shutdown, so a long-lived service clustering per batch accumulates
+    * result files. Call this once no previously returned label frame is
+    * still being consumed. */
+  def purgeClusterScratch(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val base = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.graft.scratchDir",
+        System.getProperty("java.io.tmpdir") + "/graft_scratch"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base))
+      fs.listStatus(base).filter(_.getPath.getName.startsWith("cc_"))
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
   /** Corpus -> deduplicated corpus: drop every document labeled with a
     * cluster minimum other than itself (the cluster minimum is the
     * canonical survivor). `pairs` can come from ANY near-dup detector
@@ -372,7 +397,7 @@ object Dedup {
    */
   def duplicatePassages(docs: DataFrame, windowWords: Int = 8): DataFrame = {
     require(windowWords >= 1)
-    val words = filter(split(col("text"), " +"), w => length(w) > 0)
+    val words = wsWords(col("text"))
     val wins = when(size(col("_w")) >= windowWords,
       transform(sequence(lit(1), size(col("_w")) - windowWords + 1),
         i => concat_ws(" ", slice(col("_w"), i, lit(windowWords)))))

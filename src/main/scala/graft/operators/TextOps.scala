@@ -13,8 +13,7 @@ object TextOps {
 
   /** Whitespace token count (split semantics identical in ANSI SQL:
     * consecutive separators yield empty tokens which are filtered). */
-  def tokenCountWs(text: Column): Column =
-    size(filter(split(text, " "), t => length(t) > 0))
+  def tokenCountWs(text: Column): Column = size(Dedup.wsWords(text))
 
   /** BPE-ish subword count: alternating letter-runs / digit-runs /
     * punctuation chars, each letter-run charged ceil(len/4) tokens
@@ -80,7 +79,7 @@ object TextOps {
   /** Composite quality heuristics: length band, mean word length band,
     * alpha ratio, punctuation ratio, repetition (distinct/total words). */
   def withQuality(docs: DataFrame): DataFrame = {
-    val words = filter(split(col("text"), " "), t => length(t) > 0)
+    val words = Dedup.wsWords(col("text"))
     docs
       .withColumn("n_words", size(words))
       .withColumn("mean_word_len",
@@ -122,7 +121,7 @@ object TextOps {
    * never a per-doc collect), so it scales with corpus size.
    */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val words = filter(split(col("text"), " +"), w => length(w) > 0)
+    val words = Dedup.wsWords(col("text"))
     val base = docs.select(col("doc_id"), words.as("_w"))
     // bigrams NON-distinct (repetition is about multiplicity); guard the
     // size<2 case — sequence(1, 0) would DESCEND, not produce empty
@@ -163,7 +162,7 @@ object TextOps {
   def chunkDocs(docs: DataFrame, chunkWords: Int, overlap: Int): DataFrame = {
     require(chunkWords > 0 && overlap >= 0 && overlap < chunkWords)
     val step = chunkWords - overlap
-    val words = filter(split(col("text"), " +"), w => length(w) > 0)
+    val words = Dedup.wsWords(col("text"))
     val base = docs.withColumn("_w", words)
     // integer ceil((n - chunkWords) / step) on the >chunkWords branch; the
     // arithmetic stays integral (Spark `/` would widen to double)

@@ -494,6 +494,24 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(g2("en") == 8L)   // word counts 6,8,10,15 -> lower median 8
   }
 
+  test("connectedComponents pins zero blocks after return and " +
+       "purgeClusterScratch clears the scratch results") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // no NEW blocks pinned by the call (the suite itself caches fixtures)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pinned by connectedComponents: $leaked")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir") + "/graft_scratch")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(base).exists(_.getPath.getName.startsWith("cc_")))
+    Dedup.purgeClusterScratch(spark)
+    assert(!fs.listStatus(base).exists(_.getPath.getName.startsWith("cc_")))
+  }
+
   test("duplicatePassages finds exactly the brute-force shared windows with " +
        "correct multiplicities") {
     val crafted = Seq(
