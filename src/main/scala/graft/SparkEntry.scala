@@ -612,6 +612,22 @@ object SparkEntry {
       Raster.imageNearDup(df, maxHamming = 6)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
+    "q_image_dedup_corpus" -> ((s, dir) => {  // rows-only composite (image
+      // bytes not SQL-able; oracle-checked sibling of the same clustering
+      // shape = q_dedup_corpus): pHash near-dup pairs -> connected
+      // components -> canonical survivors only. The 30 planted re-encodes
+      // cluster with their sources, so exactly the 120 base images (plus
+      // any re-encode whose id sorts below its source — none do) survive.
+      import s.implicits._
+      val df = s.range(150).mapPartitions(_.map { i =>
+        if (i < 120) (f"img_$i%04d", Fixtures.makeTexturedPng(i))
+        else { val j = i - 120
+               (f"re_$j%04d", Raster.reencodeJpeg(Fixtures.makeTexturedPng(j), 0.9f)) }
+      }).toDF("image_id", "bytes")
+      val pairs = Raster.imageNearDup(df, maxHamming = 6)
+      Dedup.dropClusterDuplicates(df.select("image_id"), pairs, idCol = "image_id")
+        .orderBy("image_id")
+    }),
     // ---- PBF round trip (S1/S5 end-to-end: encode -> splittable decode) --------
     "q_pbf_roundtrip" -> ((s, dir) => {
       import s.implicits._

@@ -196,6 +196,59 @@ object ImageTable {
     else df.where(!col("p_cell").isin(stragglers.toSeq: _*))
   }
 
+  /**
+   * Small-file compaction — the table-maintenance pass a streaming-append
+   * store needs: every micro-batch of [[graft.streaming.StreamingIngest
+   * .ingestOnce]] appends one file per touched cell, so a long-running
+   * stream leaves hundreds of tiny files per directory (scan task-setup
+   * and file-listing cost grows with file COUNT, not bytes — the classic
+   * 100 TB small-file problem). Cells whose directory holds >=
+   * `minFilesPerLeaf` data files are rewritten as ONE file per leaf
+   * (per-leaf size is already bounded by the at-rest salting, so one file
+   * is the right target). Handles both layouts: (p_cell) streaming-append
+   * stores and (p_cell, p_salt) ingested stores.
+   *
+   * Content is bit-identical after compaction: snapshot lineage (which is
+   * content-addressed per leaf) stays valid, and the diff-sync id->p_cell
+   * index needs no invalidation. Self-overwrite is avoided the same way
+   * the diff merge does it — the merged rows are materialized (persisted
+   * copy with a deterministic release handle) before the dynamic
+   * partition overwrite. Returns the number of cells compacted.
+   */
+  def compact(spark: SparkSession, path: String,
+              minFilesPerLeaf: Int = 2): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return 0L
+    def dataFiles(d: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(d).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val cellDirs = fs.listStatus(hPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_cell="))
+    if (cellDirs.isEmpty) return 0L
+    val hasSalt = cellDirs.exists(cd => fs.listStatus(cd.getPath)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("p_salt=")))
+    // affected CELLS (whole cells rewritten: the p_cell isin filter below
+    // stays a plain directory-pruned predicate)
+    val affected = cellDirs.filter { cd =>
+      val leaves =
+        if (hasSalt) fs.listStatus(cd.getPath)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_salt="))
+          .map(st => dataFiles(st.getPath)).toSeq
+        else Seq(dataFiles(cd.getPath))
+      leaves.exists(_ >= minFilesPerLeaf)
+    }.map(_.getPath.getName.stripPrefix("p_cell=").toLong).toSeq
+    if (affected.isEmpty) return 0L
+    val partCols = if (hasSalt) Seq("p_cell", "p_salt") else Seq("p_cell")
+    val store = spark.read.parquet(path).where(col("p_cell").isin(affected: _*))
+    val (merged, handle) = org.apache.spark.sql.classic.GraftBridge
+      .persistedCopy(store.repartition(partCols.map(col): _*))
+    merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(path)
+    handle.unpersist(true)
+    affected.size.toLong
+  }
+
   // ---- queries over the images table ---------------------------------------
 
   /** bbox predicate: Morton-prefix ranges on the PARTITION column (directory

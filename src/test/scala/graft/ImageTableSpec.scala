@@ -141,6 +141,38 @@ class ImageTableSpec extends SparkFunSuite {
     assert(got.nonEmpty, "weak fixture: empty polygon extract")
   }
 
+  test("compact merges multi-file append leaves to one file per dir, " +
+       "preserves rows, and is a no-op when already compact") {
+    val dir = s"$tmp/append_store"
+    // three append batches -> >= 3 files per touched p_cell dir (the
+    // streaming-append shape)
+    for (b <- 0 until 3) {
+      ImageTable.derive(rows.slice(b * 300, (b + 1) * 300).toDF())
+        .write.mode("append").partitionBy("p_cell").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect()
+      .map(_.getAs[String]("image_id")).sorted.toSeq
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def maxFiles: Int = fs.listStatus(hPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_cell="))
+      .map(cd => fs.listStatus(cd.getPath).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")))
+      .max
+    assert(maxFiles >= 3, s"append fixture expected >=3 files, got $maxFiles")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val n = ImageTable.compact(spark, dir)
+    assert(n > 0)
+    assert(maxFiles == 1, s"leaves still hold $maxFiles files")
+    val after = spark.read.parquet(dir).collect()
+      .map(_.getAs[String]("image_id")).sorted.toSeq
+    assert(after == before)
+    // second pass: nothing left to do; and compact pinned no blocks
+    assert(ImageTable.compact(spark, dir) == 0L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"compact pinned: $leaked")
+  }
+
   test("kNN matches the brute-force oracle (dense city + sparse ocean queries)") {
     val cs = Fixtures.cityCenters(Fixtures.DefaultSeed)
     val queries = Seq(
