@@ -100,6 +100,23 @@ object SparkEntry {
     aWays.unionByName(bWays)
   }
 
+  /** 150-image fixture shared by q_image_neardup and q_image_dedup_corpus:
+    * 120 broad-spectrum textured PNGs + JPEG re-encodes of the first 30 —
+    * the planted (img_i, re_i) pairs land within Hamming<=6 of the 32x32
+    * DCT pHash; fully deterministic. Synthesis is distributed
+    * (range -> mapPartitions): each textured image costs ~25M cos() ops,
+    * driver-serial would dominate. ONE definition: the composite gate's
+    * documented relationship to the pair gate depends on both reading the
+    * same corpus. */
+  private def imageNearDupFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(150).mapPartitions(_.map { i =>
+      if (i < 120) (f"img_$i%04d", Fixtures.makeTexturedPng(i))
+      else { val j = i - 120
+             (f"re_$j%04d", Raster.reencodeJpeg(Fixtures.makeTexturedPng(j), 0.9f)) }
+    }).toDF("image_id", "bytes")
+  }
+
   /** Flagship: the full images pipeline at small scale — synthesize the
     * graft input table, geocode with the codegen encoder, bbox-extract,
     * aggregate per tile. */
@@ -596,34 +613,18 @@ object SparkEntry {
     "q_image_extract" -> ((s, dir) => {     // rows-only flagship pipeline
       entry(s)
     }),
-    "q_image_neardup" -> ((s, dir) => {     // rows-only (pHash of image bytes
-      // is not SQL-able — sibling justification like q_raster_decode).
-      // 120 broad-spectrum images + JPEG re-encodes of the first 30: the
-      // planted (img_i, re_i) pairs land within Hamming<=6 of the 32x32 DCT
-      // pHash; everything is deterministic, so the row set is stable.
-      // Fixture synthesis is distributed (range -> mapPartitions): each
-      // textured image costs ~25M cos() ops, driver-serial would dominate.
-      import s.implicits._
-      val df = s.range(150).mapPartitions(_.map { i =>
-        if (i < 120) (f"img_$i%04d", Fixtures.makeTexturedPng(i))
-        else { val j = i - 120
-               (f"re_$j%04d", Raster.reencodeJpeg(Fixtures.makeTexturedPng(j), 0.9f)) }
-      }).toDF("image_id", "bytes")
-      Raster.imageNearDup(df, maxHamming = 6)
-        .select("a_id", "b_id").orderBy("a_id", "b_id")
-    }),
+    "q_image_neardup" -> ((s, dir) =>       // rows-only (pHash of image bytes
+      // is not SQL-able — sibling justification like q_raster_decode);
+      // deterministic planted pairs, see imageNearDupFixture
+      Raster.imageNearDup(imageNearDupFixture(s), maxHamming = 6)
+        .select("a_id", "b_id").orderBy("a_id", "b_id")),
     "q_image_dedup_corpus" -> ((s, dir) => {  // rows-only composite (image
       // bytes not SQL-able; oracle-checked sibling of the same clustering
       // shape = q_dedup_corpus): pHash near-dup pairs -> connected
       // components -> canonical survivors only. The 30 planted re-encodes
       // cluster with their sources, so exactly the 120 base images (plus
       // any re-encode whose id sorts below its source — none do) survive.
-      import s.implicits._
-      val df = s.range(150).mapPartitions(_.map { i =>
-        if (i < 120) (f"img_$i%04d", Fixtures.makeTexturedPng(i))
-        else { val j = i - 120
-               (f"re_$j%04d", Raster.reencodeJpeg(Fixtures.makeTexturedPng(j), 0.9f)) }
-      }).toDF("image_id", "bytes")
+      val df = imageNearDupFixture(s)
       val pairs = Raster.imageNearDup(df, maxHamming = 6)
       Dedup.dropClusterDuplicates(df.select("image_id"), pairs, idCol = "image_id")
         .orderBy("image_id")

@@ -203,20 +203,24 @@ object ImageTable {
    * stream leaves hundreds of tiny files per directory (scan task-setup
    * and file-listing cost grows with file COUNT, not bytes — the classic
    * 100 TB small-file problem). Cells whose directory holds >=
-   * `minFilesPerLeaf` data files are rewritten as ONE file per leaf
-   * (per-leaf size is already bounded by the at-rest salting, so one file
-   * is the right target). Handles both layouts: (p_cell) streaming-append
+   * `minFilesPerLeaf` data files are rewritten into
+   * ceil(cellBytes / targetFileBytes) files (never fewer than one, never
+   * one unbounded file: a hot streaming-append cell — the (p_cell)-only
+   * layout has NO salt dimension bounding it — must not funnel through a
+   * single shuffle task). Handles both layouts: (p_cell) streaming-append
    * stores and (p_cell, p_salt) ingested stores.
    *
    * Content is bit-identical after compaction: snapshot lineage (which is
    * content-addressed per leaf) stays valid, and the diff-sync id->p_cell
    * index needs no invalidation. Self-overwrite is avoided the same way
    * the diff merge does it — the merged rows are materialized (persisted
-   * copy with a deterministic release handle) before the dynamic
-   * partition overwrite. Returns the number of cells compacted.
+   * copy with a deterministic release handle, dropped even when the write
+   * throws) before the dynamic partition overwrite. Returns the number of
+   * cells compacted.
    */
   def compact(spark: SparkSession, path: String,
-              minFilesPerLeaf: Int = 2): Long = {
+              minFilesPerLeaf: Int = 2,
+              targetFileBytes: Long = 512L * 1024 * 1024): Long = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return 0L
@@ -229,23 +233,56 @@ object ImageTable {
     val hasSalt = cellDirs.exists(cd => fs.listStatus(cd.getPath)
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("p_salt=")))
     // affected CELLS (whole cells rewritten: the p_cell isin filter below
-    // stays a plain directory-pruned predicate)
-    val affected = cellDirs.filter { cd =>
+    // stays a plain directory-pruned predicate), with per-cell byte totals
+    // so hot cells split into size-bounded output files
+    def cellBytes(cd: org.apache.hadoop.fs.Path): Long = {
+      var total = 0L
+      val it = fs.listFiles(cd, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) total += st.getLen
+      }
+      total
+    }
+    val affected = cellDirs.flatMap { cd =>
       val leaves =
         if (hasSalt) fs.listStatus(cd.getPath)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_salt="))
           .map(st => dataFiles(st.getPath)).toSeq
         else Seq(dataFiles(cd.getPath))
-      leaves.exists(_ >= minFilesPerLeaf)
-    }.map(_.getPath.getName.stripPrefix("p_cell=").toLong).toSeq
+      if (!leaves.exists(_ >= minFilesPerLeaf)) None
+      else {
+        val bytes = cellBytes(cd.getPath)
+        val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+        Some(cd.getPath.getName.stripPrefix("p_cell=").toLong -> nFiles.toInt)
+      }
+    }.toSeq
     if (affected.isEmpty) return 0L
     val partCols = if (hasSalt) Seq("p_cell", "p_salt") else Seq("p_cell")
-    val store = spark.read.parquet(path).where(col("p_cell").isin(affected: _*))
+    // per-cell file-count lookup as a BROADCAST join (the ingest salts
+    // pattern) — NOT a nested conditional expression: a reduce of
+    // when/coalesce builds a left-deep tree that sends codegen's
+    // subexpression elimination quadratic (the q_lang_id defect family)
+    val nFiles = broadcast(
+      spark.createDataFrame(affected).toDF("_pc", "_nf"))
+    val store = spark.read.parquet(path)
+      .where(col("p_cell").isin(affected.map(_._1): _*))
+      .join(nFiles, col("p_cell") === col("_pc"), "left")
+      // file-split key: spreads a hot cell over ceil(bytes/target) tasks;
+      // dropped before the write (repartitioning survives the projection)
+      .withColumn("_fsplit",
+        pmod(xxhash64(col("image_id")), coalesce(col("_nf"), lit(1))).cast("int"))
+      .drop("_pc", "_nf")
     val (merged, handle) = org.apache.spark.sql.classic.GraftBridge
-      .persistedCopy(store.repartition(partCols.map(col): _*))
-    merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*).parquet(path)
-    handle.unpersist(true)
+      .persistedCopy(store
+        .repartition((partCols :+ "_fsplit").map(col): _*)
+        .drop("_fsplit"))
+    try {
+      merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*).parquet(path)
+    } finally handle.unpersist(true)   // released even on a failed write —
+                                       // a retrying service must not pin
     affected.size.toLong
   }
 

@@ -504,8 +504,10 @@ class PipelineOpsSpec extends SparkFunSuite {
     // no NEW blocks pinned by the call (the suite itself caches fixtures)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"pinned by connectedComponents: $leaked")
+    // resolve the scratch dir the same way Dedup does (conf first)
     val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir") + "/graft_scratch")
+      spark.conf.get("spark.graft.scratchDir",
+        System.getProperty("java.io.tmpdir") + "/graft_scratch"))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.listStatus(base).exists(_.getPath.getName.startsWith("cc_")))
     Dedup.purgeClusterScratch(spark)
