@@ -458,6 +458,17 @@ object SparkEntry {
       Dedup.dropClusterDuplicates(docs, pairs)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_dedup_incremental" -> ((s, dir) => { // online corpus maintenance:
+      // dedup a NEW batch (ids 500..999) against the kept corpus (< 500) —
+      // batch docs in any component touching the corpus drop; batch-only
+      // clusters keep their minimum. Bounded slice, caps off, portable
+      // signatures: the full decision is recomputed in DuckDB
+      val slice = tbl(s, dir, "documents").where(col("doc_id") < 1000)
+      Dedup.dedupBatchAgainstCorpus(
+          slice.where(col("doc_id") < 500), slice.where(col("doc_id") >= 500),
+          nGram = 3, nHashes = 4, bands = 4, threshold = 0.5, maxBucket = 0)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_sample_mix" -> ((s, dir) => {        // deterministic stratified
       // sampling (data-mixing weights): md5-threshold membership, so the
       // sample itself is recomputable cross-engine
@@ -1125,6 +1136,28 @@ object SparkEntry {
            |labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
            |SELECT doc_id FROM d
            |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+           |ORDER BY doc_id""".stripMargin,
+      // incremental dedup: closure over ALL pairs on the slice; a batch
+      // doc (>= 500) survives iff its component has no corpus member
+      // (corpus ids < 500 sort below every batch id, so "component label
+      // < 500" IS corpus membership here) and it is its batch-only
+      // component's minimum (or unpaired). Corpus-corpus edges present in
+      // this closure but excluded by the engine cannot flip any batch
+      // doc's fate: every path from a batch doc to the corpus already
+      // crosses an engine-kept edge.
+      "q_dedup_incremental" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |prs AS (SELECT a_id, b_id FROM scored
+           |        WHERE inter / (na + nb - inter) >= 0.5),
+           |edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+           |          UNION SELECT b_id, a_id FROM prs),
+           |reach AS (SELECT src AS id, dst AS r FROM edges
+           |          UNION
+           |          SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+           |labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+           |SELECT doc_id FROM d WHERE doc_id >= 500
+           |  AND doc_id NOT IN (SELECT id FROM labels WHERE label < 500)
+           |  AND doc_id NOT IN (SELECT id FROM labels WHERE label >= 500 AND id <> label)
            |ORDER BY doc_id""".stripMargin,
       // deterministic stratified sample: md5-threshold membership per
       // length-band stratum (rates short 0.1 / medium 0.5 / long 1.0)

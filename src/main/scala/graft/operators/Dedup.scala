@@ -352,6 +352,72 @@ object Dedup {
     spark.read.parquet(scratch)
   }
 
+  /**
+   * Incremental (online) near-dup dedup — the corpus-maintenance shape: a
+   * NEW batch arrives against an existing kept corpus; return the batch
+   * documents worth KEEPING. A batch doc is dropped iff its near-dup
+   * component (over verified MinHash pairs) contains any corpus document
+   * (its content is already represented — including transitively, via a
+   * chain of batch near-dups reaching the corpus), or it is a
+   * non-canonical member of a batch-only component (the cluster minimum
+   * survives, as in [[dropClusterDuplicates]]).
+   *
+   * Scale shape: candidate generation NEVER pairs corpus with corpus —
+   * the banded join's probe side holds batch rows only, so per-batch cost
+   * scales with |batch| x bucket collision rate, not |corpus|^2 (excluded
+   * corpus-corpus edges cannot change any batch doc's fate: every path
+   * from a batch doc to the corpus already crosses a kept edge).
+   * Signatures are the portable md5 MinHash ([[withMinhashPortable]]), so
+   * the whole decision is oracle-checkable. Corpus and batch ids must be
+   * disjoint. Returns the surviving batch rows.
+   */
+  def dedupBatchAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+                              nGram: Int = 3, nHashes: Int = 4, bands: Int = 4,
+                              threshold: Double = 0.5,
+                              maxBucket: Int = 1000): DataFrame = {
+    require(nHashes % bands == 0)
+    val rowsPerBand = nHashes / bands
+    val union = corpus.select(col("doc_id"), col("text")).withColumn("_new", lit(false))
+      .unionByName(batch.select(col("doc_id"), col("text")).withColumn("_new", lit(true)))
+    val sigs = withMinhashPortable(union, nGram, nHashes)
+      .select(col("doc_id"), col("_new"), col("_sh"),
+        array((0 until nHashes).map(j => col(s"sig_$j")): _*).as("_sig"))
+    val banded = capBuckets(sigs.withColumn("_band", explode(
+      array((0 until bands).map { b =>
+        struct(lit(b).as("b"), concat_ws(",", (0 until rowsPerBand)
+          .map(r => col("_sig")(b * rowsPerBand + r)): _*).as("k"))
+      }: _*)))
+      .select(col("doc_id"), col("_new"), col("_sh"),
+        col("_band.b").as("_b"), col("_band.k").as("_k")),
+      Seq("_b", "_k"), maxBucket)
+    // probe side = batch only; build side = everything. Cross pairs keep
+    // (corpus, batch) orientation; batch-batch pairs canonicalize a < b.
+    val a = banded.select(col("_b"), col("_k"), col("doc_id").as("a_id"),
+      col("_new").as("_an"), col("_sh").as("_sha"))
+    val bb = banded.where(col("_new"))
+      .select(col("_b"), col("_k"), col("doc_id").as("b_id"), col("_sh").as("_shb"))
+    val pairs = a.join(bb, Seq("_b", "_k"))
+      .where((!col("_an") && col("a_id") =!= col("b_id")) ||
+             (col("_an") && col("a_id") < col("b_id")))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("inter", size(array_intersect(col("_sha"), col("_shb"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("_sha")) + size(col("_shb")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id")
+    val labels = connectedComponents(pairs)
+    // components touching the corpus (membership-based — no assumption
+    // about id ordering between the two sets)
+    val infected = labels
+      .join(corpus.select(col("doc_id").as("id")), "id")
+      .select(col("label")).distinct()
+    val dropIds = labels.join(infected, Seq("label"), "left_semi").select("id")
+      .unionByName(labels.where(col("id") =!= col("label")).select("id"))
+      .distinct()
+      .withColumnRenamed("id", "doc_id")
+    batch.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
   /** Delete every clustering scratch result under the configured scratch
     * dir. [[connectedComponents]] leaves one `cc_<uuid>` parquet per call —
     * the RETURNED frame reads it, and deleteOnExit only cleans at JVM

@@ -494,6 +494,28 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(g2("en") == 8L)   // word counts 6,8,10,15 -> lower median 8
   }
 
+  test("dedupBatchAgainstCorpus: corpus-touching components drop " +
+       "(including transitively), batch-only clusters keep their minimum, " +
+       "unpaired docs survive") {
+    // corpus: two kept docs
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"),  // = corpus 1: drop
+      (102L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 101:
+      // chained to corpus through 101 -> drop even without a direct match
+      (103L, "red green blue cyan magenta yellow black white"), // new cluster,
+      (104L, "red green blue cyan magenta yellow black grey"),  // near-dups:
+      // 103 (min) survives, 104 drops
+      (105L, "totally fresh unrelated content words here today") // unpaired: keep
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupBatchAgainstCorpus(corpus, batch,
+        nGram = 2, nHashes = 4, bands = 4, threshold = 0.4, maxBucket = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(103L, 105L), s"kept $kept")
+  }
+
   test("connectedComponents pins zero blocks after return and " +
        "purgeClusterScratch clears the scratch results") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
