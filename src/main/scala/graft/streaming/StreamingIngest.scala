@@ -354,14 +354,38 @@ object StreamingIngest {
    */
   def streamingEmitOnce[T](ds: org.apache.spark.sql.Dataset[T], key: T => Long)(
       implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import ds.sparkSession.implicits._
+    streamingEmitOnceKeyed[T, Long](ds, key)
+  }
+
+  /** [[streamingEmitOnce]] generalized to any encodable key type. */
+  def streamingEmitOnceKeyed[T, K](ds: org.apache.spark.sql.Dataset[T], key: T => K)(
+      implicit enc: org.apache.spark.sql.Encoder[T],
+      kenc: org.apache.spark.sql.Encoder[K]): org.apache.spark.sql.Dataset[T] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._   // Boolean state encoder
     ds.groupByKey(key).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-      (_: Long, rows: Iterator[T], state: GroupState[Boolean]) =>
+      (_: K, rows: Iterator[T], state: GroupState[Boolean]) =>
         if (state.exists) Iterator.empty[T]
         else { state.update(true); rows.take(1) }
     }
+  }
+
+  /**
+   * Streaming EXACT text dedup — online [[graft.operators.Dedup.exact]]:
+   * each distinct text is emitted the FIRST time it arrives across all
+   * micro-batches; later copies are suppressed forever (state = one
+   * boolean per distinct-text digest, checkpoint-persisted). The digest
+   * key is the full md5 hex of the normalized text, so suppression is
+   * exact, not probabilistic. Rows are (doc_id, text) pairs.
+   */
+  def streamingDedupExact(ds: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import ds.sparkSession.implicits._
+    streamingEmitOnceKeyed[(Long, String), String](ds, t =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t._2.getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
   /** Windowed per-tile arrival statistics over an event-time stream with a

@@ -240,6 +240,38 @@ class StreamingSpec extends SparkFunSuite {
       m2.filter(_._2 > 1).take(5))
   }
 
+  test("streamingDedupExact: duplicate texts suppressed across micro-batches, " +
+       "first arrival wins") {
+    val base = Files.createTempDirectory("graft_sdedup_").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    def drain(): Map[String, Seq[Long]] = {
+      val stream = spark.readStream.schema("doc_id long, text string")
+        .parquet(src).as[(Long, String)]
+      val q = StreamingIngest.streamingDedupExact(stream)
+        .toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect()
+        .map(r => r.getString(1) -> r.getLong(0)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    }
+    // batch 1: three texts, one duplicated in-batch
+    Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "aa bb"), (4L, "ee ff"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val m1 = drain()
+    assert(m1.keySet == Set("aa bb", "cc dd", "ee ff"))
+    assert(m1.values.forall(_.size == 1), s"in-batch dup leaked: $m1")
+    // batch 2: replays of two texts + one new
+    Seq((5L, "cc dd"), (6L, "gg hh"), (7L, "aa bb"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val m2 = drain()
+    assert(m2.keySet == Set("aa bb", "cc dd", "ee ff", "gg hh"))
+    assert(m2.values.forall(_.size == 1), s"cross-batch dup leaked: $m2")
+  }
+
   test("watermarked windowed tile counts over an event-time stream") {
     val base = Files.createTempDirectory("graft_stream_agg_").toString
     // event-time points: two 5-minute windows, two cells
