@@ -635,9 +635,14 @@ object SparkEntry {
       // components -> canonical survivors only. The 30 planted re-encodes
       // cluster with their sources, so exactly the 120 base images (plus
       // any re-encode whose id sorts below its source — none do) survive.
-      val df = imageNearDupFixture(s)
-      val pairs = Raster.imageNearDup(df, maxHamming = 6)
-      Dedup.dropClusterDuplicates(df.select("image_id"), pairs, idCol = "image_id")
+      val pairs = Raster.imageNearDup(imageNearDupFixture(s), maxHamming = 6)
+      // corpus side = ids only, built WITHOUT the image bytes: a select on
+      // the mapPartitions fixture cannot prune the ~25M-cos-ops-per-image
+      // synthesis, and the ids are a pure function of the range
+      val ids = s.range(150).select(
+        when(col("id") < 120, format_string("img_%04d", col("id")))
+          .otherwise(format_string("re_%04d", col("id") - 120)).as("image_id"))
+      Dedup.dropClusterDuplicates(ids, pairs, idCol = "image_id")
         .orderBy("image_id")
     }),
     // ---- PBF round trip (S1/S5 end-to-end: encode -> splittable decode) --------

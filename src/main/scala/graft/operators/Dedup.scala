@@ -142,19 +142,50 @@ object Dedup {
     verifiedJaccardPairs(banded, threshold)
   }
 
+  /** Exact Jaccard verification over a candidate-pair frame carrying the
+    * two shingle sets as `_sha`/`_shb` — the one verify tail behind every
+    * MinHash variant (symmetric and incremental); the expression is
+    * oracle-parity-critical, so there is exactly one definition. */
+  private def verifyJaccard(cand: DataFrame, threshold: Double): DataFrame =
+    cand.withColumn("inter", size(array_intersect(col("_sha"), col("_shb"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("_sha")) + size(col("_shb")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+
   /** Candidate pairs within (_b, _k) buckets + exact Jaccard verification
     * over the `_sh` shingle sets — shared by the xxhash and portable
     * MinHash-LSH variants (the band-key type is opaque to the join). */
   private def verifiedJaccardPairs(banded: DataFrame, threshold: Double): DataFrame = {
     val a = banded.select(col("_b"), col("_k"), col("doc_id").as("a_id"), col("_sh").as("_sha"))
     val b = banded.select(col("_b"), col("_k"), col("doc_id").as("b_id"), col("_sh").as("_shb"))
-    val cand = a.join(b, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-    cand.withColumn("inter", size(array_intersect(col("_sha"), col("_shb"))))
-      .withColumn("jaccard", col("inter") /
-        (size(col("_sha")) + size(col("_shb")) - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    verifyJaccard(
+      a.join(b, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
+        .dropDuplicates("a_id", "b_id"),
+      threshold)
+  }
+
+  /** Portable-MinHash banded bucket rows: (doc_id, carried cols, _sh, _b,
+    * _k), hot-bucket capped — THE band-key construction of the portable
+    * variants ([[minhashLshPortable]], [[dedupBatchAgainstCorpus]]); every
+    * DuckDB oracle restates this shape, so there is exactly one
+    * definition. */
+  private def portableBanded(docs: DataFrame, nGram: Int, nHashes: Int,
+                             bands: Int, maxBucket: Int,
+                             carry: Seq[String]): DataFrame = {
+    require(nHashes % bands == 0)
+    val rowsPerBand = nHashes / bands
+    val sigs = withMinhashPortable(docs, nGram, nHashes)
+      .select((Seq(col("doc_id")) ++ carry.map(col) :+ col("_sh") :+
+        array((0 until nHashes).map(j => col(s"sig_$j")): _*).as("_sig")): _*)
+    capBuckets(sigs.withColumn("_band", explode(
+      array((0 until bands).map { b =>
+        struct(lit(b).as("b"), concat_ws(",", (0 until rowsPerBand)
+          .map(r => col("_sig")(b * rowsPerBand + r)): _*).as("k"))
+      }: _*)))
+      .select((Seq(col("doc_id")) ++ carry.map(col) :+ col("_sh") :+
+        col("_band.b").as("_b") :+ col("_band.k").as("_k")): _*),
+      Seq("_b", "_k"), maxBucket)
   }
 
   /** MinHash-LSH pairs with PORTABLE signatures (md5-string minhash, see
@@ -162,21 +193,10 @@ object Dedup {
     * Jaccard values are all oracle-checkable cross-engine. */
   def minhashLshPortable(docs: DataFrame, nGram: Int = 3, nHashes: Int = 4,
                          bands: Int = 4, threshold: Double = 0.5,
-                         maxBucket: Int = 1000): DataFrame = {
-    require(nHashes % bands == 0)
-    val rowsPerBand = nHashes / bands
-    val sigs = withMinhashPortable(docs, nGram, nHashes)
-      .select(col("doc_id"), col("_sh"),
-        array((0 until nHashes).map(j => col(s"sig_$j")): _*).as("_sig"))
-    val banded = capBuckets(sigs.withColumn("_band", explode(
-      array((0 until bands).map { b =>
-        struct(lit(b).as("b"), concat_ws(",", (0 until rowsPerBand)
-          .map(r => col("_sig")(b * rowsPerBand + r)): _*).as("k"))
-      }: _*)))
-      .select(col("doc_id"), col("_sh"), col("_band.b").as("_b"), col("_band.k").as("_k")),
-      Seq("_b", "_k"), maxBucket)
-    verifiedJaccardPairs(banded, threshold)
-  }
+                         maxBucket: Int = 1000): DataFrame =
+    verifiedJaccardPairs(
+      portableBanded(docs, nGram, nHashes, bands, maxBucket, carry = Nil),
+      threshold)
 
   /** 64-bit SimHash over word hashes: bit i = sign of the sum of per-word
     * (+1/-1) votes. One explode + hash-aggregate pass: 64 map-side-combined
@@ -375,36 +395,22 @@ object Dedup {
                               nGram: Int = 3, nHashes: Int = 4, bands: Int = 4,
                               threshold: Double = 0.5,
                               maxBucket: Int = 1000): DataFrame = {
-    require(nHashes % bands == 0)
-    val rowsPerBand = nHashes / bands
     val union = corpus.select(col("doc_id"), col("text")).withColumn("_new", lit(false))
       .unionByName(batch.select(col("doc_id"), col("text")).withColumn("_new", lit(true)))
-    val sigs = withMinhashPortable(union, nGram, nHashes)
-      .select(col("doc_id"), col("_new"), col("_sh"),
-        array((0 until nHashes).map(j => col(s"sig_$j")): _*).as("_sig"))
-    val banded = capBuckets(sigs.withColumn("_band", explode(
-      array((0 until bands).map { b =>
-        struct(lit(b).as("b"), concat_ws(",", (0 until rowsPerBand)
-          .map(r => col("_sig")(b * rowsPerBand + r)): _*).as("k"))
-      }: _*)))
-      .select(col("doc_id"), col("_new"), col("_sh"),
-        col("_band.b").as("_b"), col("_band.k").as("_k")),
-      Seq("_b", "_k"), maxBucket)
+    val banded = portableBanded(union, nGram, nHashes, bands, maxBucket,
+      carry = Seq("_new"))
     // probe side = batch only; build side = everything. Cross pairs keep
     // (corpus, batch) orientation; batch-batch pairs canonicalize a < b.
     val a = banded.select(col("_b"), col("_k"), col("doc_id").as("a_id"),
       col("_new").as("_an"), col("_sh").as("_sha"))
     val bb = banded.where(col("_new"))
       .select(col("_b"), col("_k"), col("doc_id").as("b_id"), col("_sh").as("_shb"))
-    val pairs = a.join(bb, Seq("_b", "_k"))
-      .where((!col("_an") && col("a_id") =!= col("b_id")) ||
-             (col("_an") && col("a_id") < col("b_id")))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("inter", size(array_intersect(col("_sha"), col("_shb"))))
-      .withColumn("jaccard", col("inter") /
-        (size(col("_sha")) + size(col("_shb")) - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("a_id", "b_id")
+    val pairs = verifyJaccard(
+      a.join(bb, Seq("_b", "_k"))
+        .where((!col("_an") && col("a_id") =!= col("b_id")) ||
+               (col("_an") && col("a_id") < col("b_id")))
+        .dropDuplicates("a_id", "b_id"),
+      threshold).select("a_id", "b_id")
     val labels = connectedComponents(pairs)
     // components touching the corpus (membership-based — no assumption
     // about id ordering between the two sets)

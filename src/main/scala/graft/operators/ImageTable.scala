@@ -202,13 +202,28 @@ object ImageTable {
    * .ingestOnce]] appends one file per touched cell, so a long-running
    * stream leaves hundreds of tiny files per directory (scan task-setup
    * and file-listing cost grows with file COUNT, not bytes — the classic
-   * 100 TB small-file problem). Cells whose directory holds >=
-   * `minFilesPerLeaf` data files are rewritten into
-   * ceil(cellBytes / targetFileBytes) files (never fewer than one, never
-   * one unbounded file: a hot streaming-append cell — the (p_cell)-only
-   * layout has NO salt dimension bounding it — must not funnel through a
-   * single shuffle task). Handles both layouts: (p_cell) streaming-append
-   * stores and (p_cell, p_salt) ingested stores.
+   * 100 TB small-file problem).
+   *
+   * A LEAF (a p_salt dir, or the cell dir itself in the salt-less
+   * streaming layout) is compacted when it holds >= `minFilesPerLeaf`
+   * data files AND more than its target count
+   * ceil(leafBytes / targetFileBytes) — so already-compacted hot leaves
+   * are NOT re-churned on every maintenance run (the pass converges), and
+   * a hot salt-less cell is split into size-bounded files instead of
+   * funneling through one shuffle task. Affected cells are rewritten
+   * whole (the p_cell isin filter stays a plain directory-pruned
+   * predicate).
+   *
+   * Streaming-sink stores (a `_spark_metadata` FileStreamSink log is
+   * present): the rewrite reads THROUGH the log (only committed rows
+   * survive), then the log is DELETED and orphan files the log never
+   * committed are removed from untouched cells — the store becomes a
+   * plain parquet table. REQUIREMENT: the writing stream must be
+   * quiesced, and the path must not be reused as a streaming-sink target
+   * afterwards (a restarted sink would start a fresh log that cannot see
+   * the compacted files); continue maintenance via diffSync or batch
+   * ingest instead. A concurrent append detected between the snapshot
+   * read and the commit aborts the pass with no store change.
    *
    * Content is bit-identical after compaction: snapshot lineage (which is
    * content-addressed per leaf) stays valid, and the diff-sync id->p_cell
@@ -224,66 +239,110 @@ object ImageTable {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return 0L
-    def dataFiles(d: org.apache.hadoop.fs.Path): Int =
-      fs.listStatus(d).count(st => st.isFile &&
-        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    def isData(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def leafFiles(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).filter(st => st.isFile && isData(st.getPath.getName))
     val cellDirs = fs.listStatus(hPath)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_cell="))
     if (cellDirs.isEmpty) return 0L
     val hasSalt = cellDirs.exists(cd => fs.listStatus(cd.getPath)
       .exists(st => st.isDirectory && st.getPath.getName.startsWith("p_salt=")))
-    // affected CELLS (whole cells rewritten: the p_cell isin filter below
-    // stays a plain directory-pruned predicate), with per-cell byte totals
-    // so hot cells split into size-bounded output files
-    def cellBytes(cd: org.apache.hadoop.fs.Path): Long = {
-      var total = 0L
-      val it = fs.listFiles(cd, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val n = st.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) total += st.getLen
-      }
-      total
-    }
-    val affected = cellDirs.flatMap { cd =>
-      val leaves =
-        if (hasSalt) fs.listStatus(cd.getPath)
+    def targetN(bytes: Long): Int =
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // (cell, salt or -1, nDataFiles, bytes) per leaf, from one FS walk
+    val leaves: Seq[(Long, Long, Int, Long)] = cellDirs.toSeq.flatMap { cd =>
+      val cell = cd.getPath.getName.stripPrefix("p_cell=").toLong
+      if (hasSalt)
+        fs.listStatus(cd.getPath)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_salt="))
-          .map(st => dataFiles(st.getPath)).toSeq
-        else Seq(dataFiles(cd.getPath))
-      if (!leaves.exists(_ >= minFilesPerLeaf)) None
+          .toSeq.map { sd =>
+            val fls = leafFiles(sd.getPath)
+            (cell, sd.getPath.getName.stripPrefix("p_salt=").toLong,
+             fls.length, fls.map(_.getLen).sum)
+          }
       else {
-        val bytes = cellBytes(cd.getPath)
-        val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-        Some(cd.getPath.getName.stripPrefix("p_cell=").toLong -> nFiles.toInt)
+        val fls = leafFiles(cd.getPath)
+        Seq((cell, -1L, fls.length, fls.map(_.getLen).sum))
       }
-    }.toSeq
-    if (affected.isEmpty) return 0L
+    }
+    val affectedCells = leaves
+      .filter(l => l._3 >= minFilesPerLeaf && l._3 > targetN(l._4))
+      .map(_._1).distinct
+    if (affectedCells.isEmpty) return 0L
+    val sinkLog = new org.apache.hadoop.fs.Path(hPath, "_spark_metadata")
+    val hasSinkLog = fs.exists(sinkLog)
+    // committed files per the sink log, captured BEFORE the rewrite (URI
+    // path component — scheme spellings differ between APIs)
+    def uriPath(s: String) = new java.net.URI(s).getPath
+    val logged: Set[String] =
+      if (hasSinkLog) spark.read.parquet(path).inputFiles.map(uriPath).toSet
+      else Set.empty
+    val affectedSet = affectedCells.toSet
+    def affectedListing(): Set[String] = cellDirs.toSeq
+      .filter(cd => affectedSet(cd.getPath.getName.stripPrefix("p_cell=").toLong))
+      .flatMap { cd =>
+        val it = fs.listFiles(cd.getPath, true)
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (isData(st.getPath.getName)) buf += uriPath(st.getPath.toUri.toString)
+        }
+        buf.result()
+      }.toSet
+    val preListing = affectedListing()
     val partCols = if (hasSalt) Seq("p_cell", "p_salt") else Seq("p_cell")
-    // per-cell file-count lookup as a BROADCAST join (the ingest salts
+    // per-LEAF file-count lookup as a BROADCAST join (the ingest salts
     // pattern) — NOT a nested conditional expression: a reduce of
     // when/coalesce builds a left-deep tree that sends codegen's
     // subexpression elimination quadratic (the q_lang_id defect family)
-    val nFiles = broadcast(
-      spark.createDataFrame(affected).toDF("_pc", "_nf"))
+    val lookup = leaves.filter(l => affectedSet(l._1))
+      .map(l => (l._1, l._2, targetN(l._4)))
+    val nFiles = broadcast(spark.createDataFrame(lookup).toDF("_pc", "_ps", "_nf"))
+    val joinCond =
+      if (hasSalt) col("p_cell") === col("_pc") && col("p_salt") === col("_ps")
+      else col("p_cell") === col("_pc")
     val store = spark.read.parquet(path)
-      .where(col("p_cell").isin(affected.map(_._1): _*))
-      .join(nFiles, col("p_cell") === col("_pc"), "left")
-      // file-split key: spreads a hot cell over ceil(bytes/target) tasks;
+      .where(col("p_cell").isin(affectedCells: _*))
+      .join(nFiles, joinCond, "left")
+      // file-split key: spreads a hot leaf over ceil(bytes/target) tasks;
       // dropped before the write (repartitioning survives the projection)
       .withColumn("_fsplit",
         pmod(xxhash64(col("image_id")), coalesce(col("_nf"), lit(1))).cast("int"))
-      .drop("_pc", "_nf")
+      .drop("_pc", "_ps", "_nf")
     val (merged, handle) = org.apache.spark.sql.classic.GraftBridge
       .persistedCopy(store
         .repartition((partCols :+ "_fsplit").map(col): _*)
         .drop("_fsplit"))
     try {
+      // concurrent-append guard: a micro-batch landing in an affected cell
+      // between the snapshot read and this commit would be DELETED by the
+      // overwrite — refuse instead (quiesce the stream and re-run)
+      if (affectedListing() != preListing)
+        throw new IllegalStateException(
+          "compact aborted: files changed under an affected cell during " +
+            "the rewrite — quiesce writers before compacting")
       merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCols: _*).parquet(path)
     } finally handle.unpersist(true)   // released even on a failed write —
                                        // a retrying service must not pin
-    affected.size.toLong
+    if (hasSinkLog) {
+      // untouched cells may hold files a crashed sink batch never
+      // committed — invisible through the log, resurrected once the log
+      // is gone. Remove them, then retire the log (see scaladoc).
+      cellDirs.toSeq
+        .filterNot(cd => affectedSet(cd.getPath.getName.stripPrefix("p_cell=").toLong))
+        .foreach { cd =>
+          val it = fs.listFiles(cd.getPath, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (isData(st.getPath.getName) &&
+                !logged(uriPath(st.getPath.toUri.toString)))
+              fs.delete(st.getPath, false)
+          }
+        }
+      fs.delete(sinkLog, true)
+    }
+    affectedCells.size.toLong
   }
 
   // ---- queries over the images table ---------------------------------------

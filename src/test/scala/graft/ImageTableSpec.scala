@@ -160,6 +160,9 @@ class ImageTableSpec extends SparkFunSuite {
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")))
       .max
     assert(maxFiles >= 3, s"append fixture expected >=3 files, got $maxFiles")
+    // convergence guard: when current file counts already meet the target
+    // (tiny targetFileBytes -> targetN >= files), nothing is rewritten
+    assert(ImageTable.compact(spark, dir, targetFileBytes = 1L) == 0L)
     val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val n = ImageTable.compact(spark, dir)
     assert(n > 0)
@@ -171,6 +174,45 @@ class ImageTableSpec extends SparkFunSuite {
     assert(ImageTable.compact(spark, dir) == 0L)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
     assert(leaked.isEmpty, s"compact pinned: $leaked")
+  }
+
+  test("compact on a streaming-sink store: retires _spark_metadata, drops " +
+       "uncommitted orphans, preserves committed rows, converges") {
+    val base = Files.createTempDirectory("graft_compact_stream_").toString
+    val (src, dest, ckpt) = (s"$base/src", s"$base/dest", s"$base/ckpt")
+    for (b <- 0 until 3) {
+      rows.slice(b * 300, (b + 1) * 300).toDF()
+        .coalesce(1).write.mode("append").parquet(src)
+      graft.streaming.StreamingIngest.ingestOnce(spark, src, dest, ckpt)
+    }
+    val hPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dest, "_spark_metadata")))
+    // reads resolve through the sink log at this point
+    val before = spark.read.parquet(dest).collect()
+      .map(_.getAs[String]("image_id")).sorted.toSeq
+    // plant an ORPHAN the log never committed, in a cell compaction will
+    // not touch: once the log is retired it would silently resurrect
+    val someFile = fs.listFiles(hPath, true)
+    var donor: org.apache.hadoop.fs.Path = null
+    while (someFile.hasNext && donor == null) {
+      val st = someFile.next()
+      if (st.getPath.getName.startsWith("part-")) donor = st.getPath
+    }
+    val orphanDir = new org.apache.hadoop.fs.Path(dest, "p_cell=999999")
+    fs.mkdirs(orphanDir)
+    val orphan = new org.apache.hadoop.fs.Path(orphanDir, "part-orphan.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    val n = ImageTable.compact(spark, dest)
+    assert(n > 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dest, "_spark_metadata")),
+      "sink log not retired")
+    assert(!fs.exists(orphan), "uncommitted orphan resurrected")
+    val after = spark.read.parquet(dest).collect()
+      .map(_.getAs[String]("image_id")).sorted.toSeq
+    assert(after == before)
+    assert(ImageTable.compact(spark, dest) == 0L)
   }
 
   test("kNN matches the brute-force oracle (dense city + sparse ocean queries)") {
