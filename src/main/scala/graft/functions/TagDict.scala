@@ -164,21 +164,28 @@ object TagDict {
 
   // ---- Spark surface ---------------------------------------------------------
 
-  private val cleanTagsFixed =
-    udf((m: Map[String, String]) => if (m == null) null else processTags(m))
-  private val cleanTagsStrict =
-    udf((m: Map[String, String]) => if (m == null) null else processTags(m, strict = true))
+  /** UDF construction isolated in a NESTED object: the codec half of
+    * TagDict (encodeTag/roundTripRole/...) is pure JVM, and the TypeTag
+    * materialization inside `udf(...)` would otherwise drag Spark +
+    * scala-reflect onto the classpath of every non-Spark client of the
+    * dictionaries at TagDict class-verification time. */
+  private object udfs {
+    val cleanTagsFixed =
+      udf((m: Map[String, String]) => if (m == null) null else processTags(m))
+    val cleanTagsStrict =
+      udf((m: Map[String, String]) => if (m == null) null else processTags(m, strict = true))
+    val roleFixed = udf((r: String) => roundTripRole(r))
+    val roleStrict = udf((r: String) => roundTripRole(r, strict = true))
+  }
 
   /** Column transform: tags map -> filtered + canonicalized map. (A UDF is
     * acceptable here: dictionary lookups are branchy, run once at ingest,
     * and never sit in a query hot path.) */
   def cleanTags(tags: Column, strict: Boolean = false): Column =
-    if (strict) cleanTagsStrict(tags) else cleanTagsFixed(tags)
+    if (strict) udfs.cleanTagsStrict(tags) else udfs.cleanTagsFixed(tags)
 
-  private val roleUdfFixed = udf((r: String) => roundTripRole(r))
-  private val roleUdfStrict = udf((r: String) => roundTripRole(r, strict = true))
   def canonicalRole(role: Column, strict: Boolean = false): Column =
-    if (strict) roleUdfStrict(role) else roleUdfFixed(role)
+    if (strict) udfs.roleStrict(role) else udfs.roleFixed(role)
 
   /** Apply the load-time tag pipeline to a planet table. */
   def withCleanTags(df: DataFrame, strict: Boolean = false): DataFrame =
