@@ -328,45 +328,52 @@ object Dedup {
         .withColumn("label", col("id")))
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("_dl")), "dst")
-        .groupBy("src").agg(min("_dl").as("_nmin"))
-        .select(col("src").as("id"), col("_nmin"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("_nmin"), col("label"))).as("_m"))
-      // pointer jumping (path compression): also adopt the CURRENT label of
-      // one's label — convergence drops from O(diameter) to O(log diameter)
-      // rounds, so maxIters=20 covers any real component (2^20 diameter)
-      val (updated, updatedRdd) = persistedCopy(stepped
-        .join(labels.select(col("id").as("_lid"), col("label").as("_llab")),
-          stepped("_m") === col("_lid"), "left")
-        .select(col("id"), col("label"),
-          least(col("_m"), coalesce(col("_llab"), col("_m"))).as("_new")))
-      labelsRdd.unpersist(false)   // superseded; successor is materialized
-      labelsRdd = updatedRdd
-      changed = updated.where(col("_new") < col("label")).count()
-      labels = updated.select(col("id"), col("_new").as("label"))
-      i += 1
-    }
-    edgesRdd.unpersist(true)   // blocking: the post-call cache state is
-                               // part of the contract (zero pinned blocks)
-    // truncated propagation would silently ship WRONG clusters (two
-    // "canonical" survivors in one component) — refuse instead
-    if (changed > 0) {
-      labelsRdd.unpersist(true)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          "(pathological component diameter); raise maxIters")
-    }
-    // materialize the result OFF the persisted blocks, then release them
     val spark = pairs.sparkSession
     val scratch = spark.conf.get("spark.graft.scratchDir",
       System.getProperty("java.io.tmpdir") + "/graft_scratch") +
       s"/cc_${java.util.UUID.randomUUID()}"
-    labels.select(col("id"), col("label")).write.parquet(scratch)
-    labelsRdd.unpersist(true)
+    // try/finally around the WHOLE iteration + scratch write: a mid-round
+    // failure (OOM, job cancellation, scratch-write error) must release the
+    // edges/labels blocks too — a long-lived service that catches the
+    // exception and keeps going relies on the zero-pinned-blocks contract
+    // holding on EVERY exit path, not just success and non-convergence
+    try {
+      while (changed > 0 && i < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("_dl")), "dst")
+          .groupBy("src").agg(min("_dl").as("_nmin"))
+          .select(col("src").as("id"), col("_nmin"))
+        val stepped = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label"),
+            least(col("label"), coalesce(col("_nmin"), col("label"))).as("_m"))
+        // pointer jumping (path compression): also adopt the CURRENT label of
+        // one's label — convergence drops from O(diameter) to O(log diameter)
+        // rounds, so maxIters=20 covers any real component (2^20 diameter)
+        val (updated, updatedRdd) = persistedCopy(stepped
+          .join(labels.select(col("id").as("_lid"), col("label").as("_llab")),
+            stepped("_m") === col("_lid"), "left")
+          .select(col("id"), col("label"),
+            least(col("_m"), coalesce(col("_llab"), col("_m"))).as("_new")))
+        labelsRdd.unpersist(false)   // superseded; successor is materialized
+        labelsRdd = updatedRdd
+        changed = updated.where(col("_new") < col("label")).count()
+        labels = updated.select(col("id"), col("_new").as("label"))
+        i += 1
+      }
+      // truncated propagation would silently ship WRONG clusters (two
+      // "canonical" survivors in one component) — refuse instead
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds " +
+            "(pathological component diameter); raise maxIters")
+      // materialize the result OFF the persisted blocks, then release them
+      labels.select(col("id"), col("label")).write.parquet(scratch)
+    } finally {
+      // blocking + idempotent: the post-call cache state is part of the
+      // contract (zero pinned blocks) on every exit path
+      edgesRdd.unpersist(true)
+      labelsRdd.unpersist(true)
+    }
     val p = new org.apache.hadoop.fs.Path(scratch)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
     spark.read.parquet(scratch)
@@ -462,10 +469,11 @@ object Dedup {
    * even when whole-document similarity is low.
    *
    * Shape: one explode (n-W+1 windows per doc) + one hash aggregate keyed
-   * on the window text — map-side partial aggregation collapses repeats
-   * before the shuffle, and the output is bounded by DISTINCT duplicated
-   * windows, never by the pair count. Returns
-   * (passage, n_docs, n_occ, min_doc).
+   * on md5(window) — a fixed 32-byte shuffle key instead of the full window
+   * text (at 100 TB the window text IS most of the corpus, re-shuffled);
+   * one representative passage rides along as a min() aggregate, collapsed
+   * map-side, and the output is bounded by DISTINCT duplicated windows,
+   * never by the pair count. Returns (passage, n_docs, n_occ, min_doc).
    */
   def duplicatePassages(docs: DataFrame, windowWords: Int = 8): DataFrame = {
     require(windowWords >= 1)
@@ -476,10 +484,12 @@ object Dedup {
       .otherwise(array())
     docs.select(col("doc_id"), words.as("_w"))
       .select(col("doc_id"), explode(wins).as("passage"))
-      .groupBy("passage")
-      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+      .groupBy(md5(col("passage")).as("_pk"))
+      .agg(min("passage").as("passage"),   // all texts under one md5 are equal
+           countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
            min("doc_id").as("min_doc"))
       .where(col("n_docs") >= 2)
+      .select("passage", "n_docs", "n_occ", "min_doc")
   }
 
   /**

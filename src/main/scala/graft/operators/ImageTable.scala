@@ -216,14 +216,22 @@ object ImageTable {
    *
    * Streaming-sink stores (a `_spark_metadata` FileStreamSink log is
    * present): the rewrite reads THROUGH the log (only committed rows
-   * survive), then the log is DELETED and orphan files the log never
-   * committed are removed from untouched cells — the store becomes a
-   * plain parquet table. REQUIREMENT: the writing stream must be
-   * quiesced, and the path must not be reused as a streaming-sink target
-   * afterwards (a restarted sink would start a fresh log that cannot see
-   * the compacted files); continue maintenance via diffSync or batch
-   * ingest instead. A concurrent append detected between the snapshot
-   * read and the commit aborts the pass with no store change.
+   * survive); then orphan files the log never committed are removed from
+   * EVERY cell (affected cells included — their committed rows are already
+   * materialized off-disk, so an affected leaf holding only crashed-batch
+   * debris is cleaned rather than silently surviving); then the log is
+   * retired BEFORE the partition overwrite — from that point the store is
+   * a plain parquet table of exactly the committed rows, so a crash
+   * mid-overwrite leaves a READABLE store (retiring the log after the
+   * overwrite left a window where the log referenced deleted files and
+   * every read threw). REQUIREMENT: the writing stream must be quiesced,
+   * and the path must not be reused as a streaming-sink target afterwards
+   * (a restarted sink would start a fresh log that cannot see the
+   * compacted files); continue maintenance via diffSync or batch ingest
+   * instead. The concurrent-append guard compares listings of ALL cells
+   * (not just affected ones) between the snapshot read and the commit: a
+   * micro-batch landing in an untouched cell mid-pass would otherwise be
+   * swept as an orphan — the pass aborts with no store change instead.
    *
    * Content is bit-identical after compaction: snapshot lineage (which is
    * content-addressed per leaf) stays valid, and the diff-sync id->p_cell
@@ -278,8 +286,10 @@ object ImageTable {
       if (hasSinkLog) spark.read.parquet(path).inputFiles.map(uriPath).toSet
       else Set.empty
     val affectedSet = affectedCells.toSet
-    def affectedListing(): Set[String] = cellDirs.toSeq
-      .filter(cd => affectedSet(cd.getPath.getName.stripPrefix("p_cell=").toLong))
+    // guard listing over ALL cells: an append anywhere mid-pass must abort
+    // (untouched-cell appends would be swept as orphans, affected-cell ones
+    // destroyed by the overwrite)
+    def allListing(): Set[String] = cellDirs.toSeq
       .flatMap { cd =>
         val it = fs.listFiles(cd.getPath, true)
         val buf = Seq.newBuilder[String]
@@ -289,7 +299,7 @@ object ImageTable {
         }
         buf.result()
       }.toSet
-    val preListing = affectedListing()
+    val preListing = allListing()
     val partCols = if (hasSalt) Seq("p_cell", "p_salt") else Seq("p_cell")
     // per-LEAF file-count lookup as a BROADCAST join (the ingest salts
     // pattern) — NOT a nested conditional expression: a reduce of
@@ -314,34 +324,36 @@ object ImageTable {
         .repartition((partCols :+ "_fsplit").map(col): _*)
         .drop("_fsplit"))
     try {
-      // concurrent-append guard: a micro-batch landing in an affected cell
-      // between the snapshot read and this commit would be DELETED by the
-      // overwrite — refuse instead (quiesce the stream and re-run)
-      if (affectedListing() != preListing)
+      // concurrent-append guard: a micro-batch landing in ANY cell between
+      // the snapshot read and this commit would be destroyed (affected
+      // cells: by the overwrite; untouched cells: swept as an orphan) —
+      // refuse instead (quiesce the stream and re-run)
+      if (allListing() != preListing)
         throw new IllegalStateException(
-          "compact aborted: files changed under an affected cell during " +
-            "the rewrite — quiesce writers before compacting")
+          "compact aborted: files changed under the store during the " +
+            "rewrite — quiesce writers before compacting")
+      if (hasSinkLog) {
+        // 1) remove files a crashed sink batch wrote but never committed,
+        //    in EVERY cell — invisible through the log, they would
+        //    resurrect as rows once the log is gone. Affected cells are
+        //    safe to sweep here too: `merged` is already materialized and
+        //    never read these files, and this closes the all-orphan-leaf
+        //    leak (dynamic overwrite skips a leaf it has no rows for).
+        //    The set is the PRE-captured listing minus the committed set;
+        //    the guard above proved nothing was committed since capture.
+        preListing.diff(logged).foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        // 2) retire the log BEFORE the overwrite: merged no longer needs
+        //    it, and a crash from here on leaves a readable plain-parquet
+        //    store of exactly the committed rows (a log outliving the
+        //    overwrite referenced deleted files — reads threw until it was
+        //    removed by hand)
+        fs.delete(sinkLog, true)
+      }
       merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCols: _*).parquet(path)
     } finally handle.unpersist(true)   // released even on a failed write —
                                        // a retrying service must not pin
-    if (hasSinkLog) {
-      // untouched cells may hold files a crashed sink batch never
-      // committed — invisible through the log, resurrected once the log
-      // is gone. Remove them, then retire the log (see scaladoc).
-      cellDirs.toSeq
-        .filterNot(cd => affectedSet(cd.getPath.getName.stripPrefix("p_cell=").toLong))
-        .foreach { cd =>
-          val it = fs.listFiles(cd.getPath, true)
-          while (it.hasNext) {
-            val st = it.next()
-            if (isData(st.getPath.getName) &&
-                !logged(uriPath(st.getPath.toUri.toString)))
-              fs.delete(st.getPath, false)
-          }
-        }
-      fs.delete(sinkLog, true)
-    }
     affectedCells.size.toLong
   }
 

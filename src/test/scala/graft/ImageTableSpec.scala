@@ -204,11 +204,31 @@ class ImageTableSpec extends SparkFunSuite {
     val orphan = new org.apache.hadoop.fs.Path(orphanDir, "part-orphan.parquet")
     org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs, orphan, false,
       spark.sparkContext.hadoopConfiguration)
+    // an orphan inside a REAL (affected) cell: the dynamic overwrite only
+    // rewrites leaves it has rows for, so without the all-cell sweep this
+    // file would survive log retirement and resurrect as rows
+    val affectedOrphan = new org.apache.hadoop.fs.Path(
+      donor.getParent, "part-orphan-affected.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs, affectedOrphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    // an AFFECTED cell consisting ONLY of orphans (a crashed sink batch):
+    // the log-filtered read yields no rows for it, so only the sweep can
+    // clean it
+    val allOrphanDir = new org.apache.hadoop.fs.Path(dest, "p_cell=999998")
+    fs.mkdirs(allOrphanDir)
+    val allOrphans = (0 until 3).map { i =>
+      val p = new org.apache.hadoop.fs.Path(allOrphanDir, s"part-orphan-$i.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs, p, false,
+        spark.sparkContext.hadoopConfiguration)
+      p
+    }
     val n = ImageTable.compact(spark, dest)
     assert(n > 0)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dest, "_spark_metadata")),
       "sink log not retired")
     assert(!fs.exists(orphan), "uncommitted orphan resurrected")
+    assert(!fs.exists(affectedOrphan), "affected-cell orphan resurrected")
+    allOrphans.foreach(p => assert(!fs.exists(p), s"all-orphan leaf survived: $p"))
     val after = spark.read.parquet(dest).collect()
       .map(_.getAs[String]("image_id")).sorted.toSeq
     assert(after == before)
