@@ -132,6 +132,19 @@ object Plans {
         fmt(TextOps.withLangId(spark.read.parquet(ddir))
           .select("doc_id", "lang_pred"))
       },
+      "stored dedup-index probe (expect PartitionFilters on idx_b: the " +
+        "batch's band keys hash to a literal bucket list, so the corpus " +
+        "side of incremental dedup is a pruned read of PRECOMPUTED banded " +
+        "signatures — the corpus text is never re-minhashed per batch)" -> {
+        val mkDocs = (lo: Long, hi: Long) =>
+          spark.range(lo, hi).selectExpr("id AS doc_id",
+            "concat_ws(' ', transform(sequence(1, 20), " +
+              "i -> concat('w', pmod(id * i, 37)))) AS text")
+        Dedup.writeDedupIndex(mkDocs(0L, 2000L), s"$dir/dedup_idx",
+          buckets = 16)
+        fmt(Dedup.indexProbeCandidates(mkDocs(10000L, 10010L),
+          s"$dir/dedup_idx"))
+      },
       "refined bbox extract over the stored planet (expect the per-way bin " +
         "BOUNDS ranges as PushedFilters on the ways scan — only ways whose " +
         "bound rects touch the bbox are exploded, never the whole table; " +

@@ -218,6 +218,22 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rank").cast("long").as("rnk"))
         .orderBy("qid", "rnk")
     }),
+    "q_knn_join_table" -> ((s, dir) => {    // Dataset-native kNN JOIN: the
+      // query set is a TABLE (never driver-materialized) — disk-cell
+      // explode on the query side, equi-join, guarantee-radius rounds;
+      // must return exactly the brute-force neighbors
+      val pts = eventPoints(s, dir)
+        .select(col("event_id").as("id"), col("lon"), col("lat"),
+                geo.grid_cell(col("lon"), col("lat")).as("cell"))
+      val qs = tbl(s, dir, "events")
+        .where(pmod(col("event_id"), lit(499)) === 7)
+        .select(col("event_id").as("qid"),
+          (pmod(col("event_id") * 53, lit(16000L)) / 100.0 + 1.5).as("qlon"),
+          (pmod(col("event_id") * 89, lit(7500L)) / 100.0 + 1.5).as("qlat"))
+      Knn.knnJoinTable(pts, qs, 10)
+        .select(col("qid"), col("id"), col("rank").cast("long").as("rnk"))
+        .orderBy("qid", "rnk")
+    }),
     "q_spatial_join" -> ((s, dir) => {      // radius distance join
       val pts = eventPoints(s, dir)
       val a = pts.where(pmod(col("event_id"), lit(20)) === 0)
@@ -467,6 +483,20 @@ object SparkEntry {
       Dedup.dedupBatchAgainstCorpus(
           slice.where(col("doc_id") < 500), slice.where(col("doc_id") >= 500),
           nGram = 3, nHashes = 4, bands = 4, threshold = 0.5, maxBucket = 0)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_dedup_incremental_idx" -> ((s, dir) => { // the STORED-INDEX variant
+      // of online corpus maintenance: the corpus's banded signatures are
+      // persisted once (bucket-partitioned on the band-key hash) and the
+      // batch probes only its own buckets — decision-identical to
+      // q_dedup_incremental (same oracle SQL), but the corpus text is
+      // never re-minhashed per batch (the round-4 VERDICT top item)
+      val slice = tbl(s, dir, "documents").where(col("doc_id") < 1000)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_dedup_idx_").toString
+      Dedup.writeDedupIndex(slice.where(col("doc_id") < 500), idxDir,
+        nGram = 3, nHashes = 4, bands = 4, buckets = 16, maxBucket = 0)
+      Dedup.dedupBatchAgainstIndex(slice.where(col("doc_id") >= 500), idxDir,
+          threshold = 0.5, maxBucket = 0)
         .select("doc_id").orderBy("doc_id")
     }),
     "q_sample_mix" -> ((s, dir) => {        // deterministic stratified
@@ -958,6 +988,25 @@ object SparkEntry {
            |  FROM scored)
            |SELECT qid, id, rnk FROM ranked WHERE rnk <= 10
            |ORDER BY qid, rnk""".stripMargin,
+      // table-driven kNN join: the oracle recomputes every (query, point)
+      // distance exactly (the brute-force cross join the engine must match
+      // without ever performing)
+      "q_knn_join_table" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |qs AS (SELECT event_id AS qid,
+           |  (event_id * 53 % 16000) / 100.0 + 1.5 AS qlon,
+           |  (event_id * 89 % 7500) / 100.0 + 1.5 AS qlat
+           |  FROM events WHERE event_id % 499 = 7),
+           |scored AS (SELECT q.qid, p.event_id AS id,
+           |  SQRT(POW((((p.lon - q.qlon + 540.0) % 360.0) - 180.0) *
+           |    COS(RADIANS((q.qlat + p.lat) / 2)), 2) +
+           |    POW(p.lat - q.qlat, 2)) * 111319.49079327358 AS dist
+           |  FROM qs q CROSS JOIN pts p),
+           |ranked AS (SELECT qid, id,
+           |  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rnk
+           |  FROM scored)
+           |SELECT qid, id, rnk FROM ranked WHERE rnk <= 10
+           |ORDER BY qid, rnk""".stripMargin,
       "q_spatial_join" -> {
         val band = 5000.0 / 111319.49079327358 * 1.001   // lat prefilter band
         s"""WITH pts AS ($eventPointsSql),
@@ -1151,6 +1200,22 @@ object SparkEntry {
       // doc's fate: every path from a batch doc to the corpus already
       // crosses an engine-kept edge.
       "q_dedup_incremental" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |prs AS (SELECT a_id, b_id FROM scored
+           |        WHERE inter / (na + nb - inter) >= 0.5),
+           |edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+           |          UNION SELECT b_id, a_id FROM prs),
+           |reach AS (SELECT src AS id, dst AS r FROM edges
+           |          UNION
+           |          SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+           |labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+           |SELECT doc_id FROM d WHERE doc_id >= 500
+           |  AND doc_id NOT IN (SELECT id FROM labels WHERE label < 500)
+           |  AND doc_id NOT IN (SELECT id FROM labels WHERE label >= 500 AND id <> label)
+           |ORDER BY doc_id""".stripMargin,
+      // the stored-index variant is DECISION-IDENTICAL by contract: same
+      // closure, same survivors — one oracle proves both paths agree
+      "q_dedup_incremental_idx" ->
         s"""WITH RECURSIVE $minhashPairCtes,
            |prs AS (SELECT a_id, b_id FROM scored
            |        WHERE inter / (na + nb - inter) >= 0.5),

@@ -431,19 +431,161 @@ object Dedup {
     batch.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
-  /** Delete every clustering scratch result under the configured scratch
-    * dir. [[connectedComponents]] leaves one `cc_<uuid>` parquet per call —
-    * the RETURNED frame reads it, and deleteOnExit only cleans at JVM
-    * shutdown, so a long-lived service clustering per batch accumulates
-    * result files. Call this once no previously returned label frame is
-    * still being consumed. */
+  // ---- stored dedup index (the 100 TB online-maintenance shape) --------------
+
+  /** Index meta sidecar: the signature parameters the stored index was
+    * built with. A probe running with different parameters would band into
+    * buckets the entries don't live in and silently miss duplicates — the
+    * probe READS its parameters from here, so a mismatch is impossible. */
+  private def dedupIdxMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_dedup_idx_meta.json")
+
+  /**
+   * Persist the CORPUS side of incremental near-dup dedup as a stored
+   * banded-signature index: one row per (corpus doc, band) carrying the
+   * portable band key and the doc's shingle set, written Hive-partitioned
+   * on `idx_b` = hash-bucket of the band key. [[dedupBatchAgainstCorpus]]
+   * re-minhashes the ENTIRE corpus text on every incoming batch — at
+   * 100 TB the corpus-side signature recompute dominates everything; this
+   * index is computed once and each batch probes only the buckets its own
+   * band keys hash into (a literal `idx_b IN (...)` predicate -> directory
+   * pruning, the diffSync `_idx` pattern).
+   *
+   * `maxBucket` drops degenerate corpus band buckets at BUILD time (same
+   * discipline as [[capBuckets]]; 0 disables). Note the cap is then
+   * per-side, not over the corpus+batch union as in the recompute path —
+   * with caps off the two paths are decision-identical (gated).
+   */
+  def writeDedupIndex(corpus: DataFrame, path: String, nGram: Int = 3,
+                      nHashes: Int = 4, bands: Int = 4, buckets: Int = 64,
+                      maxBucket: Int = 1000): Unit = {
+    require(buckets >= 1)
+    val spark = corpus.sparkSession
+    portableBanded(corpus, nGram, nHashes, bands, maxBucket, carry = Nil)
+      .select(col("doc_id"), col("_sh"), col("_b"), col("_k"))
+      .withColumn("idx_b",
+        pmod(xxhash64(col("_b"), col("_k")), lit(buckets.toLong)).cast("int"))
+      .repartition(col("idx_b"))
+      .write.mode("overwrite").partitionBy("idx_b").parquet(path)
+    val p = dedupIdxMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(
+      s"""{"nGram":$nGram,"nHashes":$nHashes,"bands":$bands,"buckets":$buckets}"""
+        .getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  private def readDedupIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): (Int, Int, Int, Int) = {
+    val p = dedupIdxMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no dedup index meta at $p — not a writeDedupIndex store")
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+    def f(k: String) = s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalStateException(s"corrupt dedup index meta: $s"))
+      .group(1).toInt
+    (f("nGram"), f("nHashes"), f("bands"), f("buckets"))
+  }
+
+  /**
+   * Incremental near-dup dedup of a batch against a STORED corpus index
+   * (see [[writeDedupIndex]]): decision-identical to
+   * [[dedupBatchAgainstCorpus]] (gated q_dedup_incremental_idx ==
+   * q_dedup_incremental) but the corpus side is never recomputed — the
+   * probe bands ONLY the batch, derives the <= `buckets` distinct bucket
+   * ids its band keys hash into (a driver-small collect), and reads the
+   * index with a literal `idx_b IN (...)` partition-pruned scan. Per-batch
+   * cost scales with |batch| x bucket collision rate; the corpus
+   * contributes a pruned read of precomputed signatures, not a text scan.
+   *
+   * Signature parameters come from the index meta, so batch and corpus
+   * banding cannot diverge. Corpus and batch ids must be disjoint (the
+   * [[dedupBatchAgainstCorpus]] contract). `maxBucket` caps the BATCH side
+   * (the corpus side was capped at build). Returns the surviving batch
+   * rows. NOTE: after corpus updates (accepted batch appended), refresh
+   * the index incrementally by appending the accepted docs' banded rows,
+   * or rebuild; a stale index misses duplicates against recent docs.
+   */
+  def dedupBatchAgainstIndex(batch: DataFrame, indexPath: String,
+                             threshold: Double = 0.5,
+                             maxBucket: Int = 1000): DataFrame = {
+    if (batch.isEmpty) return batch   // nothing to probe or drop
+    val spark = batch.sparkSession
+    val (nGram, nHashes, bands, _) = readDedupIndexMeta(spark, indexPath)
+    val batchBanded = portableBanded(batch, nGram, nHashes, bands, maxBucket,
+      carry = Nil)
+    val ba = batchBanded.select(col("_b"), col("_k"), col("doc_id").as("a_id"),
+      col("_sh").as("_sha"))
+    val bb = batchBanded.select(col("_b"), col("_k"), col("doc_id").as("b_id"),
+      col("_sh").as("_shb"))
+    // cross pairs keep (corpus, batch) orientation; batch-batch pairs
+    // canonicalize a < b — exactly the recompute path's candidate set
+    val cross = verifyJaccard(
+      indexProbeCandidates(batch, indexPath, maxBucket), threshold)
+      .select("a_id", "b_id")
+    val within = verifyJaccard(
+      ba.join(bb, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
+        .dropDuplicates("a_id", "b_id"), threshold)
+      .select("a_id", "b_id")
+    val pairs = cross.unionByName(within)
+    val labels = connectedComponents(pairs)
+    // corpus ids occur in pairs ONLY as the a side of cross pairs, so the
+    // infected-component membership test needs no corpus table at all
+    val infected = labels
+      .join(cross.select(col("a_id").as("id")).distinct(), "id")
+      .select(col("label")).distinct()
+    val dropIds = labels.join(infected, Seq("label"), "left_semi").select("id")
+      .unionByName(labels.where(col("id") =!= col("label")).select("id"))
+      .distinct()
+      .withColumnRenamed("id", "doc_id")
+    batch.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** The pruned index-probe candidate frame of [[dedupBatchAgainstIndex]]:
+    * corpus banded rows read from ONLY the buckets the batch's band keys
+    * hash into (a literal `idx_b IN (...)` -> PartitionFilters in the
+    * plan), equi-joined to the batch's banded rows. Returns unverified
+    * (corpus a_id, batch b_id) candidates with both shingle sets — also
+    * the plan-evidence surface for PLANS.md. */
+  def indexProbeCandidates(batch: DataFrame, indexPath: String,
+                           maxBucket: Int = 1000): DataFrame = {
+    val spark = batch.sparkSession
+    val (nGram, nHashes, bands, buckets) = readDedupIndexMeta(spark, indexPath)
+    val batchBanded = portableBanded(batch, nGram, nHashes, bands, maxBucket,
+      carry = Nil)
+    val bucketOf =
+      pmod(xxhash64(col("_b"), col("_k")), lit(buckets.toLong)).cast("int")
+    // <= `buckets` distinct values — driver-small by construction
+    val probeBuckets = batchBanded.select(bucketOf.as("idx_b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(indexPath)
+      .where(if (probeBuckets.isEmpty) lit(false)
+             else col("idx_b").isin(probeBuckets: _*))   // PartitionFilters
+    idx.select(col("_b"), col("_k"), col("doc_id").as("a_id"),
+        col("_sh").as("_sha"))
+      .join(batchBanded.select(col("_b"), col("_k"), col("doc_id").as("b_id"),
+        col("_sh").as("_shb")), Seq("_b", "_k"))
+      .where(col("a_id") =!= col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Delete every scratch result under the configured scratch dir.
+    * [[connectedComponents]] leaves one `cc_<uuid>` parquet per call (and
+    * [[Knn.knnJoinTable]] one `knn_<uuid>`) — the RETURNED frame reads it,
+    * and deleteOnExit only cleans at JVM shutdown, so a long-lived service
+    * clustering per batch accumulates result files. Call this once no
+    * previously returned frame is still being consumed. */
   def purgeClusterScratch(spark: org.apache.spark.sql.SparkSession): Unit = {
     val base = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.graft.scratchDir",
         System.getProperty("java.io.tmpdir") + "/graft_scratch"))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base))
-      fs.listStatus(base).filter(_.getPath.getName.startsWith("cc_"))
+      fs.listStatus(base).filter(st => st.getPath.getName.startsWith("cc_") ||
+          st.getPath.getName.startsWith("knn_"))
         .foreach(st => fs.delete(st.getPath, true))
   }
 

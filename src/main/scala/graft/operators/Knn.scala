@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -155,5 +155,128 @@ object Knn {
     }
 
     resolvedRows.result().toDF("qid", "id", "dist", "rank")
+  }
+
+  /** Morton spread of the low 16 bits into even bit positions — the column
+    * twin of CellIndex.spread16 (spec-enforced bit-identical). */
+  private def spread16Col(v: Column): Column = {
+    var x = v.cast("long").bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Coarse Morton cell of a candidate grid cell (xw, yb) at resolution
+    * `res` — the column twin of CellIndex.coarseCellOfGrid. */
+  private[graft] def coarseCellCol(xw: Column, yb: Column, res: Int): Column =
+    shiftleft(spread16Col(shiftrightunsigned(xw, CellIndex.GridBits - res)), 1)
+      .bitwiseOR(spread16Col(shiftrightunsigned(yb, CellIndex.GridBits - res)))
+
+  /** The disk guarantee radius as a column — the twin of
+    * [[diskBoundMeters]] (same expressions, same operation order). */
+  private def boundCol(qlat: Column, r: Int): Column = {
+    val dLat = 180.0 / CellIndex.GridDim
+    val dLon = 360.0 / CellIndex.GridDim
+    val farLat = least(lit(89.99), abs(qlat) + (r + 1) * dLat)
+    lit(r) * least(lit(dLat), lit(dLon) * cos(radians(farLat))) *
+      lit(CellIndex.MetersPerDegree)
+  }
+
+  /**
+   * Dataset-native kNN JOIN: queries arrive as a DataFrame
+   * (qid, qlon, qlat) and are never driver-materialized — the shape for
+   * query sets too large for [[knn]]'s broadcast-literal rounds (whose
+   * chunking exhausts at ~7M queries and falls back to a full crossJoin).
+   *
+   * Same guarantee-radius resolution as [[knn]], as filtered passes: each
+   * round r in {1,4,16,64} EXPLODES the still-unresolved queries into
+   * their disk(r) cells (two generates: dx x dy, longitude wrapped,
+   * latitude clamped — bit-identical to CellIndex.disk), equi-joins
+   * `points` on `cell`, takes the per-query distance top-k window, and
+   * resolves queries whose k-th distance is inside the disk guarantee
+   * radius. When the points frame carries the coarse partition column
+   * `p_cell`, the candidate's p_cell is derived on the query side (Morton
+   * column math) and added to the join keys — with a partitioned store
+   * that is the dynamic-partition-pruning shape (the scan skips
+   * directories no surviving query touches). Stragglers after r=64 get
+   * one exact broadcast pass (bounded rarity by construction).
+   *
+   * Round results accumulate in a scratch parquet
+   * (`spark.graft.scratchDir`) and every per-round persisted block is
+   * released deterministically (the connectedComponents discipline).
+   * Returns (qid, id, dist, rank) — exactly k rows per query (fewer iff
+   * the whole table has < k rows).
+   */
+  def knnJoinTable(points: DataFrame, queries: DataFrame, k: Int,
+                   pRes: Int = 5): DataFrame = {
+    import org.apache.spark.sql.classic.GraftBridge.persistedCopy
+    require(k >= 1)
+    val spark = points.sparkSession
+    val hasPCell = points.columns.contains("p_cell")
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    val scratch = spark.conf.get("spark.graft.scratchDir",
+      System.getProperty("java.io.tmpdir") + "/graft_scratch") +
+      s"/knn_${java.util.UUID.randomUUID()}"
+    val out = (df: DataFrame) => df
+      .select(col("qid").cast("long"), col("id").cast("long"),
+        col("dist").cast("double"), col("rank").cast("int"))
+      .write.mode("append").parquet(scratch)
+
+    var (un, unRdd) = persistedCopy(
+      queries.select(col("qid"), col("qlon"), col("qlat")))
+    var unCount = un.count()
+    try {
+      for (r <- Seq(1, 4, 16, 64) if unCount > 0) {
+        val qc0 = un
+          .withColumn("_qcell", graft.functions.geo.grid_cell(col("qlon"), col("qlat")))
+          .withColumn("_qx", shiftright(col("_qcell"), CellIndex.GridBits))
+          .withColumn("_qy", col("_qcell").bitwiseAND(lit(CellIndex.GridDim - 1)))
+          .withColumn("_dx", explode(sequence(lit(-r), lit(r))))
+          .withColumn("_dy", explode(sequence(lit(-r), lit(r))))
+          .withColumn("_yb", col("_qy") + col("_dy"))
+          .where(col("_yb").between(0, CellIndex.GridDim - 1))   // clamp lat
+          .withColumn("_xw", pmod(col("_qx") + col("_dx"), lit(CellIndex.GridDim)))
+          .withColumn("cell",
+            shiftleft(col("_xw"), CellIndex.GridBits).bitwiseOR(col("_yb")))
+        val qc =
+          if (!hasPCell) qc0.select("qid", "qlon", "qlat", "cell")
+          else qc0.withColumn("p_cell", coarseCellCol(col("_xw"), col("_yb"), pRes))
+            .select("qid", "qlon", "qlat", "cell", "p_cell")
+        val joinKeys = if (hasPCell) Seq("cell", "p_cell") else Seq("cell")
+        val (topk, topkRdd) = persistedCopy(points
+          .join(qc, joinKeys)
+          .withColumn("dist", distCol)
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+          .select(col("qid"), col("qlat"), col("id"), col("dist"), col("rank")))
+        try {
+          val resolved = topk.groupBy("qid", "qlat")
+            .agg(count(lit(1)).as("_n"), max("dist").as("_maxd"))
+            .where(col("_n") === k && col("_maxd") <= boundCol(col("qlat"), r))
+            .select("qid")
+          out(topk.join(resolved, "qid"))
+          val (unNext, unNextRdd) = persistedCopy(
+            un.join(resolved, Seq("qid"), "left_anti"))
+          unRdd.unpersist(false)
+          un = unNext; unRdd = unNextRdd
+          unCount = un.count()
+        } finally topkRdd.unpersist(true)
+      }
+      if (unCount > 0)   // stragglers: exact top-k, bounded rarity
+        out(points.crossJoin(broadcast(un.select(
+            col("qid"), col("qlon"), col("qlat"))))
+          .withColumn("dist", distCol)
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+          .select("qid", "id", "dist", "rank"))
+    } finally unRdd.unpersist(true)
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))   // empty query table: nothing was ever written
+      return spark.range(0).select(col("id").as("qid"), col("id"),
+        lit(0.0).as("dist"), lit(0).as("rank"))
+    fs.deleteOnExit(p)
+    spark.read.parquet(scratch)
   }
 }

@@ -265,5 +265,42 @@ class ImageTableSpec extends SparkFunSuite {
       .groupBy(_.getLong(0))
       .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
     assert(chunked == got, "chunked rounds diverged from unchunked")
+
+    // the Dataset-native kNN JOIN (queries as a table, never driver-
+    // materialized) must return the identical neighbor lists — both on the
+    // plain frame and on a stored p_cell-partitioned table (the derived
+    // p_cell join-key path)
+    val qdf = queries.map(q => (q.qid, q.lon, q.lat)).toDF("qid", "qlon", "qlat")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    assert(asMap(Knn.knnJoinTable(pts, qdf, k)) == got,
+      "knnJoinTable diverged from knn")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"knnJoinTable pinned: $leaked")
+    val storeDir = Files.createTempDirectory("graft_knnjt_").toString
+    pts.withColumn("p_cell", graft.functions.geo.cell_at(col("lon"), col("lat"), 3))
+      .repartition(col("p_cell"))
+      .write.mode("overwrite").partitionBy("p_cell").parquet(storeDir)
+    assert(asMap(Knn.knnJoinTable(spark.read.parquet(storeDir), qdf, k, pRes = 3))
+      == got, "knnJoinTable over the stored p_cell table diverged")
+  }
+
+  test("coarseCellCol is bit-identical to CellIndex.coarseCellOfGrid") {
+    val r = new scala.util.Random(42)
+    val cells = Seq.fill(200)(CellIndex.gridCell(
+      r.nextInt(CellIndex.GridDim), r.nextInt(CellIndex.GridDim)))
+    for (res <- Seq(1, 3, 5, 9)) {
+      val df = cells.toDF("cell")
+        .select(col("cell"),
+          Knn.coarseCellCol(shiftright(col("cell"), CellIndex.GridBits),
+            col("cell").bitwiseAND(lit(CellIndex.GridDim - 1)), res).as("p"))
+      df.collect().foreach { row =>
+        val cell = row.getInt(0)
+        assert(row.getLong(1) == CellIndex.coarseCellOfGrid(cell, res),
+          s"cell=$cell res=$res")
+      }
+    }
   }
 }

@@ -516,6 +516,48 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(kept == Set(103L, 105L), s"kept $kept")
   }
 
+  test("dedupBatchAgainstIndex: decision-identical to the recompute path, " +
+       "probes only the batch's buckets, refuses a parameterless store") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_idx_spec_").toString
+    // corpus = planted fixture ids < 100; batch = the copies + near-dups
+    // (all corpus-touching -> drop) plus an unpaired survivor and a
+    // batch-only near-dup cluster (min survives). Ids disjoint.
+    val corpus = docs.where(col("doc_id") < 100)
+    val extra = Seq(
+      (300L, "totally fresh unrelated content words here today indeed"),
+      (301L, "red green blue cyan magenta yellow black white pink brown"),
+      (302L, "red green blue cyan magenta yellow black white pink olive"))
+      .toDF("doc_id", "text")
+    val batch = docs.where(col("doc_id") >= 100).unionByName(extra)
+    Dedup.writeDedupIndex(corpus, idxDir, nGram = 3, nHashes = 4, bands = 4,
+      buckets = 8, maxBucket = 0)
+    val viaIndex = Dedup.dedupBatchAgainstIndex(batch, idxDir,
+        threshold = 0.5, maxBucket = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaRecompute = Dedup.dedupBatchAgainstCorpus(corpus, batch,
+        nGram = 3, nHashes = 4, bands = 4, threshold = 0.5, maxBucket = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == viaRecompute,
+      s"index path diverged: only-index=${viaIndex -- viaRecompute} " +
+        s"only-recompute=${viaRecompute -- viaIndex}")
+    assert(viaIndex.contains(300L) && viaIndex.contains(301L) &&
+      !viaIndex.contains(302L) && !viaIndex.contains(100L),
+      s"fixture expectations violated: kept $viaIndex")
+    // the index layout is bucket-partitioned (directory-prunable)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(idxDir))
+      .count(_.getPath.getName.startsWith("idx_b=")) > 1,
+      "index not bucket-partitioned")
+    // a store without the meta sidecar must be refused, not mis-probed
+    val bare = java.nio.file.Files.createTempDirectory("graft_idx_bare_").toString
+    corpus.write.mode("overwrite").parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupBatchAgainstIndex(batch, bare)
+    }
+    assert(e.getMessage.contains("meta"))
+  }
+
   test("connectedComponents pins zero blocks after return and " +
        "purgeClusterScratch clears the scratch results") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
