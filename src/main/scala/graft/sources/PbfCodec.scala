@@ -286,6 +286,18 @@ object PbfCodec {
     rels.grouped(blockSize).foreach(g => frameBlob(os, "OSMData", encodeRelationBlock(g)))
   }
 
+  /** Streaming single-kind PBF write: header + one OSMData block per
+    * `blockSize` entities pulled LAZILY from the iterator — task memory is
+    * bounded by one block regardless of partition size (the reference's
+    * own sink streams 8,000-entity blocks, pbf-write.c:103; buffering the
+    * whole partition made sink task memory grow with partition size). */
+  def writePbfStream[T](os: java.io.OutputStream, it: Iterator[T],
+                        blockSize: Int = BlockSize)(
+      encodeBlock: Seq[T] => Array[Byte]): Unit = {
+    frameBlob(os, "OSMHeader", encodeHeaderBlock())
+    it.grouped(blockSize).foreach(g => frameBlob(os, "OSMData", encodeBlock(g)))
+  }
+
   // ---- PrimitiveBlock decode -----------------------------------------------------
 
   final case class Decoded(nodes: Seq[NodeRow], ways: Seq[WayRow],

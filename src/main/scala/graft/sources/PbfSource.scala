@@ -202,26 +202,27 @@ object PbfSource {
     dPath.getFileSystem(nodes.sparkSession.sparkContext.hadoopConfiguration)
       .mkdirs(dPath)
     writeParts(nodes, dir, 0, "nodes") { (os, rows) =>
-      PbfCodec.writePbfFile(os, rows, Seq.empty, Seq.empty) }
+      PbfCodec.writePbfStream(os, rows)(PbfCodec.encodeNodeBlock) }
     writeParts(ways, dir, 1, "ways") { (os, rows) =>
-      PbfCodec.writePbfFile(os, Seq.empty, rows, Seq.empty) }
+      PbfCodec.writePbfStream(os, rows)(PbfCodec.encodeWayBlock) }
     writeParts(rels, dir, 2, "relations") { (os, rows) =>
-      PbfCodec.writePbfFile(os, Seq.empty, Seq.empty, rows) }
+      PbfCodec.writePbfStream(os, rows)(PbfCodec.encodeRelationBlock) }
   }
 
-  /** One part file per partition; the task buffers its partition (bounded
-    * by the upstream partitioning — size partitions like any file sink).
-    * Hadoop FS create from the TASK: executors write directly to the
-    * target filesystem, no driver funnel. */
+  /** One part file per partition, STREAMED from the partition iterator in
+    * 8k-entity blocks (PbfCodec.writePbfStream) — task memory is bounded
+    * by one block, never the partition (the reference's own sink streams
+    * the same block size, pbf-write.c:103). Hadoop FS create from the
+    * TASK: executors write directly to the target filesystem, no driver
+    * funnel. */
   private def writeParts[T](ds: Dataset[T], dir: String, ordinal: Int,
                             kind: String)(
-      encode: (java.io.OutputStream, Seq[T]) => Unit): Unit = {
+      encode: (java.io.OutputStream, Iterator[T]) => Unit): Unit = {
     import org.apache.spark.TaskContext
     val conf = new org.apache.spark.util.SerializableConfiguration(
       ds.sparkSession.sparkContext.hadoopConfiguration)
     ds.toDF().sparkSession.sparkContext.runJob(ds.rdd, (it: Iterator[T]) => {
-      val rows = it.toSeq
-      if (rows.nonEmpty) {
+      if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
         val f = new org.apache.hadoop.fs.Path(dir, f"part-$ordinal-$kind-$pid%05d.pbf")
         // a PRIVATE FileSystem instance: setWriteChecksum on the JVM-cached
@@ -231,7 +232,7 @@ object PbfSource {
         try {
           fs.setWriteChecksum(false)   // no .crc sidecars next to .pbf parts
           val os = fs.create(f, true)
-          try encode(os, rows) finally os.close()
+          try encode(os, it) finally os.close()
         } finally fs.close()
       }
     })

@@ -227,6 +227,22 @@ class PbfSourceSpec extends SparkFunSuite {
     assert(ex.getMessage.contains("truncated or corrupt"))
   }
 
+  test("streaming sink: entities past the block size land in FURTHER " +
+       "OSMData frames (iterator is consumed lazily, never buffered whole)") {
+    val nodes = (1L to 35L).map(i =>
+      Fixtures.NodeRow(i, i * 0.001, i * 0.0005, Map("k" -> s"v$i")))
+    val bos = new java.io.ByteArrayOutputStream()
+    PbfCodec.writePbfStream(bos, nodes.iterator, blockSize = 10)(
+      PbfCodec.encodeNodeBlock)
+    val bytes = bos.toByteArray
+    val frames = PbfCodec.frames(bytes).toSeq
+    assert(frames.head._1 == "OSMHeader")
+    assert(frames.count(_._1 == "OSMData") == 4)   // ceil(35/10)
+    val d = PbfCodec.decodeFile(bytes)
+    assert(d.nodes.map(_.id) == nodes.map(_.id))
+    assert(d.nodes.map(_.tags) == nodes.map(_.tags))
+  }
+
   test("distributed PBF sink: part files re-read to the same row set") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft_pbf_out_").toString
