@@ -141,8 +141,9 @@ object Plans {
             "concat_ws(' ', transform(sequence(1, 20), " +
               "i -> concat('w', pmod(id * i, 37)))) AS text")
         Dedup.writeDedupIndex(mkDocs(0L, 2000L), s"$dir/dedup_idx",
-          buckets = 16)
-        fmt(Dedup.indexProbeCandidates(mkDocs(10000L, 10010L),
+          buckets = 64)
+        // a 2-doc batch: 8 band keys -> at most 8 of the 64 buckets
+        fmt(Dedup.indexProbeCandidates(mkDocs(10000L, 10002L),
           s"$dir/dedup_idx"))
       },
       "refined bbox extract over the stored planet (expect the per-way bin " +

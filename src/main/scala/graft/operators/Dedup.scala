@@ -505,9 +505,9 @@ object Dedup {
    * banding cannot diverge. Corpus and batch ids must be disjoint (the
    * [[dedupBatchAgainstCorpus]] contract). `maxBucket` caps the BATCH side
    * (the corpus side was capped at build). Returns the surviving batch
-   * rows. NOTE: after corpus updates (accepted batch appended), refresh
-   * the index incrementally by appending the accepted docs' banded rows,
-   * or rebuild; a stale index misses duplicates against recent docs.
+   * rows. NOTE: after accepting survivors into the corpus, call
+   * [[appendToDedupIndex]] with them — a stale index misses duplicates
+   * against recent docs.
    */
   def dedupBatchAgainstIndex(batch: DataFrame, indexPath: String,
                              threshold: Double = 0.5,
@@ -542,6 +542,28 @@ object Dedup {
       .distinct()
       .withColumnRenamed("id", "doc_id")
     batch.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  /**
+   * Append newly ACCEPTED documents' banded rows to an existing index —
+   * the maintenance step of the online dedup loop (probe with
+   * [[dedupBatchAgainstIndex]] -> keep survivors -> append the survivors
+   * here -> next batch sees them). One narrow write of |accepted| x bands
+   * rows into the buckets they hash into; the corpus is never rescanned.
+   * Signature parameters come from the index meta, so appended rows band
+   * identically to the stored ones. Appends apply no hot-bucket cap (the
+   * build-time cap is a GLOBAL census; re-apply it with a periodic
+   * [[writeDedupIndex]] rebuild if append volume regrows dropped buckets).
+   */
+  def appendToDedupIndex(accepted: DataFrame, indexPath: String): Unit = {
+    val spark = accepted.sparkSession
+    val (nGram, nHashes, bands, buckets) = readDedupIndexMeta(spark, indexPath)
+    portableBanded(accepted, nGram, nHashes, bands, maxBucket = 0, carry = Nil)
+      .select(col("doc_id"), col("_sh"), col("_b"), col("_k"))
+      .withColumn("idx_b",
+        pmod(xxhash64(col("_b"), col("_k")), lit(buckets.toLong)).cast("int"))
+      .repartition(col("idx_b"))
+      .write.mode("append").partitionBy("idx_b").parquet(indexPath)
   }
 
   /** The pruned index-probe candidate frame of [[dedupBatchAgainstIndex]]:

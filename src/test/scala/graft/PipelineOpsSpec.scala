@@ -558,6 +558,40 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("meta"))
   }
 
+  test("appendToDedupIndex: the online loop — appended survivors are seen " +
+       "by the next batch, equal to a from-scratch rebuild") {
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val corpus = mk(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")))
+    val batchB = mk(Seq(
+      (101L, "red green blue cyan magenta yellow black white"),   // fresh: kept
+      (102L, "alpha beta gamma delta epsilon zeta eta iota")))    // near corpus 1: drop
+    // batch C: a near-dup of B's SURVIVOR (101) and a fresh doc
+    val batchC = mk(Seq(
+      (201L, "red green blue cyan magenta yellow black grey"),    // near 101: drop
+      (202L, "solar lunar stellar orbit comet nebula quasar pulsar")))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_idx_app_").toString
+    Dedup.writeDedupIndex(corpus, idxDir, nGram = 2, nHashes = 4, bands = 4,
+      buckets = 8, maxBucket = 0)
+    val keptB = Dedup.dedupBatchAgainstIndex(batchB, idxDir,
+      threshold = 0.4, maxBucket = 0)
+    assert(keptB.select("doc_id").collect().map(_.getLong(0)).toSet == Set(101L))
+    Dedup.appendToDedupIndex(keptB, idxDir)
+    val keptC = Dedup.dedupBatchAgainstIndex(batchC, idxDir,
+        threshold = 0.4, maxBucket = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptC == Set(202L), s"kept $keptC")
+    // equivalence: append == rebuild over (corpus + accepted survivors)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_idx_reb_").toString
+    Dedup.writeDedupIndex(corpus.unionByName(keptB), rebuilt, nGram = 2,
+      nHashes = 4, bands = 4, buckets = 8, maxBucket = 0)
+    val keptC2 = Dedup.dedupBatchAgainstIndex(batchC, rebuilt,
+        threshold = 0.4, maxBucket = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptC2 == keptC, "append diverged from rebuild")
+  }
+
   test("connectedComponents pins zero blocks after return and " +
        "purgeClusterScratch clears the scratch results") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
