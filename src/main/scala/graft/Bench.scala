@@ -15,13 +15,16 @@ import graft.operators.ImageTable
  *    "queries_cold":{...},"pipeline":{...},"sf":...,"scaling":{...}}
  * All progress goes to stderr.
  *
- * Per-query methodology (round 4 — fixes the round-3 measurement defect):
- *  - every gate is executed TWICE in a row and the recorded number is the
- *    MIN of the two. The first execution inside a long session bundles
+ * Per-query methodology (round 4 — fixes the round-3 measurement defect;
+ * round 5 — min of THREE):
+ *  - every gate is executed three times in a row and the recorded number
+ *    is the MIN. The first execution inside a long session bundles
  *    janino/codegen compilation and accumulated session overhead (measured
- *    up to 20x the true cost for CPU-dense gates); the warm run measures
- *    the query. Cold (first-run) times are reported separately under
- *    "queries_cold" — the delta IS the compile overhead, not query cost.
+ *    up to 20x the true cost for CPU-dense gates); the two warm runs
+ *    measure the query, and two of them mean one stolen minute on this
+ *    shared host cannot inflate a gate's record. Cold (first-run) times
+ *    are reported separately under "queries_cold" — the delta IS the
+ *    compile overhead, not query cost.
  *  - queries read a /tmp MIRROR of the sf dir in which every table is
  *    rewritten as multi-file parquet: the driver testdata ships each table
  *    as ONE file with ONE row group, so every scan stage would otherwise

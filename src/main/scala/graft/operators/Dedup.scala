@@ -512,36 +512,60 @@ object Dedup {
   def dedupBatchAgainstIndex(batch: DataFrame, indexPath: String,
                              threshold: Double = 0.5,
                              maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.classic.GraftBridge.persistedCopy
     if (batch.isEmpty) return batch   // nothing to probe or drop
     val spark = batch.sparkSession
-    val (nGram, nHashes, bands, _) = readDedupIndexMeta(spark, indexPath)
-    val batchBanded = portableBanded(batch, nGram, nHashes, bands, maxBucket,
-      carry = Nil)
-    val ba = batchBanded.select(col("_b"), col("_k"), col("doc_id").as("a_id"),
-      col("_sh").as("_sha"))
-    val bb = batchBanded.select(col("_b"), col("_k"), col("doc_id").as("b_id"),
-      col("_sh").as("_shb"))
-    // cross pairs keep (corpus, batch) orientation; batch-batch pairs
-    // canonicalize a < b — exactly the recompute path's candidate set
-    val cross = verifyJaccard(
-      indexProbeCandidates(batch, indexPath, maxBucket), threshold)
-      .select("a_id", "b_id")
-    val within = verifyJaccard(
-      ba.join(bb, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
-        .dropDuplicates("a_id", "b_id"), threshold)
-      .select("a_id", "b_id")
-    val pairs = cross.unionByName(within)
-    val labels = connectedComponents(pairs)
-    // corpus ids occur in pairs ONLY as the a side of cross pairs, so the
-    // infected-component membership test needs no corpus table at all
-    val infected = labels
-      .join(cross.select(col("a_id").as("id")).distinct(), "id")
-      .select(col("label")).distinct()
-    val dropIds = labels.join(infected, Seq("label"), "left_semi").select("id")
-      .unionByName(labels.where(col("id") =!= col("label")).select("id"))
-      .distinct()
-      .withColumnRenamed("id", "doc_id")
-    batch.join(dropIds, Seq("doc_id"), "left_anti")
+    val (nGram, nHashes, bands, buckets) = readDedupIndexMeta(spark, indexPath)
+    // band the batch ONCE: the bucket-list collect, the index probe and
+    // the within-batch self-join all read the persisted copy, so the
+    // batch text is md5-minhashed exactly once per call (this path runs
+    // per incoming batch — recompute here multiplies the very cost the
+    // stored index exists to avoid)
+    val (batchBanded, bandedRdd) = persistedCopy(
+      portableBanded(batch, nGram, nHashes, bands, maxBucket, carry = Nil)
+        .select(col("doc_id"), col("_sh"), col("_b"), col("_k")))
+    val dropScratch = spark.conf.get("spark.graft.scratchDir",
+      System.getProperty("java.io.tmpdir") + "/graft_scratch") +
+      s"/cc_drop_${java.util.UUID.randomUUID()}"
+    try {
+      val ba = batchBanded.select(col("_b"), col("_k"),
+        col("doc_id").as("a_id"), col("_sh").as("_sha"))
+      val bb = batchBanded.select(col("_b"), col("_k"),
+        col("doc_id").as("b_id"), col("_sh").as("_shb"))
+      // cross pairs keep (corpus, batch) orientation; batch-batch pairs
+      // canonicalize a < b — exactly the recompute path's candidate set.
+      // ONE persisted pair frame carries the orientation flag: the
+      // closure's edge union and the corpus-membership test both read it
+      // without re-probing the index or re-verifying Jaccard.
+      val (pairsAll, pairsRdd) = persistedCopy(
+        verifyJaccard(crossCandidates(batchBanded, indexPath, buckets), threshold)
+          .select("a_id", "b_id").withColumn("_cross", lit(true))
+          .unionByName(verifyJaccard(
+              ba.join(bb, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
+                .dropDuplicates("a_id", "b_id"), threshold)
+            .select("a_id", "b_id").withColumn("_cross", lit(false))))
+      try {
+        val labels = connectedComponents(pairsAll.select("a_id", "b_id"))
+        // corpus ids occur in pairs ONLY as the a side of cross pairs, so
+        // the infected-component membership test needs no corpus table
+        val infected = labels
+          .join(pairsAll.where(col("_cross"))
+            .select(col("a_id").as("id")).distinct(), "id")
+          .select(col("label")).distinct()
+        val dropIds = labels.join(infected, Seq("label"), "left_semi").select("id")
+          .unionByName(labels.where(col("id") =!= col("label")).select("id"))
+          .distinct()
+          .withColumnRenamed("id", "doc_id")
+        // materialize the (small) drop list OFF the persisted blocks so
+        // the RETURNED frame is self-contained — consuming it later never
+        // re-runs the probe (same scratch discipline as the clustering;
+        // the cc_ prefix keeps it under purgeClusterScratch)
+        dropIds.write.parquet(dropScratch)
+      } finally pairsRdd.unpersist(true)
+    } finally bandedRdd.unpersist(true)
+    val p = new org.apache.hadoop.fs.Path(dropScratch)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    batch.join(spark.read.parquet(dropScratch), Seq("doc_id"), "left_anti")
   }
 
   /**
@@ -566,18 +590,12 @@ object Dedup {
       .write.mode("append").partitionBy("idx_b").parquet(indexPath)
   }
 
-  /** The pruned index-probe candidate frame of [[dedupBatchAgainstIndex]]:
-    * corpus banded rows read from ONLY the buckets the batch's band keys
-    * hash into (a literal `idx_b IN (...)` -> PartitionFilters in the
-    * plan), equi-joined to the batch's banded rows. Returns unverified
-    * (corpus a_id, batch b_id) candidates with both shingle sets — also
-    * the plan-evidence surface for PLANS.md. */
-  def indexProbeCandidates(batch: DataFrame, indexPath: String,
-                           maxBucket: Int = 1000): DataFrame = {
-    val spark = batch.sparkSession
-    val (nGram, nHashes, bands, buckets) = readDedupIndexMeta(spark, indexPath)
-    val batchBanded = portableBanded(batch, nGram, nHashes, bands, maxBucket,
-      carry = Nil)
+  /** The pruned (index x banded batch) candidate join over an
+    * ALREADY-BANDED batch frame — the shared core of
+    * [[dedupBatchAgainstIndex]] and [[indexProbeCandidates]]. */
+  private def crossCandidates(batchBanded: DataFrame, indexPath: String,
+                              buckets: Int): DataFrame = {
+    val spark = batchBanded.sparkSession
     val bucketOf =
       pmod(xxhash64(col("_b"), col("_k")), lit(buckets.toLong)).cast("int")
     // <= `buckets` distinct values — driver-small by construction
@@ -592,6 +610,22 @@ object Dedup {
         col("_sh").as("_shb")), Seq("_b", "_k"))
       .where(col("a_id") =!= col("b_id"))
       .dropDuplicates("a_id", "b_id")
+  }
+
+  /** The pruned index-probe candidate frame of [[dedupBatchAgainstIndex]]:
+    * corpus banded rows read from ONLY the buckets the batch's band keys
+    * hash into (a literal `idx_b IN (...)` -> PartitionFilters in the
+    * plan), equi-joined to the batch's banded rows. Returns unverified
+    * (corpus a_id, batch b_id) candidates with both shingle sets — also
+    * the plan-evidence surface for PLANS.md. */
+  def indexProbeCandidates(batch: DataFrame, indexPath: String,
+                           maxBucket: Int = 1000): DataFrame = {
+    val (nGram, nHashes, bands, buckets) =
+      readDedupIndexMeta(batch.sparkSession, indexPath)
+    crossCandidates(
+      portableBanded(batch, nGram, nHashes, bands, maxBucket, carry = Nil)
+        .select(col("doc_id"), col("_sh"), col("_b"), col("_k")),
+      indexPath, buckets)
   }
 
   /** Delete every scratch result under the configured scratch dir.

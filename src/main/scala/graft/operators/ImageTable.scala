@@ -228,10 +228,12 @@ object ImageTable {
    * and the path must not be reused as a streaming-sink target afterwards
    * (a restarted sink would start a fresh log that cannot see the
    * compacted files); continue maintenance via diffSync or batch ingest
-   * instead. The concurrent-append guard compares listings of ALL cells
-   * (not just affected ones) between the snapshot read and the commit: a
-   * micro-batch landing in an untouched cell mid-pass would otherwise be
-   * swept as an orphan — the pass aborts with no store change instead.
+   * instead. On sink-log stores the concurrent-append guard compares
+   * listings of ALL cells (a micro-batch landing in an untouched cell
+   * mid-pass would otherwise be swept as an orphan); on plain stores it
+   * covers affected cells only, since only the overwrite can destroy data
+   * there and an append to an untouched cell is harmless. On any guarded
+   * change the pass aborts with no store change.
    *
    * Content is bit-identical after compaction: snapshot lineage (which is
    * content-addressed per leaf) stays valid, and the diff-sync id->p_cell
@@ -286,10 +288,17 @@ object ImageTable {
       if (hasSinkLog) spark.read.parquet(path).inputFiles.map(uriPath).toSet
       else Set.empty
     val affectedSet = affectedCells.toSet
-    // guard listing over ALL cells: an append anywhere mid-pass must abort
-    // (untouched-cell appends would be swept as orphans, affected-cell ones
-    // destroyed by the overwrite)
-    def allListing(): Set[String] = cellDirs.toSeq
+    // guard scope: on a SINK-LOG store any mid-pass append is destroyed
+    // (untouched cells: swept as orphans; affected cells: lost in the
+    // overwrite), so the guard covers ALL cells. On a plain store only the
+    // overwrite can destroy data, so the guard covers affected cells only
+    // — a harmless concurrent append to an untouched cell must not abort
+    // the maintenance pass.
+    val guardedDirs =
+      if (hasSinkLog) cellDirs.toSeq
+      else cellDirs.toSeq.filter(cd =>
+        affectedSet(cd.getPath.getName.stripPrefix("p_cell=").toLong))
+    def guardListing(): Set[String] = guardedDirs
       .flatMap { cd =>
         val it = fs.listFiles(cd.getPath, true)
         val buf = Seq.newBuilder[String]
@@ -299,7 +308,7 @@ object ImageTable {
         }
         buf.result()
       }.toSet
-    val preListing = allListing()
+    val preListing = guardListing()
     val partCols = if (hasSalt) Seq("p_cell", "p_salt") else Seq("p_cell")
     // per-LEAF file-count lookup as a BROADCAST join (the ingest salts
     // pattern) — NOT a nested conditional expression: a reduce of
@@ -324,11 +333,11 @@ object ImageTable {
         .repartition((partCols :+ "_fsplit").map(col): _*)
         .drop("_fsplit"))
     try {
-      // concurrent-append guard: a micro-batch landing in ANY cell between
+      // concurrent-append guard: a file landing in a guarded cell between
       // the snapshot read and this commit would be destroyed (affected
-      // cells: by the overwrite; untouched cells: swept as an orphan) —
-      // refuse instead (quiesce the stream and re-run)
-      if (allListing() != preListing)
+      // cells: by the overwrite; on sink-log stores untouched cells too:
+      // swept as an orphan) — refuse instead (quiesce writers and re-run)
+      if (guardListing() != preListing)
         throw new IllegalStateException(
           "compact aborted: files changed under the store during the " +
             "rewrite — quiesce writers before compacting")

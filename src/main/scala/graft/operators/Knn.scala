@@ -200,7 +200,8 @@ object Knn {
    * column math) and added to the join keys — with a partitioned store
    * that is the dynamic-partition-pruning shape (the scan skips
    * directories no surviving query touches). Stragglers after r=64 get
-   * one exact broadcast pass (bounded rarity by construction).
+   * one exact pass — query side broadcast while broadcast-sized, a
+   * partitioned cartesian beyond that (bounded rarity by construction).
    *
    * Round results accumulate in a scratch parquet
    * (`spark.graft.scratchDir`) and every per-round persisted block is
@@ -263,13 +264,22 @@ object Knn {
           unCount = un.count()
         } finally topkRdd.unpersist(true)
       }
-      if (unCount > 0)   // stragglers: exact top-k, bounded rarity
-        out(points.crossJoin(broadcast(un.select(
-            col("qid"), col("qlon"), col("qlat"))))
+      if (unCount > 0) {
+        // stragglers: exact top-k. Broadcast the query side only while it
+        // is genuinely broadcast-sized — a HUGE straggler set is possible
+        // (k > |points| means NO query ever resolves), and an unbounded
+        // broadcast of the full query table would OOM the driver; past
+        // the cap the pass degrades to a partitioned cartesian (slow but
+        // memory-bounded, matching the contract that stragglers are the
+        // exception, not the plan)
+        val qside = un.select(col("qid"), col("qlon"), col("qlat"))
+        val qb = if (unCount <= 4000000L) broadcast(qside) else qside
+        out(points.crossJoin(qb)
           .withColumn("dist", distCol)
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= k)
           .select("qid", "id", "dist", "rank"))
+      }
     } finally unRdd.unpersist(true)
     val p = new org.apache.hadoop.fs.Path(scratch)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -199,24 +199,25 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val scored = withLangId(docs)
       .withColumn("n_words", tokenCountWs(col("text")).cast("long"))
-    // pass 1: distinct-value histogram (tiny — one row per (lang, n_words))
+    // pass 1: distinct-value histogram (tiny — one row per (lang, n_words)).
+    // This is the ONLY consumption of the corpus: counts, totals, max and
+    // the median rank are all derived from the histogram below, so the
+    // text is scanned and language-scored exactly once.
     val hist = scored.groupBy("lang_pred", "n_words").agg(count(lit(1)).as("_c"))
-    // pass 2: cumulative rank over the histogram; the median value is the
-    // n_words whose cumulative range [cum-_c+1, cum] covers rank (n+1)/2
-    val cum = hist
-      .withColumn("_cum", sum("_c").over(
-        Window.partitionBy("lang_pred").orderBy("n_words")))
-      .withColumn("_tot", sum("_c").over(Window.partitionBy("lang_pred")))
+    // pass 2 (over the histogram only): cumulative rank locates the median
+    // value — the n_words whose cumulative range [cum-_c+1, cum] covers
+    // rank (n+1)/2; the per-language totals ride the same tiny windows
+    val byLang = Window.partitionBy("lang_pred")
+    hist
+      .withColumn("_cum", sum("_c").over(byLang.orderBy("n_words")))
+      .withColumn("_tot", sum("_c").over(byLang))
+      .withColumn("_totw", sum(col("n_words") * col("_c")).over(byLang))
+      .withColumn("_maxw", max("n_words").over(byLang))
       .withColumn("_rank", floor((col("_tot") + 1) / 2))
-    val medians = cum
       .where(col("_cum") - col("_c") < col("_rank") && col("_rank") <= col("_cum"))
-      .select(col("lang_pred"), col("n_words").as("median_words"))
-    scored.groupBy("lang_pred")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_words").as("total_words"),
-        max("n_words").as("max_words"))
-      .join(medians, "lang_pred")
-      .select("lang_pred", "n_docs", "total_words", "median_words", "max_words")
+      .select(col("lang_pred"), col("_tot").as("n_docs"),
+        col("_totw").as("total_words"), col("n_words").as("median_words"),
+        col("_maxw").as("max_words"))
   }
 
   // ---- PII detection / redaction ----------------------------------------------

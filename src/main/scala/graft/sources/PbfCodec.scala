@@ -41,6 +41,14 @@ object PbfCodec {
 
   // ---- protobuf primitives ---------------------------------------------------
 
+  /** The zigzag transform — ONE definition shared by the protobuf wire
+    * codec ([[PbOut]]/[[PbIn]]) and the VEX sink ([[VexSink]]), so the two
+    * hand-rolled sinks cannot drift on the subtle bit-twiddling. */
+  private[sources] object Varint {
+    @inline def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+    @inline def unzigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
+  }
+
   final class PbOut {
     val buf = new ByteArrayOutputStream()
     def writeVarint(v0: Long): Unit = {
@@ -50,7 +58,7 @@ object PbfCodec {
     }
     def writeTag(field: Int, wire: Int): Unit = writeVarint((field << 3) | wire)
     def writeSint(field: Int, v: Long): Unit = {
-      writeTag(field, 0); writeVarint((v << 1) ^ (v >> 63))
+      writeTag(field, 0); writeVarint(Varint.zigzag(v))
     }
     def writeInt(field: Int, v: Long): Unit = { writeTag(field, 0); writeVarint(v) }
     def writeBytes(field: Int, b: Array[Byte]): Unit = {
@@ -63,7 +71,7 @@ object PbfCodec {
     def writePacked(field: Int, vs: Iterable[Long], zigzag: Boolean): Unit = {
       if (vs.isEmpty) return
       val p = new PbOut
-      vs.foreach(v => p.writeVarint(if (zigzag) (v << 1) ^ (v >> 63) else v))
+      vs.foreach(v => p.writeVarint(if (zigzag) Varint.zigzag(v) else v))
       writeBytes(field, p.toBytes)
     }
     def toBytes: Array[Byte] = buf.toByteArray
@@ -81,7 +89,7 @@ object PbfCodec {
       }
       v
     }
-    def readSint(): Long = { val v = readVarint(); (v >>> 1) ^ -(v & 1) }
+    def readSint(): Long = Varint.unzigzag(readVarint())
     def readTag(): Int = readVarint().toInt       // (field << 3) | wire
     def readLen(): Int = readVarint().toInt
     def sub(): PbIn = { val n = readLen(); val s = new PbIn(buf, pos, pos + n); pos += n; s }

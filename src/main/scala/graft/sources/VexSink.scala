@@ -37,6 +37,8 @@ import graft.fixtures.Fixtures.{NodeRow, WayRow}
 object VexSink {
 
   // ---- varint primitives (protobuf conventions, vex.c:673-696) --------------
+  // zigzag shared with the PBF wire codec (PbfCodec.Varint) — one
+  // definition, no cross-sink drift
 
   private def writeVarint(os: OutputStream, v0: Long): Unit = {
     var v = v0
@@ -44,7 +46,7 @@ object VexSink {
     os.write((v & 0x7FL).toInt)
   }
   private def writeSint(os: OutputStream, v: Long): Unit =
-    writeVarint(os, (v << 1) ^ (v >> 63))
+    writeVarint(os, PbfCodec.Varint.zigzag(v))
   private def writeBuf(os: OutputStream, b: Array[Byte]): Unit = {
     writeVarint(os, b.length.toLong); os.write(b)
   }
@@ -67,9 +69,8 @@ object VexSink {
     }
     v   // unreachable
   }
-  private def readSint(in: InputStream): Long = {
-    val u = readVarint(in); (u >>> 1) ^ -(u & 1L)
-  }
+  private def readSint(in: InputStream): Long =
+    PbfCodec.Varint.unzigzag(readVarint(in))
   private def readBuf(in: InputStream): String = {
     val n = readVarint(in).toInt
     val b = new Array[Byte](n)
