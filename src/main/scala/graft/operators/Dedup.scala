@@ -21,6 +21,15 @@ import graft.functions.vec
  */
 object Dedup {
 
+  /** THE scratch-dir resolution (`spark.graft.scratchDir`, default JVM
+    * tmp) — one definition shared by clustering, the dedup-index probe,
+    * the kNN table join and [[purgeClusterScratch]]; a second copy that
+    * drifted would silently split scratch output across directories and
+    * hide strays from the purge. */
+  private[graft] def scratchDir(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get("spark.graft.scratchDir",
+      System.getProperty("java.io.tmpdir") + "/graft_scratch")
+
   /**
    * Hot-bucket cap: drop every bucket whose population exceeds `maxBucket`
    * BEFORE the candidate self-join. The within-bucket join is quadratic in
@@ -329,9 +338,7 @@ object Dedup {
     var changed = 1L
     var i = 0
     val spark = pairs.sparkSession
-    val scratch = spark.conf.get("spark.graft.scratchDir",
-      System.getProperty("java.io.tmpdir") + "/graft_scratch") +
-      s"/cc_${java.util.UUID.randomUUID()}"
+    val scratch = scratchDir(spark) + s"/cc_${java.util.UUID.randomUUID()}"
     // try/finally around the WHOLE iteration + scratch write: a mid-round
     // failure (OOM, job cancellation, scratch-write error) must release the
     // edges/labels blocks too — a long-lived service that catches the
@@ -524,9 +531,7 @@ object Dedup {
     val (batchBanded, bandedRdd) = persistedCopy(
       portableBanded(batch, nGram, nHashes, bands, maxBucket, carry = Nil)
         .select(col("doc_id"), col("_sh"), col("_b"), col("_k")))
-    val dropScratch = spark.conf.get("spark.graft.scratchDir",
-      System.getProperty("java.io.tmpdir") + "/graft_scratch") +
-      s"/cc_drop_${java.util.UUID.randomUUID()}"
+    val dropScratch = scratchDir(spark) + s"/cc_drop_${java.util.UUID.randomUUID()}"
     try {
       val ba = batchBanded.select(col("_b"), col("_k"),
         col("doc_id").as("a_id"), col("_sh").as("_sha"))
@@ -545,6 +550,9 @@ object Dedup {
                 .dropDuplicates("a_id", "b_id"), threshold)
             .select("a_id", "b_id").withColumn("_cross", lit(false))))
       try {
+        // the common online case is a CLEAN batch (zero verified pairs):
+        // skip the clustering machinery and both scratch files entirely
+        if (pairsAll.isEmpty) return batch
         val labels = connectedComponents(pairsAll.select("a_id", "b_id"))
         // corpus ids occur in pairs ONLY as the a side of cross pairs, so
         // the infected-component membership test needs no corpus table
@@ -635,9 +643,7 @@ object Dedup {
     * clustering per batch accumulates result files. Call this once no
     * previously returned frame is still being consumed. */
   def purgeClusterScratch(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val base = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.graft.scratchDir",
-        System.getProperty("java.io.tmpdir") + "/graft_scratch"))
+    val base = new org.apache.hadoop.fs.Path(scratchDir(spark))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base))
       fs.listStatus(base).filter(st => st.getPath.getName.startsWith("cc_") ||

@@ -32,6 +32,12 @@ object ImageTable {
   /** Default partition-prefix resolution: 4^5 = 1024 possible cells. */
   val DefaultPRes = 5
 
+  /** Test seam for [[compact]]: invoked after the pre-listing snapshot
+    * (and the merged-rows materialization) and before the guard re-check —
+    * lets specs inject a concurrent append into the window the guard
+    * protects. No-op in production. */
+  private[graft] var onCompactBeforeGuard: () => Unit = () => ()
+
   /** Derive geocoded columns from phash. Pure column expressions (WSCG). */
   def derive(images: DataFrame, pRes: Int = DefaultPRes): DataFrame =
     images
@@ -290,15 +296,18 @@ object ImageTable {
     val affectedSet = affectedCells.toSet
     // guard scope: on a SINK-LOG store any mid-pass append is destroyed
     // (untouched cells: swept as orphans; affected cells: lost in the
-    // overwrite), so the guard covers ALL cells. On a plain store only the
-    // overwrite can destroy data, so the guard covers affected cells only
-    // — a harmless concurrent append to an untouched cell must not abort
-    // the maintenance pass.
-    val guardedDirs =
-      if (hasSinkLog) cellDirs.toSeq
-      else cellDirs.toSeq.filter(cd =>
+    // overwrite), so the guard covers ALL cells — and re-derives the cell
+    // directory list on every call, so a micro-batch opening a brand-NEW
+    // cell mid-pass is caught too (a fixed dir list would miss it and let
+    // its crashed-batch debris survive log retirement). On a plain store
+    // only the overwrite can destroy data, so the guard covers affected
+    // cells only — a harmless concurrent append to an untouched cell must
+    // not abort the maintenance pass.
+    def guardListing(): Set[String] = fs.listStatus(hPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("p_cell="))
+      .toSeq
+      .filter(cd => hasSinkLog ||
         affectedSet(cd.getPath.getName.stripPrefix("p_cell=").toLong))
-    def guardListing(): Set[String] = guardedDirs
       .flatMap { cd =>
         val it = fs.listFiles(cd.getPath, true)
         val buf = Seq.newBuilder[String]
@@ -333,6 +342,7 @@ object ImageTable {
         .repartition((partCols :+ "_fsplit").map(col): _*)
         .drop("_fsplit"))
     try {
+      onCompactBeforeGuard()
       // concurrent-append guard: a file landing in a guarded cell between
       // the snapshot read and this commit would be destroyed (affected
       // cells: by the overwrite; on sink-log stores untouched cells too:

@@ -209,16 +209,20 @@ object Knn {
    * Returns (qid, id, dist, rank) — exactly k rows per query (fewer iff
    * the whole table has < k rows).
    */
+  /** @param maxBroadcastQueries straggler-fallback broadcast cap (rows):
+    *   beyond it the exact pass runs as a partitioned cartesian instead of
+    *   broadcasting the query side (~40-80 MB of UnsafeRows per 1M rows —
+    *   sized for a modest driver, and a parameter because the right value
+    *   is deployment-specific). */
   def knnJoinTable(points: DataFrame, queries: DataFrame, k: Int,
-                   pRes: Int = 5): DataFrame = {
+                   pRes: Int = 5,
+                   maxBroadcastQueries: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.classic.GraftBridge.persistedCopy
     require(k >= 1)
     val spark = points.sparkSession
     val hasPCell = points.columns.contains("p_cell")
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
-    val scratch = spark.conf.get("spark.graft.scratchDir",
-      System.getProperty("java.io.tmpdir") + "/graft_scratch") +
-      s"/knn_${java.util.UUID.randomUUID()}"
+    val scratch = Dedup.scratchDir(spark) + s"/knn_${java.util.UUID.randomUUID()}"
     val out = (df: DataFrame) => df
       .select(col("qid").cast("long"), col("id").cast("long"),
         col("dist").cast("double"), col("rank").cast("int"))
@@ -273,7 +277,7 @@ object Knn {
         // memory-bounded, matching the contract that stragglers are the
         // exception, not the plan)
         val qside = un.select(col("qid"), col("qlon"), col("qlat"))
-        val qb = if (unCount <= 4000000L) broadcast(qside) else qside
+        val qb = if (unCount <= maxBroadcastQueries) broadcast(qside) else qside
         out(points.crossJoin(qb)
           .withColumn("dist", distCol)
           .withColumn("rank", row_number().over(w))

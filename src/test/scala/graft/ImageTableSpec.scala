@@ -235,6 +235,59 @@ class ImageTableSpec extends SparkFunSuite {
     assert(ImageTable.compact(spark, dest) == 0L)
   }
 
+  test("compact guard seam: a mid-pass append into a brand-new cell aborts " +
+       "a sink-log compact (no store change) but not a plain-store one") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def plantHook(fs: org.apache.hadoop.fs.FileSystem,
+                  store: String): org.apache.hadoop.fs.Path = {
+      // donor: any data file already in the store
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(store), true)
+      var donor: org.apache.hadoop.fs.Path = null
+      while (it.hasNext && donor == null) {
+        val st = it.next()
+        if (st.getPath.getName.startsWith("part-")) donor = st.getPath
+      }
+      val planted = new org.apache.hadoop.fs.Path(store,
+        "p_cell=888888/part-concurrent.parquet")
+      val d = donor
+      ImageTable.onCompactBeforeGuard = () => {
+        fs.mkdirs(planted.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(fs, d, fs, planted, false, conf)
+      }
+      planted
+    }
+    try {
+      // PLAIN store: append into an untouched (new) cell is harmless —
+      // the pass must proceed and leave the appended file alone
+      val plain = s"$tmp/guard_plain"
+      for (b <- 0 until 2)
+        ImageTable.derive(rows.slice(b * 300, (b + 1) * 300).toDF())
+          .write.mode("append").partitionBy("p_cell").parquet(plain)
+      val fs = new org.apache.hadoop.fs.Path(plain).getFileSystem(conf)
+      val plantedPlain = plantHook(fs, plain)
+      assert(ImageTable.compact(spark, plain) > 0)
+      assert(fs.exists(plantedPlain), "plain store: concurrent append destroyed")
+      ImageTable.onCompactBeforeGuard = () => ()
+
+      // SINK-LOG store: the same append must ABORT the pass (the orphan
+      // sweep would otherwise destroy it), leaving log and files intact
+      val base = Files.createTempDirectory("graft_guard_stream_").toString
+      val (src, dest, ckpt) = (s"$base/src", s"$base/dest", s"$base/ckpt")
+      for (b <- 0 until 2) {
+        rows.slice(b * 300, (b + 1) * 300).toDF()
+          .coalesce(1).write.mode("append").parquet(src)
+        graft.streaming.StreamingIngest.ingestOnce(spark, src, dest, ckpt)
+      }
+      val fs2 = new org.apache.hadoop.fs.Path(dest).getFileSystem(conf)
+      val plantedSink = plantHook(fs2, dest)
+      val e = intercept[IllegalStateException] { ImageTable.compact(spark, dest) }
+      assert(e.getMessage.contains("quiesce"))
+      assert(fs2.exists(new org.apache.hadoop.fs.Path(dest, "_spark_metadata")),
+        "aborted pass must not retire the log")
+      assert(fs2.exists(plantedSink), "aborted pass must not delete files")
+    } finally ImageTable.onCompactBeforeGuard = () => ()
+  }
+
   test("kNN matches the brute-force oracle (dense city + sparse ocean queries)") {
     val cs = Fixtures.cityCenters(Fixtures.DefaultSeed)
     val queries = Seq(
