@@ -1,0 +1,140 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.cells.CellIndex.BBox
+import graft.fixtures.Fixtures.{NodeRow, RelMemberRow, RelationRow, WayRow}
+import graft.operators.PlanetExtract
+import graft.operators.PlanetExtract.PlanetTables
+import graft.sources.{PbfCodec, VexSink}
+
+/**
+ * S7: the reference's HTTP serving layer (vexserver.js:19-75) re-expressed
+ * as a driver-embedded endpoint over the Spark tables — the same pattern
+ * as Spark's own UI server: the engine stays a library, and this thin
+ * JDK-httpserver wrapper exposes the bounded-extract surface.
+ *
+ * Contract replicated from vexserver.js:
+ *  - `GET /?north=<lat>&south=<lat>&east=<lon>&west=<lon>` (or the
+ *    one-letter aliases `n/s/e/w`), any parameter order;
+ *  - missing/non-numeric params -> 400 with the reference's usage text
+ *    (vexserver.js:27-34); inverted or out-of-range boxes -> 400 with the
+ *    reference's exact messages (vexserver.js:36-52);
+ *  - success -> `application/octet-stream` with the reference's
+ *    `osm_export_<midlat>_<midlon>.pbf` attachment name
+ *    (vexserver.js:56-61) and a PBF body (nodes -> ways -> relations,
+ *    streamed in 8k blocks);
+ *  - extension: `&format=vex` serves the VEX encoding instead (the
+ *    reference selects VEX by output-file extension, vex.c:866-869 —
+ *    a server query param is the HTTP analogue), with the entity counts
+ *    the format itself lacks in `X-Vex-Nodes` / `X-Vex-Ways` headers.
+ *
+ * Extract semantics = [[PlanetExtract.bbox]] fixed mode (cell-granular,
+ * emit-once nodes), materialized driver-side like every bounded-extract
+ * sink (writePbfFileLocal contract) — serving is a small-result surface;
+ * planet-scale output goes through the distributed sinks instead.
+ */
+final class ExtractServer(t: PlanetTables, host: String = "0.0.0.0",
+                          port: Int = 8282) {
+
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(null)   // serve on the dispatcher thread (bounded use)
+
+  /** Start serving; returns the BOUND port (pass port=0 for ephemeral). */
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, ctype: String,
+                      body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, body.length.toLong)
+    try ex.getResponseBody.write(body) finally ex.close()
+  }
+  private def bad(ex: HttpExchange, msg: String): Unit =
+    respond(ex, 400, "text/plain", msg.getBytes("UTF-8"))
+
+  private def handle(ex: HttpExchange): Unit =
+    try handleInner(ex)
+    catch {
+      case e: Throwable =>
+        try respond(ex, 500, "text/plain",
+          s"extract failed: ${e.getMessage}".getBytes("UTF-8"))
+        catch { case _: Throwable => ex.close() }
+    }
+
+  private def handleInner(ex: HttpExchange): Unit = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    def num(full: String, short: String): Double =
+      q.get(full).orElse(q.get(short)).map(s =>
+        try s.toDouble catch { case _: NumberFormatException => Double.NaN })
+        .getOrElse(Double.NaN)
+    val north = num("north", "n"); val south = num("south", "s")
+    val east = num("east", "e"); val west = num("west", "w")
+    if (north.isNaN || south.isNaN || east.isNaN || west.isNaN)
+      return bad(ex,
+        "Usage: ?north=<lat>&south=<lat>&east=<lon>&west=<lon>\n" +
+          "   or: ?n=<lat>&s=<lat>&e=<lon>&w=<lon>\norder is not important")
+    if (north <= south || east <= west)
+      return bad(ex, "North must be north of south; east must be east of west")
+    if (north < -90 || north > 90 || south < -90 || south > 90)
+      return bad(ex, "Latitudes must be between -90 and 90")
+    if (west < -180 || west > 180 || east < -180 || east > 180)
+      return bad(ex, "Longitudes must be between -180 and 180")
+
+    val (nodes, ways, rels) = extractEntities(BBox(west, south, east, north))
+    val bos = new java.io.ByteArrayOutputStream()
+    val vexFormat = q.get("format").contains("vex")
+    if (vexFormat) {
+      val (nn, nw) = VexSink.write(bos, nodes, ways)
+      ex.getResponseHeaders.set("X-Vex-Nodes", nn.toString)
+      ex.getResponseHeaders.set("X-Vex-Ways", nw.toString)
+    } else PbfCodec.writePbfFile(bos, nodes, ways, rels)
+    val suffix = if (vexFormat) "vex" else "pbf"
+    ex.getResponseHeaders.set("Content-Disposition",
+      s"attachment;filename=osm_export_${(north + south) / 2}_" +
+        s"${(east + west) / 2}.$suffix")
+    respond(ex, 200, "application/octet-stream", bos.toByteArray)
+  }
+
+  private def mapOf(r: Row, field: String): Map[String, String] =
+    if (r.schema.fieldNames.contains(field))
+      Option(r.getAs[Map[String, String]](field)).getOrElse(Map.empty)
+    else Map.empty
+
+  /** Entity-level bbox extract — exactly [[PlanetExtract.bbox]]'s row set
+    * (fixed mode) with full payloads, collected for encoding. Emission
+    * order inside each kind is id-ascending (deterministic responses;
+    * byte-golden reference order is [[PlanetExtract.bboxOrdered]]'s job). */
+  private def extractEntities(b: BBox)
+      : (Seq[NodeRow], Seq[WayRow], Seq[RelationRow]) = {
+    val pred = PlanetExtract.bboxPredicate(b)
+    val selWays = t.ways.where(pred)
+    val wayNodeIds = selWays.select(explode(col("refs")).as("id")).distinct()
+    val nodes = t.nodes.join(wayNodeIds, "id")
+      .select(t.nodes.columns.map(col): _*).orderBy("id").collect()
+      .map(r => NodeRow(r.getAs[Long]("id"), r.getAs[Double]("lon"),
+        r.getAs[Double]("lat"), mapOf(r, "tags"))).toSeq
+    val ways = selWays.orderBy("id").collect()
+      .map(r => WayRow(r.getAs[Long]("id"),
+        r.getAs[scala.collection.Seq[Long]]("refs").toArray,
+        mapOf(r, "tags"))).toSeq
+    val rels = t.relations.where(pred).orderBy("id").collect()
+      .map(r => RelationRow(r.getAs[Long]("id"),
+        r.getAs[scala.collection.Seq[Row]]("members").map(m =>
+          RelMemberRow(m.getAs[String]("role"), m.getAs[Byte]("mtype"),
+            m.getAs[Long]("ref"))).toArray,
+        mapOf(r, "tags"))).toSeq
+    (nodes, ways, rels)
+  }
+}
