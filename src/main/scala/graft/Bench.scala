@@ -214,11 +214,37 @@ object Bench {
     import graft.operators.{Dedup, Sampling, TextOps}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val nDocs = docs.count().toDouble
-    def rate(name: String)(job: => Long): (String, Double) = {
+    // denominator = the docs the measured job actually processes (the
+    // full table by default; the incremental twins process only their
+    // batch slice — publishing nDocs/sec for those would inflate the
+    // online-path throughput ~10x)
+    def rate(name: String, n: Double = nDocs)(job: => Long): (String, Double) = {
       job                               // warm (codegen + page cache)
       val (sec, _) = time(job)
-      System.err.println(f"[bench] pipeline $name%-16s $sec%7.2f s (${nDocs / sec}%.0f docs/s)")
-      name -> nDocs / sec
+      System.err.println(f"[bench] pipeline $name%-16s $sec%7.2f s (${n / sec}%.0f docs/s)")
+      name -> n / sec
+    }
+    val incr = {
+      // incremental-dedup steady state: corpus signatures STORED once
+      // (build cost outside the measurement — it amortizes over every
+      // batch), each batch probes its own buckets. The recompute twin
+      // re-minhashes the corpus per batch; the ratio between the two
+      // rates is the stored index's value at this sf (at toy sf the
+      // fixed per-call costs — clustering, scratch round trip — dominate
+      // both, so expect the delta only once the corpus dwarfs them).
+      // Rates are per BATCH doc (what each job actually processes).
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val nBatch = batch.count().toDouble
+      val idxDir = s"/tmp/graft_bench_dedup_idx_${new java.io.File(dir).getName}"
+      Dedup.writeDedupIndex(corpus, idxDir)
+      Seq(
+        rate("dedup_incr_index", nBatch) {
+          Dedup.dedupBatchAgainstIndex(batch, idxDir).count()
+        },
+        rate("dedup_incr_recompute", nBatch) {
+          Dedup.dedupBatchAgainstCorpus(corpus, batch).count()
+        })
     }
     Seq(
       rate("clean") {
@@ -235,25 +261,6 @@ object Bench {
           Dedup.minhashLsh(docs, nGram = 3, nHashes = 16, bands = 4,
             threshold = 0.5)).count()
       },
-      {
-        // incremental-dedup steady state: corpus signatures STORED once
-        // (build cost outside the measurement — it amortizes over every
-        // batch), each batch probes its own buckets. The recompute twin
-        // below re-minhashes the corpus per batch; the ratio between the
-        // two rates is the stored index's value at this sf.
-        val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
-        val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
-        val idxDir = s"/tmp/graft_bench_dedup_idx_${new java.io.File(dir).getName}"
-        graft.operators.Dedup.writeDedupIndex(corpus, idxDir)
-        rate("dedup_incr_index") {
-          graft.operators.Dedup.dedupBatchAgainstIndex(batch, idxDir).count()
-        }
-      },
-      rate("dedup_incr_recompute") {
-        val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
-        val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
-        graft.operators.Dedup.dedupBatchAgainstCorpus(corpus, batch).count()
-      },
       rate("decontaminate") {
         // the production shape INCLUDES the stop-shingle cut at 1% doc
         // frequency: a shingle in >1% of a corpus carries no containment
@@ -266,7 +273,7 @@ object Bench {
           docs.where(pmod(col("doc_id"), lit(2)) === 0),
           nGram = 2, minContainment = 0.3,
           maxDocFreq = math.max(20, (nDocs / 100).toInt)).count()
-      })
+      }) ++ incr
   }
 
   /** Next-smaller driver sf dir, when present (sf0.1 -> sf0.01 -> sf0.001). */

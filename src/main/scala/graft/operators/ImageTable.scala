@@ -287,12 +287,8 @@ object ImageTable {
     if (affectedCells.isEmpty) return 0L
     val sinkLog = new org.apache.hadoop.fs.Path(hPath, "_spark_metadata")
     val hasSinkLog = fs.exists(sinkLog)
-    // committed files per the sink log, captured BEFORE the rewrite (URI
-    // path component — scheme spellings differ between APIs)
+    // URI path component — scheme spellings differ between APIs
     def uriPath(s: String) = new java.net.URI(s).getPath
-    val logged: Set[String] =
-      if (hasSinkLog) spark.read.parquet(path).inputFiles.map(uriPath).toSet
-      else Set.empty
     val affectedSet = affectedCells.toSet
     // guard scope: on a SINK-LOG store any mid-pass append is destroyed
     // (untouched cells: swept as orphans; affected cells: lost in the
@@ -358,8 +354,13 @@ object ImageTable {
         //    safe to sweep here too: `merged` is already materialized and
         //    never read these files, and this closes the all-orphan-leaf
         //    leak (dynamic overwrite skips a leaf it has no rows for).
-        //    The set is the PRE-captured listing minus the committed set;
-        //    the guard above proved nothing was committed since capture.
+        //    The committed set is read from the log HERE — after the
+        //    guard, as late as possible before the sweep — so a commit
+        //    landing between an earlier capture and the listing snapshot
+        //    could never be mis-classified as an orphan (a sink commit
+        //    always writes new files, so anything committed after the
+        //    preListing snapshot fails the guard above instead)
+        val logged = spark.read.parquet(path).inputFiles.map(uriPath).toSet
         preListing.diff(logged).foreach(f =>
           fs.delete(new org.apache.hadoop.fs.Path(f), false))
         // 2) retire the log BEFORE the overwrite: merged no longer needs

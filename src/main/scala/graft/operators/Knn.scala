@@ -208,12 +208,13 @@ object Knn {
    * released deterministically (the connectedComponents discipline).
    * Returns (qid, id, dist, rank) — exactly k rows per query (fewer iff
    * the whole table has < k rows).
+   *
+   * @param maxBroadcastQueries straggler-fallback broadcast cap (rows):
+   *   beyond it the exact pass runs as a partitioned cartesian instead of
+   *   broadcasting the query side (~40-80 MB of UnsafeRows per 1M rows —
+   *   sized for a modest driver, and a parameter because the right value
+   *   is deployment-specific).
    */
-  /** @param maxBroadcastQueries straggler-fallback broadcast cap (rows):
-    *   beyond it the exact pass runs as a partitioned cartesian instead of
-    *   broadcasting the query side (~40-80 MB of UnsafeRows per 1M rows —
-    *   sized for a modest driver, and a parameter because the right value
-    *   is deployment-specific). */
   def knnJoinTable(points: DataFrame, queries: DataFrame, k: Int,
                    pRes: Int = 5,
                    maxBroadcastQueries: Long = 1000000L): DataFrame = {

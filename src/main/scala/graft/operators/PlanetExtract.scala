@@ -144,15 +144,27 @@ object PlanetExtract {
    * phantom node — dangling refs are data corruption, not geometry.
    */
   def bbox(t: PlanetTables, b: BBox, strictCompat: Boolean = false): DataFrame = {
+    val (selNodes, selWays, selRels) = selectedEntityFrames(t, b, strictCompat)
+    selNodes.select(lit("node").as("kind"), col("id"), col("cell"))
+      .unionByName(selWays.select(lit("way").as("kind"), col("id"), col("cell")))
+      .unionByName(selRels
+        .select(lit("relation").as("kind"), col("id"), col("cell")))
+  }
+
+  /** The J1/J2/J3(+J4) entity SELECTION of [[bbox]] with full payload
+    * columns: (nodes, ways, relations) frames for the covered cells —
+    * shared with the serving layer so the HTTP surface can never drift
+    * from the extract semantics. Strict mode narrows nodes to (id, cell)
+    * with cell-0 phantoms (see [[selectNodes]]). */
+  private[graft] def selectedEntityFrames(t: PlanetTables, b: BBox,
+                                          strictCompat: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
     val pred = bboxPredicate(b, strictCompat)
     val selWays = t.ways.where(pred)
     // J2 prep + J3: union of selected ways' refs, emit-once
     val wayNodeIds = selWays.select(explode(col("refs")).as("id")).distinct()
-    val selNodes = selectNodes(t.nodes, wayNodeIds, strictCompat)
-    selNodes.select(lit("node").as("kind"), col("id"), col("cell"))
-      .unionByName(selWays.select(lit("way").as("kind"), col("id"), col("cell")))
-      .unionByName(t.relations.where(pred)
-        .select(lit("relation").as("kind"), col("id"), col("cell")))
+    (selectNodes(t.nodes, wayNodeIds, strictCompat), selWays,
+      t.relations.where(pred))
   }
 
   /** J2 node fetch for a set of selected way refs — shared by the in-memory

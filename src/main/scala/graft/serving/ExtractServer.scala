@@ -102,10 +102,16 @@ final class ExtractServer(t: PlanetTables, host: String = "0.0.0.0",
     } else PbfCodec.writePbfFile(bos, nodes, ways, rels)
     val suffix = if (vexFormat) "vex" else "pbf"
     ex.getResponseHeaders.set("Content-Disposition",
-      s"attachment;filename=osm_export_${(north + south) / 2}_" +
-        s"${(east + west) / 2}.$suffix")
+      s"attachment;filename=osm_export_${jsNum((north + south) / 2)}_" +
+        s"${jsNum((east + west) / 2)}.$suffix")
     respond(ex, 200, "application/octet-stream", bos.toByteArray)
   }
+
+  /** JS Number stringification for the attachment name: integral values
+    * print without the ".0" Java's Double.toString would add (the
+    * reference's midpoints come out of JS arithmetic, vexserver.js:60). */
+  private def jsNum(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
 
   private def mapOf(r: Row, field: String): Map[String, String] =
     if (r.schema.fieldNames.contains(field))
@@ -113,15 +119,16 @@ final class ExtractServer(t: PlanetTables, host: String = "0.0.0.0",
     else Map.empty
 
   /** Entity-level bbox extract — exactly [[PlanetExtract.bbox]]'s row set
-    * (fixed mode) with full payloads, collected for encoding. Emission
-    * order inside each kind is id-ascending (deterministic responses;
+    * (fixed mode, via the SHARED PlanetExtract.selectedEntityFrames
+    * selection so the HTTP surface cannot drift from the extract
+    * semantics) with full payloads, collected for encoding. Emission order
+    * inside each kind is id-ascending (deterministic responses;
     * byte-golden reference order is [[PlanetExtract.bboxOrdered]]'s job). */
   private def extractEntities(b: BBox)
       : (Seq[NodeRow], Seq[WayRow], Seq[RelationRow]) = {
-    val pred = PlanetExtract.bboxPredicate(b)
-    val selWays = t.ways.where(pred)
-    val wayNodeIds = selWays.select(explode(col("refs")).as("id")).distinct()
-    val nodes = t.nodes.join(wayNodeIds, "id")
+    val (selNodes, selWays, selRels) =
+      PlanetExtract.selectedEntityFrames(t, b)
+    val nodes = selNodes
       .select(t.nodes.columns.map(col): _*).orderBy("id").collect()
       .map(r => NodeRow(r.getAs[Long]("id"), r.getAs[Double]("lon"),
         r.getAs[Double]("lat"), mapOf(r, "tags"))).toSeq
@@ -129,7 +136,7 @@ final class ExtractServer(t: PlanetTables, host: String = "0.0.0.0",
       .map(r => WayRow(r.getAs[Long]("id"),
         r.getAs[scala.collection.Seq[Long]]("refs").toArray,
         mapOf(r, "tags"))).toSeq
-    val rels = t.relations.where(pred).orderBy("id").collect()
+    val rels = selRels.orderBy("id").collect()
       .map(r => RelationRow(r.getAs[Long]("id"),
         r.getAs[scala.collection.Seq[Row]]("members").map(m =>
           RelMemberRow(m.getAs[String]("role"), m.getAs[Byte]("mtype"),

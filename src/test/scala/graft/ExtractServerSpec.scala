@@ -60,6 +60,13 @@ class ExtractServerSpec extends SparkFunSuite {
         get(port, s"/?n=${b.maxLat}&e=${b.maxLon}&s=${b.minLat}&w=${b.minLon}")
       assert(code2 == 200 && body2.sameElements(body))
 
+      // integral midpoints print JS-style (no trailing .0 — the reference
+      // filename comes out of JS number stringification, vexserver.js:60)
+      val (c2b, _, h2b) = get(port, "/?north=30&south=20&east=40&west=20")
+      assert(c2b == 200)
+      assert(h2b("Content-Disposition") ==
+        "attachment;filename=osm_export_25_30.pbf", h2b("Content-Disposition"))
+
       // the reference's exact 400s (vexserver.js:27-52)
       val (c3, b3, _) = get(port, "/?north=10&south=5&east=abc&west=1")
       assert(c3 == 400 && new String(b3, "UTF-8").startsWith("Usage:"))
