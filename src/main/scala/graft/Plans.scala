@@ -132,6 +132,20 @@ object Plans {
         fmt(TextOps.withLangId(spark.read.parquet(ddir))
           .select("doc_id", "lang_pred"))
       },
+      "table-driven kNN join round (expect: query-side disk explode via " +
+        "two generates — never a crossJoin — equi-joined on (cell, p_cell) " +
+        "with the Morton-derived query-side partition key; on a " +
+        "partitioned store that join key is the dynamic-partition-pruning " +
+        "shape, and the per-query top-k window follows)" -> {
+        import spark.implicits._
+        val pts = table
+          .withColumn("id", expr("cast(substring(image_id, 5) as long)"))
+          .select("id", "lon", "lat", "cell", "p_cell")
+        val qdf = Seq((1L, c._1, c._2), (2L, c._1 + 1.0, c._2 - 1.0))
+          .toDF("qid", "qlon", "qlat")
+        fmt(Knn.roundTopK(pts, qdf, r = 1, k = 5,
+          pRes = ImageTable.DefaultPRes))
+      },
       "stored dedup-index probe (expect PartitionFilters on idx_b: the " +
         "batch's band keys hash to a literal bucket list, so the corpus " +
         "side of incremental dedup is a pruned read of PRECOMPUTED banded " +

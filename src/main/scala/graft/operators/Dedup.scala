@@ -483,6 +483,14 @@ object Dedup {
     finally os.close()
   }
 
+  /** True iff `path` holds a [[writeDedupIndex]] store (the parameter
+    * sidecar is present) — the bootstrap test for online loops. */
+  def hasDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Boolean = {
+    val p = dedupIdxMetaPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def readDedupIndexMeta(spark: org.apache.spark.sql.SparkSession,
                                  path: String): (Int, Int, Int, Int) = {
     val p = dedupIdxMetaPath(path)

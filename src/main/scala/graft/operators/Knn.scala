@@ -234,28 +234,7 @@ object Knn {
     var unCount = un.count()
     try {
       for (r <- Seq(1, 4, 16, 64) if unCount > 0) {
-        val qc0 = un
-          .withColumn("_qcell", graft.functions.geo.grid_cell(col("qlon"), col("qlat")))
-          .withColumn("_qx", shiftright(col("_qcell"), CellIndex.GridBits))
-          .withColumn("_qy", col("_qcell").bitwiseAND(lit(CellIndex.GridDim - 1)))
-          .withColumn("_dx", explode(sequence(lit(-r), lit(r))))
-          .withColumn("_dy", explode(sequence(lit(-r), lit(r))))
-          .withColumn("_yb", col("_qy") + col("_dy"))
-          .where(col("_yb").between(0, CellIndex.GridDim - 1))   // clamp lat
-          .withColumn("_xw", pmod(col("_qx") + col("_dx"), lit(CellIndex.GridDim)))
-          .withColumn("cell",
-            shiftleft(col("_xw"), CellIndex.GridBits).bitwiseOR(col("_yb")))
-        val qc =
-          if (!hasPCell) qc0.select("qid", "qlon", "qlat", "cell")
-          else qc0.withColumn("p_cell", coarseCellCol(col("_xw"), col("_yb"), pRes))
-            .select("qid", "qlon", "qlat", "cell", "p_cell")
-        val joinKeys = if (hasPCell) Seq("cell", "p_cell") else Seq("cell")
-        val (topk, topkRdd) = persistedCopy(points
-          .join(qc, joinKeys)
-          .withColumn("dist", distCol)
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= k)
-          .select(col("qid"), col("qlat"), col("id"), col("dist"), col("rank")))
+        val (topk, topkRdd) = persistedCopy(roundTopK(points, un, r, k, pRes))
         try {
           val resolved = topk.groupBy("qid", "qlat")
             .agg(count(lit(1)).as("_n"), max("dist").as("_maxd"))
@@ -293,5 +272,38 @@ object Knn {
         lit(0.0).as("dist"), lit(0).as("rank"))
     fs.deleteOnExit(p)
     spark.read.parquet(scratch)
+  }
+
+  /** One [[knnJoinTable]] round's candidate top-k frame (lazy): the
+    * disk(r) explode of the unresolved queries (two generates, lon
+    * wrapped, lat clamped), equi-joined to `points` on `cell` — plus the
+    * Morton-derived `p_cell` key when the store carries it — with the
+    * per-query distance window. Factored out as the plan-evidence surface
+    * (PLANS.md) so the audited plan IS the executed plan. */
+  private[graft] def roundTopK(points: DataFrame, un: DataFrame, r: Int,
+                               k: Int, pRes: Int): DataFrame = {
+    val hasPCell = points.columns.contains("p_cell")
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
+    val qc0 = un
+      .withColumn("_qcell", graft.functions.geo.grid_cell(col("qlon"), col("qlat")))
+      .withColumn("_qx", shiftright(col("_qcell"), CellIndex.GridBits))
+      .withColumn("_qy", col("_qcell").bitwiseAND(lit(CellIndex.GridDim - 1)))
+      .withColumn("_dx", explode(sequence(lit(-r), lit(r))))
+      .withColumn("_dy", explode(sequence(lit(-r), lit(r))))
+      .withColumn("_yb", col("_qy") + col("_dy"))
+      .where(col("_yb").between(0, CellIndex.GridDim - 1))   // clamp lat
+      .withColumn("_xw", pmod(col("_qx") + col("_dx"), lit(CellIndex.GridDim)))
+      .withColumn("cell",
+        shiftleft(col("_xw"), CellIndex.GridBits).bitwiseOR(col("_yb")))
+    val qc =
+      if (!hasPCell) qc0.select("qid", "qlon", "qlat", "cell")
+      else qc0.withColumn("p_cell", coarseCellCol(col("_xw"), col("_yb"), pRes))
+        .select("qid", "qlon", "qlat", "cell", "p_cell")
+    val joinKeys = if (hasPCell) Seq("cell", "p_cell") else Seq("cell")
+    points.join(qc, joinKeys)
+      .withColumn("dist", distCol)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("qlat"), col("id"), col("dist"), col("rank"))
   }
 }

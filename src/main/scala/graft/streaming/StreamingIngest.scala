@@ -388,6 +388,64 @@ object StreamingIngest {
         .digest(t._2.getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  /**
+   * Streaming NEAR-DUP dedup ingest — the stored-index online loop
+   * ([[graft.operators.Dedup.writeDedupIndex]] family) as a Structured
+   * Streaming query: document parquet files (doc_id: long, text: string)
+   * arrive in `srcDir`; each micro-batch is deduped against the stored
+   * banded-signature index (probe pruned to the batch's buckets, corpus
+   * text never re-minhashed), SURVIVORS are appended to the corpus at
+   * `destDir` and to the index, so the next batch sees them. The first
+   * batch bootstraps: it is self-deduped (cluster minima survive) and
+   * becomes the initial corpus + index. Trigger.AvailableNow — callable
+   * per "minute" like [[ingestOnce]]; the returned query has terminated.
+   *
+   * Semantics per batch = [[graft.operators.Dedup.dedupBatchAgainstIndex]]:
+   * a batch doc drops iff its near-dup component reaches the corpus
+   * (transitively) or it is a non-minimum member of a batch-only cluster.
+   * doc_ids must be globally unique across all batches (the
+   * dedupBatchAgainstCorpus contract).
+   *
+   * Crash safety: the corpus append is IDEMPOTENT — each batch overwrites
+   * its own deterministic `batch=<id>` subdirectory (discoverable as a
+   * partition column), so a replayed batch rewrites the same rows, never
+   * duplicates them. A replay can re-append the batch's index rows;
+   * duplicate index entries cannot change any decision (candidate pairs
+   * are deduplicated) — they only add bloat, which the periodic
+   * writeDedupIndex rebuild (also re-applying the hot-bucket cap over the
+   * grown corpus) cleans up.
+   */
+  def dedupIngest(spark: SparkSession, srcDir: String, destDir: String,
+                  indexDir: String, checkpointDir: String,
+                  nGram: Int = 3, nHashes: Int = 4, bands: Int = 4,
+                  buckets: Int = 64, threshold: Double = 0.5,
+                  maxBucket: Int = 1000): StreamingQuery = {
+    import graft.operators.Dedup
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.select(col("doc_id"), col("text"))
+        val hasIdx = Dedup.hasDedupIndex(spark, indexDir)
+        val kept =
+          if (hasIdx) Dedup.dedupBatchAgainstIndex(docs, indexDir,
+            threshold, maxBucket)
+          else Dedup.dropClusterDuplicates(docs,   // bootstrap: self-dedup
+            Dedup.minhashLshPortable(docs, nGram, nHashes, bands,
+              threshold, maxBucket))
+        kept.write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
+        if (hasIdx) Dedup.appendToDedupIndex(kept, indexDir)
+        else Dedup.writeDedupIndex(kept, indexDir, nGram, nHashes, bands,
+          buckets, maxBucket)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Windowed per-tile arrival statistics over an event-time stream with a
     * watermark — the streaming counterpart of the tile histogram. Emits
     * (window, cell, n) in append mode once the watermark passes. */

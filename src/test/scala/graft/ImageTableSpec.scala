@@ -340,6 +340,23 @@ class ImageTableSpec extends SparkFunSuite {
       == got, "knnJoinTable over the stored p_cell table diverged")
   }
 
+  test("knnJoinTable equals knn on a randomized 40-query cloud (seeded)") {
+    val pts = table.select(col("image_id"), col("lon"), col("lat"), col("cell"))
+      .withColumn("id", expr("cast(substring(image_id, 5) as long)"))
+    val rnd = new scala.util.Random(7)
+    val queries = (1 to 40).map(i =>
+      Knn.Query(i.toLong, rnd.nextDouble() * 170 + 1, rnd.nextDouble() * 80 + 1))
+    val k = 5
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    val viaSeq = asMap(Knn.knn(pts, queries, k))
+    val qdf = queries.map(q => (q.qid, q.lon, q.lat)).toDF("qid", "qlon", "qlat")
+    val viaTable = asMap(Knn.knnJoinTable(pts, qdf, k))
+    assert(viaTable == viaSeq)
+    assert(viaTable.size == 40 && viaTable.values.forall(_.size == k))
+  }
+
   test("coarseCellCol is bit-identical to CellIndex.coarseCellOfGrid") {
     val r = new scala.util.Random(42)
     val cells = Seq.fill(200)(CellIndex.gridCell(

@@ -272,6 +272,48 @@ class StreamingSpec extends SparkFunSuite {
     assert(m2.values.forall(_.size == 1), s"cross-batch dup leaked: $m2")
   }
 
+  test("dedupIngest: streaming online near-dup dedup — batches self-dedup, " +
+       "later batches drop corpus near-dups via the stored index, survivors " +
+       "grow the corpus AND the index") {
+    val base = Files.createTempDirectory("graft_dedup_stream_").toString
+    val (src, dest, idx, ckpt) = (s"$base/src", s"$base/dest", s"$base/idx",
+      s"$base/ckpt")
+    def arrive(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    def drain(): Unit = StreamingIngest.dedupIngest(spark, src, dest, idx,
+      ckpt, nGram = 2, threshold = 0.4, maxBucket = 0)
+    def corpusIds: Set[Long] = spark.read.parquet(dest)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // minute 1 (bootstrap): B' is a near-dup of B -> min survives
+    arrive(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "one two three four five six seven nine")))   // near-dup of 2
+    drain()
+    assert(corpusIds == Set(1L, 2L), s"bootstrap kept $corpusIds")
+    assert(graft.operators.Dedup.hasDedupIndex(spark, idx))
+
+    // minute 2: C ~ corpus doc 1 (drop), D fresh (keep), E ~ D (drop: D is
+    // the batch-cluster minimum)
+    arrive(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (11L, "red green blue cyan magenta yellow black white"),
+      (12L, "red green blue cyan magenta yellow black grey")))
+    drain()
+    assert(corpusIds == Set(1L, 2L, 11L), s"minute 2 kept $corpusIds")
+
+    // minute 3: F ~ D (11, appended LAST minute — proves the index grew),
+    // G fresh
+    arrive(Seq(
+      (20L, "red green blue cyan magenta yellow black pink"),
+      (21L, "solar lunar stellar orbit comet nebula quasar pulsar")))
+    drain()
+    assert(corpusIds == Set(1L, 2L, 11L, 21L), s"minute 3 kept $corpusIds")
+    // the corpus is partition-discoverable by arrival batch
+    assert(spark.read.parquet(dest).select("batch").distinct().count() == 3)
+  }
+
   test("watermarked windowed tile counts over an event-time stream") {
     val base = Files.createTempDirectory("graft_stream_agg_").toString
     // event-time points: two 5-minute windows, two cells
