@@ -619,6 +619,27 @@ object SparkEntry {
       Similarity.axisTopK(tbl(s, dir, "embeddings"), q, 10, nTables = 8, bits = 8)
         .select(col("vec_id"))
     }),
+    "q_embed_pq" -> ((s, dir) => {          // product-quantization codes
+      // (oracle=SQL: the portable build — md5-ordered seed selection,
+      // double squared-L2, first-min ties — is recomputed from the
+      // embeddings table alone)
+      val (codes, _) = Similarity.pqBuildPortable(tbl(s, dir, "embeddings"))
+      codes.select((col("vec_id") +:
+          (0 until 8).map(i => col(s"code_$i").cast("long").as(s"code_$i"))): _*)
+        .orderBy("vec_id")
+    }),
+    "q_embed_pq_adc" -> ((s, dir) => {      // ADC ranking against vec 0's
+      // embedding — the probe scans ONLY the code columns
+      import org.apache.spark.sql.expressions.Window
+      val embs = tbl(s, dir, "embeddings")
+      val q = embs.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val (codes, cbs) = Similarity.pqBuildPortable(embs)
+      Similarity.pqTopK(codes, cbs, q, 20)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("adc"), col("vec_id"))).cast("long"))
+        .select("vec_id", "rnk").orderBy("rnk")
+    }),
     "q_embed_neardup" -> ((s, dir) =>       // rows-only (random hyperplanes not
       // SQL-able; the oracle-checked banded variant is q_embed_ann_join).
       // threshold sized to the testdata: its embeddings have no true
@@ -826,6 +847,33 @@ object SparkEntry {
          |           list_cosine_similarity(ea.embedding, eb.embedding) AS cos
          |           FROM cand JOIN embeddings ea ON ea.vec_id = cand.a_id
          |                     JOIN embeddings eb ON eb.vec_id = cand.b_id)""".stripMargin
+    // product-quantization CTEs (q_embed_pq / q_embed_pq_adc): the portable
+    // build recomputed from the embeddings table — seeds by md5(vec_id)
+    // order, per-(vector, subspace, codeword) squared-L2 in DOUBLE with an
+    // EXPLICIT left-associated ascending-dim term chain (list_sum's
+    // accumulation order is not contractual; SQL `+` is left-assoc, exactly
+    // Spark's reduce), argmin ties to the lowest code
+    val pqTermSql = (0 until 8).map { j =>
+      val t = s"(CAST(e.embedding[ss.s * 8 + $j + 1] AS DOUBLE) - " +
+        s"CAST(sd.embedding[ss.s * 8 + $j + 1] AS DOUBLE))"
+      s"($t * $t)"
+    }.mkString(" + ")
+    val pqCtes =
+      s"""seeds AS (
+         |  SELECT embedding, row_number() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+         |  FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |dists AS (
+         |  SELECT e.vec_id, ss.s, sd.code, $pqTermSql AS d
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
+         |  CROSS JOIN seeds sd),
+         |enc AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+         |    FROM dists) WHERE rn = 1)""".stripMargin
     // morton ranges at res 9 are equivalent to the res-9 bin rectangle
     val xb9 = "CAST(TRUNC(lon * 2147483647.0 / 180.0) AS BIGINT) // 8388608"
     val yb9 = "CAST(TRUNC(lat * 2147483647.0 / 90.0) AS BIGINT) // 8388608"
@@ -1124,6 +1172,34 @@ object SparkEntry {
            |  FROM scored)
            |SELECT a_id, b_id, rnk FROM ranked WHERE rnk <= 5
            |ORDER BY a_id, rnk""".stripMargin,
+      // PQ codes: the full portable encode recomputed cross-engine
+      "q_embed_pq" -> {
+        val codeCols = (0 until 8).map(s =>
+          s"CAST(max(CASE WHEN s = $s THEN code END) AS BIGINT) AS code_$s")
+          .mkString(", ")
+        s"""WITH $pqCtes
+           |SELECT vec_id,
+           |  $codeCols
+           |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
+      // PQ ADC ranking: the query's LUT entries ARE its dists rows; the
+      // per-row distance is the left-associated sum of the 8 pivoted
+      // entries (same accumulation order as the engine's reduce)
+      "q_embed_pq_adc" -> {
+        val pivots = (0 until 8).map(s =>
+          s"max(CASE WHEN e.s = $s THEN qd.d END) AS d$s").mkString(", ")
+        val sum = (1 until 8).foldLeft("d0")((acc, s) => s"($acc + d$s)")
+        s"""WITH $pqCtes,
+           |qd AS (SELECT s, code, d FROM dists WHERE vec_id = 0),
+           |pv AS (SELECT e.vec_id,
+           |  $pivots
+           |  FROM enc e JOIN qd ON qd.s = e.s AND qd.code = e.code
+           |  GROUP BY e.vec_id),
+           |ranked AS (SELECT vec_id,
+           |  row_number() OVER (ORDER BY $sum, vec_id) AS rnk FROM pv)
+           |SELECT vec_id, rnk FROM ranked WHERE rnk <= 20
+           |ORDER BY rnk""".stripMargin
+      },
       "q_embed_ann_recall" ->
         s"""WITH sigs AS ($annSigsSql),
            |$annCandSql,

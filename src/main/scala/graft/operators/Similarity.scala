@@ -200,6 +200,83 @@ object Similarity {
     bruteForceTopK(assigned.where(col("list_id").isin(lists: _*)), query, k)
   }
 
+  // ---- product quantization (PQ) ---------------------------------------------
+
+  /**
+   * PORTABLE PQ codebooks + codes — the memory-bound ANN technique the
+   * IVF/LSH tiers lack: each dim-`dim` embedding is split into `m`
+   * subvectors and every subvector replaced by the id of its nearest
+   * codeword, compressing a vector to `m` small ints (m=8, ksub=16 -> a
+   * 64-float vector becomes 8 nibbles; at 100 TB the codes table fits
+   * where the raw vectors never could, and ADC scans it without touching
+   * the floats).
+   *
+   * Portability (the ivfBuildPortable discipline): the codewords are the
+   * subvectors of the `ksub` rows FIRST in md5(vec_id) order — no float
+   * arithmetic in the selection — and the encode argmin runs in DOUBLE
+   * with squared-L2 accumulated in ascending-dim order, first-min
+   * tie-break, so a DuckDB oracle recomputes the exact codes from the
+   * embeddings table alone. Returns (embs + code_0..code_{m-1},
+   * codebooks(s)(c) = subvector).
+   */
+  def pqBuildPortable(embs: DataFrame, m: Int = 8, ksub: Int = 16,
+                      dim: Int = 64): (DataFrame, Array[Array[Array[Float]]]) = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subDim = dim / m
+    val seeds = embs.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(ksub).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "empty embeddings table")
+    val codebooks = Array.tabulate(m)(s =>
+      seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+    (pqEncode(embs, codebooks), codebooks)
+  }
+
+  /** PQ encode: code_s = argmin_c squaredL2(subvector_s, codebook(s)(c)).
+    * The argmin is the LINEAR array_min/array_position recipe (the
+    * [[assign]] family — never a nested when-fold), distances in double
+    * with ascending-dim accumulation (cross-engine exact). */
+  def pqEncode(embs: DataFrame,
+               codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val subDim = codebooks(0)(0).length
+    codebooks.zipWithIndex.foldLeft(embs) { case (df, (cb, s)) =>
+      val dists = array(cb.map { cw =>
+        (0 until subDim).map { j =>
+          val e = element_at(col("embedding"), s * subDim + j + 1).cast("double")
+          val d = e - lit(cw(j).toDouble)
+          d * d
+        }.reduce(_ + _)
+      }: _*)
+      df.withColumn(s"code_$s",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+    }
+  }
+
+  /** ADC (asymmetric distance) top-k over a PQ codes table: the query's
+    * exact squared-L2 to every codeword is a driver-computed lookup table
+    * (m x ksub doubles), and each row's approximate distance is the sum of
+    * its codes' LUT entries — the scan touches ONLY the code columns,
+    * never the float vectors (the PQ payoff at rest). Left-associated
+    * ascending-subspace sum (cross-engine exact). */
+  def pqTopK(codes: DataFrame, codebooks: Array[Array[Array[Float]]],
+             query: Array[Float], k: Int): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val lut: Array[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map { cw =>
+        (0 until subDim).map { j =>
+          val d = query(s * subDim + j).toDouble - cw(j).toDouble
+          d * d
+        }.sum                      // ascending-dim left fold
+      }.toSeq
+    }
+    val adc = (0 until m).map(s =>
+      element_at(typedLit(lut(s)), col(s"code_$s") + 1)).reduce(_ + _)
+    codes.select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Axis-sign LSH signature for band `t`: bit j = sign(embedding[t*bits+j])
     * — a hyperplane family aligned to the coordinate axes. No float
     * arithmetic at all (pure sign tests on stored values), hence exactly

@@ -231,6 +231,43 @@ class PipelineOpsSpec extends SparkFunSuite {
     cached.unpersist()
   }
 
+  test("PQ: codes equal the scala brute-force argmin; ADC top-k recalls " +
+       "the exact neighbors on the clustered fixture") {
+    val m = 8; val ksub = 16; val subDim = dim / m
+    val (codesDf, cbs) = Similarity.pqBuildPortable(embs, m, ksub, dim)
+    assert(cbs.length == m && cbs(0).length == ksub &&
+      cbs(0)(0).length == subDim)
+    // brute-force encode in scala (double squared-L2, first-min ties)
+    def encode(v: Array[Float]): Seq[Int] = (0 until m).map { s =>
+      val d = cbs(s).map { cw =>
+        (0 until subDim).map { j =>
+          val x = v(s * subDim + j).toDouble - cw(j).toDouble; x * x
+        }.sum
+      }
+      d.indexOf(d.min)
+    }
+    val got = codesDf.select((col("vec_id") +:
+        (0 until m).map(i => col(s"code_$i"))): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to m).map(r.getInt).toSeq).toMap
+    vecRows.foreach { case (id, v) =>
+      assert(got(id) == encode(v), s"vec $id")
+    }
+    // ADC ranking: the planted near-dup partner of vector 3 must surface,
+    // and recall@20 vs the exact L2 neighbors stays useful
+    val q = vecRows.find(_._1 == 3L).get._2
+    val adc = Similarity.pqTopK(codesDf, cbs, q, 20).collect()
+      .map(_.getLong(0)).toSet
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      (0 until dim).map(i => { val d = a(i).toDouble - b(i); d * d }).sum
+    val exact = vecRows.map { case (id, v) => (id, l2(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(20).map(_._1).toSet
+    assert(adc.intersect(exact).size >= 10,
+      s"ADC recall ${adc.intersect(exact).size}/20")
+    assert(adc.contains(3L) && adc.contains(1003L),
+      "query vector / planted near-dup missing from ADC top-20")
+  }
+
   test("connectedComponents: chains, triangles and isolated pairs label " +
        "with their component minimum (canonical survivor)") {
     // components: chain 5-3-9-1 (min 1), triangle 20-21-22 (min 20),
