@@ -608,7 +608,18 @@ object Dedup {
 
   /** The pruned (index x banded batch) candidate join over an
     * ALREADY-BANDED batch frame — the shared core of
-    * [[dedupBatchAgainstIndex]] and [[indexProbeCandidates]]. */
+    * [[dedupBatchAgainstIndex]] and [[indexProbeCandidates]].
+    *
+    * Index entries whose doc_id appears IN the batch are ignored (an
+    * anti-join, not just the self-pair filter): the corpus/batch
+    * id-disjointness contract is ENFORCED here rather than assumed,
+    * because an at-least-once caller can legitimately violate it — a
+    * replayed micro-batch that already appended its survivors to the
+    * index would otherwise near-dup against its own previous append and
+    * drop its survivors (observed failure shape: batch cluster {X min,
+    * Y}; replay pairs Y against X's stored entry, infects the component,
+    * and BOTH vanish). With self-entries ignored, a replay reproduces
+    * the original decisions exactly. */
   private def crossCandidates(batchBanded: DataFrame, indexPath: String,
                               buckets: Int): DataFrame = {
     val spark = batchBanded.sparkSession
@@ -620,6 +631,8 @@ object Dedup {
     val idx = spark.read.parquet(indexPath)
       .where(if (probeBuckets.isEmpty) lit(false)
              else col("idx_b").isin(probeBuckets: _*))   // PartitionFilters
+      .join(batchBanded.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")   // ignore the batch's own entries
     idx.select(col("_b"), col("_k"), col("doc_id").as("a_id"),
         col("_sh").as("_sha"))
       .join(batchBanded.select(col("_b"), col("_k"), col("doc_id").as("b_id"),

@@ -221,7 +221,6 @@ object Knn {
     import org.apache.spark.sql.classic.GraftBridge.persistedCopy
     require(k >= 1)
     val spark = points.sparkSession
-    val hasPCell = points.columns.contains("p_cell")
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     val scratch = Dedup.scratchDir(spark) + s"/knn_${java.util.UUID.randomUUID()}"
     val out = (df: DataFrame) => df

@@ -406,14 +406,21 @@ object StreamingIngest {
    * doc_ids must be globally unique across all batches (the
    * dedupBatchAgainstCorpus contract).
    *
-   * Crash safety: the corpus append is IDEMPOTENT — each batch overwrites
-   * its own deterministic `batch=<id>` subdirectory (discoverable as a
-   * partition column), so a replayed batch rewrites the same rows, never
-   * duplicates them. A replay can re-append the batch's index rows;
-   * duplicate index entries cannot change any decision (candidate pairs
-   * are deduplicated) — they only add bloat, which the periodic
-   * writeDedupIndex rebuild (also re-applying the hot-bucket cap over the
-   * grown corpus) cleans up.
+   * Crash safety (at-least-once foreachBatch made convergent): the corpus
+   * append is IDEMPOTENT — each batch overwrites its own deterministic
+   * `batch=<id>` subdirectory (discoverable as a partition column), so a
+   * replayed batch rewrites the same rows, never duplicates them. A
+   * replay after the index append sees its OWN survivors in the index —
+   * the probe ignores index entries whose doc_id is in the batch
+   * (enforced in Dedup.crossCandidates), so the replay reproduces the
+   * original decisions instead of near-dupping against itself (which
+   * would have silently dropped its own survivors); a replayed BOOTSTRAP
+   * batch routes through the index path and, with self-entries ignored,
+   * reduces to exactly the within-batch clustering it ran the first
+   * time. The only replay residue is duplicate index rows — decisions
+   * are unaffected (candidate pairs are deduplicated); the periodic
+   * writeDedupIndex rebuild (also re-applying the hot-bucket cap over
+   * the grown corpus) cleans the bloat.
    */
   def dedupIngest(spark: SparkSession, srcDir: String, destDir: String,
                   indexDir: String, checkpointDir: String,
@@ -427,18 +434,24 @@ object StreamingIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val docs = batch.select(col("doc_id"), col("text"))
-        val hasIdx = Dedup.hasDedupIndex(spark, indexDir)
-        val kept =
-          if (hasIdx) Dedup.dedupBatchAgainstIndex(docs, indexDir,
-            threshold, maxBucket)
-          else Dedup.dropClusterDuplicates(docs,   // bootstrap: self-dedup
-            Dedup.minhashLshPortable(docs, nGram, nHashes, bands,
-              threshold, maxBucket))
-        kept.write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
-        if (hasIdx) Dedup.appendToDedupIndex(kept, indexDir)
-        else Dedup.writeDedupIndex(kept, indexDir, nGram, nHashes, bands,
-          buckets, maxBucket)
+        // persist the micro-batch: the dedup probe, the corpus write and
+        // the index append each consume it — unpersisted, every consumer
+        // re-reads the source files and re-minhashes the text
+        val (docs, docsRdd) = org.apache.spark.sql.classic.GraftBridge
+          .persistedCopy(batch.select(col("doc_id"), col("text")))
+        try {
+          val hasIdx = Dedup.hasDedupIndex(spark, indexDir)
+          val kept =
+            if (hasIdx) Dedup.dedupBatchAgainstIndex(docs, indexDir,
+              threshold, maxBucket)
+            else Dedup.dropClusterDuplicates(docs,   // bootstrap: self-dedup
+              Dedup.minhashLshPortable(docs, nGram, nHashes, bands,
+                threshold, maxBucket))
+          kept.write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
+          if (hasIdx) Dedup.appendToDedupIndex(kept, indexDir)
+          else Dedup.writeDedupIndex(kept, indexDir, nGram, nHashes, bands,
+            buckets, maxBucket)
+        } finally docsRdd.unpersist(true)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -627,6 +627,15 @@ class PipelineOpsSpec extends SparkFunSuite {
         threshold = 0.4, maxBucket = 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptC2 == keptC, "append diverged from rebuild")
+    // REPLAY idempotence (the at-least-once foreachBatch shape): probing
+    // batch B again AFTER its survivors were appended must reproduce the
+    // original decisions — a batch must never near-dup against its own
+    // prior append (its index entries are ignored), or a crash replay
+    // would silently drop its own survivors
+    val keptBReplay = Dedup.dedupBatchAgainstIndex(batchB, idxDir,
+        threshold = 0.4, maxBucket = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBReplay == Set(101L), s"replay diverged: $keptBReplay")
   }
 
   test("connectedComponents pins zero blocks after return and " +
