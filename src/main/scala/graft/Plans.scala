@@ -146,6 +146,18 @@ object Plans {
         fmt(Knn.roundTopK(pts, qdf, r = 1, k = 5,
           pRes = ImageTable.DefaultPRes))
       },
+      "PQ ADC probe over a stored codes table (expect ReadSchema WITHOUT " +
+        "the embedding column: the asymmetric-distance scan touches only " +
+        "vec_id + the 8 int code columns — the product-quantization " +
+        "payoff at rest, where the float vectors never leave storage)" -> {
+        val embs = spark.range(20000).selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
+        val (codes, cbs) = Similarity.pqBuildPortable(embs)
+        val codesDir = s"$dir/pq_codes"
+        codes.write.mode("overwrite").parquet(codesDir)
+        val q = Array.tabulate(64)(i => math.sin(7.0 * (i + 1)).toFloat)
+        fmt(Similarity.pqTopK(spark.read.parquet(codesDir), cbs, q, 10))
+      },
       "stored dedup-index probe (expect PartitionFilters on idx_b: the " +
         "batch's band keys hash to a literal bucket list, so the corpus " +
         "side of incremental dedup is a pruned read of PRECOMPUTED banded " +
