@@ -35,6 +35,30 @@ object SparkEntry {
       |       (event_id * 101 % 8000) / 100.0 + 1.0 AS lat
       |FROM events""".stripMargin
 
+  /** Probe/build event streams for the temporal-join gates: even event ids
+    * probe, odd ids build; epoch-micro timestamps (events.ts is
+    * TIMESTAMP_NTZ; the NTZ->TIMESTAMP cast is a wall-clock identity under
+    * the UTC session pinned in Verify/Bench, so `unix_micros` == DuckDB
+    * `epoch_us` on the naive value), money as exact cents per the parity
+    * rules. */
+  private def temporalStreams(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = tbl(s, dir, "events").select(col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("t"), col("user_id").as("k"),
+      round(col("value") * 100).cast("long").as("cents"))
+    (ev.where(pmod(col("event_id"), lit(2)) === 0)
+       .select(col("event_id").as("probe_id"), col("k"), col("t")),
+     ev.where(pmod(col("event_id"), lit(2)) === 1)
+       .select(col("event_id").as("build_id"), col("k"), col("t"), col("cents")))
+  }
+
+  /** SQL twin of [[temporalStreams]]. */
+  private val temporalCtes =
+    """ev AS (SELECT event_id, epoch_us(ts) AS t, user_id AS k,
+      |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |p AS (SELECT event_id AS probe_id, k, t FROM ev WHERE event_id % 2 = 0),
+      |b AS (SELECT event_id AS build_id, k, t, cents FROM ev
+      |      WHERE event_id % 2 = 1)""".stripMargin
+
   /** SQL twin of the level-0 bin math, valid for POSITIVE coords only. */
   private val xbinSql = "CAST(TRUNC(lon * 2147483647.0 / 180.0) AS BIGINT) // 262144"
   private val ybinSql = "CAST(TRUNC(lat * 2147483647.0 / 90.0) AS BIGINT) // 262144"
@@ -822,6 +846,51 @@ object SparkEntry {
       val (assigned, centroids) = Similarity.ivfBuildPortable(e, nLists = 16)
       Similarity.ivfTopK(assigned, centroids, q, 10, nprobe = 4)
         .select(col("vec_id"))
+    }),
+    // ---- temporal joins ----------------------------------------------------------
+    "q_asof_join" -> ((s, dir) => {         // backward as-of join (union-
+      // timeline window formulation, ONE shuffle on the key): each probe
+      // event picks the latest build event at-or-before it per user;
+      // m_build_tol additionally gates the match at 1-day tolerance (a
+      // second tolerance-gated call, joined back on the unique probe id)
+      val (p, b) = temporalStreams(s, dir)
+      val base = Temporal.asofJoin(p, b, Seq("k"), "t", "build_id", Seq("cents"))
+      val tol = Temporal.asofJoin(p, b, Seq("k"), "t", "build_id",
+          tolerance = Some(86400000000L))
+        .select(col("probe_id"), col("m_build_id").as("m_build_tol"))
+      base.join(tol, Seq("probe_id"))
+        .select("probe_id", "k", "t", "m_build_id", "m_t", "m_cents", "m_build_tol")
+        .orderBy("probe_id")
+    }),
+    "q_asof_join_bucketed" -> ((s, dir) => { // the SKEW-SAFE as-of variant
+      // (reducer load bounded by time-bucket population, never by key
+      // population) — decision-identical to q_asof_join by contract, so it
+      // shares that gate's oracle VERBATIM (the q_dedup_incremental_idx
+      // pattern). 6-hour buckets << the per-user build spacing at sf0.01,
+      // so the carry-in path does the bulk of the matching
+      val (p, b) = temporalStreams(s, dir)
+      val base = Temporal.asofJoinBucketed(p, b, Seq("k"), "t", "probe_id",
+        "build_id", Seq("cents"), bucketWidth = 21600000000L)
+      val tol = Temporal.asofJoinBucketed(p, b, Seq("k"), "t", "probe_id",
+          "build_id", bucketWidth = 21600000000L, tolerance = Some(86400000000L))
+        .select(col("probe_id"), col("m_build_id").as("m_build_tol"))
+      base.join(tol, Seq("probe_id"))
+        .select("probe_id", "k", "t", "m_build_id", "m_t", "m_cents", "m_build_tol")
+        .orderBy("probe_id")
+    }),
+    "q_interval_join" -> ((s, dir) => {     // keyed interval (range) join:
+      // build events open 1-7h windows; probe events join every containing
+      // window of their user. 2h buckets + maxSpanBuckets=3 route the long
+      // windows through the broadcast-giant path and the short ones through
+      // the bucket explode — BOTH paths land in the one oracle-checked set
+      val (p, b) = temporalStreams(s, dir)
+      val iv = b.select(col("build_id").as("interval_id"), col("k"),
+        col("t").as("s_t"),
+        (col("t") + (pmod(col("build_id"), lit(7)) + 1) * lit(3600000000L)).as("e_t"))
+      Temporal.intervalJoin(p, iv, Seq("k"), "t", "s_t", "e_t",
+          bucketWidth = 7200000000L, maxSpanBuckets = 3)
+        .select("probe_id", "interval_id", "k", "t", "s_t", "e_t")
+        .orderBy("probe_id", "interval_id")
     })
   )
 
@@ -1762,12 +1831,49 @@ object SparkEntry {
           |SELECT vec_id FROM assign, q
           |WHERE cid IN (SELECT cid FROM probes)
           |ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
-          |LIMIT 10""".stripMargin
+          |LIMIT 10""".stripMargin,
+      // backward as-of join, replicated as the SAME union-timeline window
+      // the engine runs: builds sort before probes at equal ts (inclusive
+      // semantics), ties among builds resolve to the greatest build_id via
+      // the running last_value over (t, side, seq)
+      "q_asof_join" ->
+        s"""WITH $temporalCtes,
+           |u AS (
+           |  SELECT k, t, 0 AS side, build_id AS seq, build_id, cents,
+           |         NULL AS probe_id FROM b
+           |  UNION ALL
+           |  SELECT k, t, 1, 0, NULL, NULL, probe_id FROM p
+           |),
+           |w AS (
+           |  SELECT probe_id, k, t, side,
+           |    last_value(build_id IGNORE NULLS) OVER win AS m_build_id,
+           |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+           |      OVER win AS m_t,
+           |    last_value(cents IGNORE NULLS) OVER win AS m_cents
+           |  FROM u
+           |  WINDOW win AS (PARTITION BY k ORDER BY t, side, seq
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |)
+           |SELECT probe_id, k, t, m_build_id, m_t, m_cents,
+           |  CASE WHEN t - m_t <= 86400000000 THEN m_build_id END AS m_build_tol
+           |FROM w WHERE side = 1 ORDER BY probe_id""".stripMargin,
+      // keyed interval join: plain range predicate — the engine's bucket
+      // explode + giant-broadcast split must reproduce exactly this set
+      "q_interval_join" ->
+        s"""WITH $temporalCtes,
+           |iv AS (SELECT build_id AS interval_id, k, t AS s_t,
+           |         t + (build_id % 7 + 1) * 3600000000 AS e_t FROM b)
+           |SELECT p.probe_id, iv.interval_id, p.k, p.t, iv.s_t, iv.e_t
+           |FROM p JOIN iv ON p.k = iv.k AND p.t >= iv.s_t AND p.t <= iv.e_t
+           |ORDER BY probe_id, interval_id""".stripMargin
     )
     // storage-path twins: identical result sets through the partitioned
     // write -> directory-pruned read round trip, so the oracle SQL is
     // shared verbatim (the oracle is storage-agnostic by construction)
     base + ("q_planet_extract_stored" -> base("q_planet_extract")) +
-      ("q_knn_pruned" -> base("q_knn"))
+      ("q_knn_pruned" -> base("q_knn")) +
+      // the skew-safe bucketed as-of path is decision-identical by
+      // contract: one oracle proves both agree
+      ("q_asof_join_bucketed" -> base("q_asof_join"))
   }
 }

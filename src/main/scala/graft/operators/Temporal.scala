@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Temporal joins over keyed event streams — the two classic shapes a
+ * training-data / analytics pipeline needs beyond equi-joins:
+ *
+ *   - as-of join (each probe row picks the LATEST build row at-or-before
+ *     its timestamp, per key) — feature lookup, point-in-time correctness;
+ *   - interval (range) join (each point row joins every interval row of
+ *     the same key whose [start, end] contains it) — sessionization,
+ *     label windows.
+ *
+ * The reference engine has no temporal operators (its streams are spatial;
+ * cf. the minutely-diff roadmap item, reference README.md:95-98) — these are
+ * graft extensions, designed Spark-first:
+ *
+ *   - [[asofJoin]] is ONE shuffle on the key: both sides union into a
+ *     single keyed timeline and a running `last(ignoreNulls)` window fills
+ *     each probe with the preceding build payload. Exact, no per-row
+ *     search; the classic union-timeline formulation, fully expressible
+ *     in ANSI window SQL (so the DuckDB gate replicates it verbatim).
+ *   - [[asofJoinBucketed]] is the skew-safe variant for 100 TB keys: a
+ *     hot key no longer funnels through one reducer. Probes join builds
+ *     only within their own time bucket (reducer load bounded by bucket
+ *     population, not key population); a carry-in frame — the last build
+ *     of every earlier bucket, computed over the tiny distinct
+ *     (key, bucket) set — covers probes whose bucket holds no earlier
+ *     build. Decision-identical to [[asofJoin]] (spec-proven).
+ *   - [[intervalJoin]] explodes each interval into the time buckets it
+ *     covers and equi-joins on (key, bucket) — never key-wide all-pairs.
+ *     A point lives in exactly one bucket, so no post-join dedup is
+ *     needed. Intervals spanning more than `maxSpanBuckets` buckets take
+ *     a broadcast fallback instead of a huge explode (rare-giant guard).
+ *
+ * Timestamps are plain comparable numerics (epoch micros as long is the
+ * convention used by the gates); bucket arithmetic assumes |ts| < 2^53
+ * (epoch micros are valid until year ~2255).
+ *
+ * Reserved column names: callers' frames must not already use `_`-prefixed
+ * names (`_t`, `_bkt`, `_m`, ...) — enforced by require.
+ */
+object Temporal {
+
+  /** Floor(t / width) as an exact integer: pmod-based so negatives floor
+    * (not truncate) and the division is always of an exact multiple. */
+  private[graft] def bucketCol(t: Column, width: Long): Column =
+    ((t - pmod(t, lit(width))) / lit(width)).cast("long")
+
+  private def reserved(df: DataFrame, what: String): Unit =
+    require(!df.columns.exists(_.startsWith("_")),
+      s"$what columns must not start with '_' (reserved): ${df.columns.mkString(",")}")
+
+  /** The payload carried from the matched build row: its id, its
+    * timestamp (needed for tolerance), and the requested value columns. */
+  private def matchStruct(buildId: String, ts: String, payload: Seq[String]): Column =
+    struct((Seq(buildId, ts) ++ payload).map(col): _*)
+
+  /** Shared tail: apply the optional tolerance gate and flatten the probe
+    * struct + the matched payload (m_-prefixed). Expects `_probe`, `_t`,
+    * `_match` on `filled`. A probe with no (in-tolerance) match keeps its
+    * row with NULL m_* columns — as-of joins are left joins. */
+  private def finish(filled: DataFrame, probes: DataFrame, ts: String, buildId: String,
+                     payload: Seq[String], tolerance: Option[Long]): DataFrame = {
+    val gated = tolerance match {
+      case Some(tol) =>
+        when(col("_match").isNotNull && (col("_t") - col("_match")(ts)) <= tol, col("_match"))
+      case None => col("_match")
+    }
+    val mFields = Seq(buildId, ts) ++ payload
+    filled.withColumn("_g", gated).select(
+      probes.columns.map(c => col("_probe")(c).as(c)) ++
+        mFields.map(f => col("_g")(f).as(s"m_$f")): _*)
+  }
+
+  /**
+   * Backward as-of join: for each probe row, the build row of the same
+   * key with the greatest `ts` at-or-before (inclusive=true) / strictly
+   * before (inclusive=false) the probe's `ts`. Ties among builds at the
+   * same timestamp resolve to the greatest `buildId` (a deterministic
+   * total order, both engines agree). Optional `tolerance`: matches
+   * older than `probe.ts - tolerance` are nulled out.
+   *
+   * Scale shape: one shuffle, partitioned by the key columns — correct
+   * and minimal for well-distributed keys. A single hot key serializes
+   * through one reducer (the window needs the key's full timeline in
+   * order); use [[asofJoinBucketed]] when keys are skewed.
+   */
+  def asofJoin(probes: DataFrame, builds: DataFrame, keys: Seq[String], ts: String,
+               buildId: String, payload: Seq[String] = Nil,
+               tolerance: Option[Long] = None, inclusive: Boolean = true): DataFrame = {
+    reserved(probes, "probe"); reserved(builds, "build")
+    val m = matchStruct(buildId, ts, payload)
+    val mType = builds.select(m.as("_m")).schema("_m").dataType
+    val pType = StructType(probes.schema.fields)
+    // at equal ts the build must sort BEFORE the probe for inclusive
+    // semantics (the running last() then sees it), AFTER for strict
+    val probeSide = if (inclusive) 1 else -1
+    val b = builds.select(
+      keys.map(col) ++ Seq(col(ts).as("_t"), lit(0).as("_side"),
+        col(buildId).cast("long").as("_seq"), m.as("_m"),
+        lit(null).cast(pType).as("_probe")): _*)
+    val p = probes.select(
+      keys.map(col) ++ Seq(col(ts).as("_t"), lit(probeSide).as("_side"),
+        lit(0L).as("_seq"), lit(null).cast(mType).as("_m"),
+        struct(probes.columns.map(col): _*).as("_probe")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = b.unionByName(p)
+      .withColumn("_match", last(col("_m"), ignoreNulls = true).over(w))
+      .where(col("_side") === probeSide)
+    finish(filled, probes, ts, buildId, payload, tolerance)
+  }
+
+  /**
+   * Skew-safe as-of join (same answer as [[asofJoin]], spec-proven):
+   * reducer load is bounded by time-bucket population instead of key
+   * population. Three small stages replace the key-wide window:
+   *
+   *   1. within-bucket: probes equi-join builds on (key, bucket) and keep
+   *      the per-probe argmax build at-or-before their ts;
+   *   2. carry-in: the last build of each (key, bucket) — a tiny
+   *      aggregate — cumulative-filled across the key's bucket list
+   *      (a window over #distinct-buckets rows, not #rows);
+   *   3. coalesce(within-bucket, carry-in) per probe.
+   *
+   * `probeId` must be unique per probe row (it keys the within-bucket
+   * argmax). Pick `bucketWidth` so a bucket holds a bounded slice of a
+   * hot key's rows (e.g. an hour of events).
+   */
+  def asofJoinBucketed(probes: DataFrame, builds: DataFrame, keys: Seq[String], ts: String,
+                       probeId: String, buildId: String, payload: Seq[String] = Nil,
+                       bucketWidth: Long = 3600L * 1000000L,
+                       tolerance: Option[Long] = None, inclusive: Boolean = true): DataFrame = {
+    reserved(probes, "probe"); reserved(builds, "build")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val m = matchStruct(buildId, ts, payload)
+    val bb = builds.select(
+      keys.map(col) ++ Seq(bucketCol(col(ts), bucketWidth).as("_bkt"),
+        col(ts).as("_bt"), col(buildId).cast("long").as("_bseq"), m.as("_m")): _*)
+    val pb = probes.select(
+      keys.map(col) ++ Seq(col(probeId), col(ts).as("_pt"),
+        bucketCol(col(ts), bucketWidth).as("_bkt")): _*)
+    val tcond = if (inclusive) col("_bt") <= col("_pt") else col("_bt") < col("_pt")
+    // 1. within the probe's own bucket: argmax over (ts, buildId)
+    val within = pb.join(bb, keys :+ "_bkt").where(tcond)
+      .groupBy(col(probeId))
+      .agg(max_by(col("_m"), struct(col("_bt"), col("_bseq"))).as("_mw"))
+    // 2. carry-in from strictly earlier buckets, over the bucket frame of
+    //    BOTH sides (a probe bucket holding no build still needs carry)
+    val lastPerBucket = bb.groupBy(keys.map(col) :+ col("_bkt"): _*)
+      .agg(max_by(col("_m"), struct(col("_bt"), col("_bseq"))).as("_lb"))
+    val allBuckets = pb.select(keys.map(col) :+ col("_bkt"): _*).distinct()
+      .unionByName(lastPerBucket.select(keys.map(col) :+ col("_bkt"): _*))
+      .distinct()
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allBuckets.join(lastPerBucket, keys :+ "_bkt", "left")
+      .withColumn("_ci", last(col("_lb"), ignoreNulls = true).over(wb))
+      .select(keys.map(col) ++ Seq(col("_bkt"), col("_ci")): _*)
+    // 3. combine; builds in earlier buckets are strictly earlier in time,
+    //    so inclusive/strict only matters within the bucket (handled above)
+    val joined = probes
+      .withColumn("_bkt", bucketCol(col(ts), bucketWidth))
+      .join(within, Seq(probeId), "left")
+      .join(carry, keys :+ "_bkt", "left")
+      .withColumn("_match", coalesce(col("_mw"), col("_ci")))
+      .withColumn("_t", col(ts))
+      .withColumn("_probe", struct(probes.columns.map(col): _*))
+    finish(joined, probes, ts, buildId, payload, tolerance)
+  }
+
+  /**
+   * Keyed interval (range) join: every (point, interval) pair of the same
+   * key with `start <= ts <= end`. Output = point columns + interval
+   * columns (callers keep the non-key names disjoint).
+   *
+   * Scale shape: intervals explode into the time buckets they cover and
+   * the join is an equi-join on (key, bucket) — candidate volume is
+   * bounded by bucket co-occupancy, never |points per key| x |intervals
+   * per key|. A point lives in exactly one bucket so no dedup pass is
+   * needed. Intervals spanning more than `maxSpanBuckets` buckets (rare
+   * giants that would explode wide) instead broadcast into a residual
+   * non-equi join.
+   */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String], ts: String,
+                   start: String, end: String, bucketWidth: Long = 3600L * 1000000L,
+                   maxSpanBuckets: Int = 4096): DataFrame = {
+    reserved(points, "point"); reserved(intervals, "interval")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxSpanBuckets >= 1, "maxSpanBuckets must be >= 1")
+    val sb = bucketCol(col(start), bucketWidth)
+    val eb = bucketCol(col(end), bucketWidth)
+    val span = eb - sb + lit(1L)
+    val pb = points.withColumn("_bkt", bucketCol(col(ts), bucketWidth))
+    val cond = col(ts) >= col(start) && col(ts) <= col(end)
+    val bucketed = pb
+      .join(intervals.where(span <= maxSpanBuckets)
+              .withColumn("_bkt", explode(sequence(sb, eb))),
+            keys :+ "_bkt")
+      .where(cond)
+      .drop("_bkt")
+    val giants = points.join(broadcast(intervals.where(span > maxSpanBuckets)), keys)
+      .where(cond)
+    bucketed.unionByName(giants)
+  }
+}

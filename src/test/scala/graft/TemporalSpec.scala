@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** Temporal joins vs a naive brute-force oracle: random keyed streams with
+  * planted timestamp ties, missing matches, and tolerance cut-offs; the
+  * bucketed as-of variant must be decision-identical to the window one at
+  * every bucket width, and the interval join must cover both the bucketed
+  * and the giant-broadcast path. */
+object TemporalSpec {
+  case class Probe(probe_id: Long, k: Long, t: Long)
+  case class Build(build_id: Long, k: Long, t: Long, v: Long)
+  case class Interval(interval_id: Long, k: Long, s_t: Long, e_t: Long)
+}
+
+class TemporalSpec extends SparkFunSuite {
+  import spark.implicits._
+  import TemporalSpec._
+
+  private val rnd = new scala.util.Random(42)
+  // small key space + coarse time grid => plenty of equal-timestamp ties
+  private val probes = (0L until 400L).map(i =>
+    Probe(i, rnd.nextInt(5).toLong, rnd.nextInt(50).toLong * 10L))
+  private val builds = (0L until 300L).map(i =>
+    Build(i, rnd.nextInt(5).toLong, rnd.nextInt(50).toLong * 10L, rnd.nextInt(1000).toLong))
+
+  /** Naive as-of: latest build (ties -> greatest build_id) per probe. */
+  private def bruteAsof(inclusive: Boolean, tol: Option[Long]): Map[Long, Option[Build]] =
+    probes.map { p =>
+      val cands = builds.filter(b => b.k == p.k &&
+        (if (inclusive) b.t <= p.t else b.t < p.t) &&
+        tol.forall(x => p.t - b.t <= x))
+      p.probe_id -> (if (cands.isEmpty) None
+                     else Some(cands.maxBy(b => (b.t, b.build_id))))
+    }.toMap
+
+  private def collectAsof(df: DataFrame): Map[Long, Option[(Long, Long, Long)]] =
+    df.select("probe_id", "m_build_id", "m_t", "m_v").collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None
+                       else Some((r.getLong(1), r.getLong(2), r.getLong(3))))
+    }.toMap
+
+  private def checkAsof(df: DataFrame, inclusive: Boolean, tol: Option[Long]): Unit = {
+    val got = collectAsof(df)
+    val want = bruteAsof(inclusive, tol).view
+      .mapValues(_.map(b => (b.build_id, b.t, b.v))).toMap
+    assert(got.size === probes.size)
+    assert(got === want)
+  }
+
+  private lazy val pdf = probes.toDF()
+  private lazy val bdf = builds.toDF()
+
+  test("asofJoin matches brute force (inclusive, no tolerance)") {
+    checkAsof(Temporal.asofJoin(pdf, bdf, Seq("k"), "t", "build_id", Seq("v")),
+      inclusive = true, tol = None)
+  }
+
+  test("asofJoin strict mode excludes equal-timestamp builds") {
+    checkAsof(Temporal.asofJoin(pdf, bdf, Seq("k"), "t", "build_id", Seq("v"),
+      inclusive = false), inclusive = false, tol = None)
+  }
+
+  test("asofJoin tolerance nulls out stale matches") {
+    checkAsof(Temporal.asofJoin(pdf, bdf, Seq("k"), "t", "build_id", Seq("v"),
+      tolerance = Some(40L)), inclusive = true, tol = Some(40L))
+  }
+
+  test("asofJoinBucketed is decision-identical to asofJoin at every width") {
+    for (width <- Seq(1L, 7L, 50L, 1000L); inc <- Seq(true, false);
+         tol <- Seq(None, Some(40L))) {
+      val got = collectAsof(Temporal.asofJoinBucketed(pdf, bdf, Seq("k"), "t",
+        "probe_id", "build_id", Seq("v"), bucketWidth = width,
+        tolerance = tol, inclusive = inc))
+      val want = collectAsof(Temporal.asofJoin(pdf, bdf, Seq("k"), "t",
+        "build_id", Seq("v"), tolerance = tol, inclusive = inc))
+      assert(got === want, s"width=$width inclusive=$inc tol=$tol")
+    }
+  }
+
+  test("asofJoin carries every probe column through") {
+    val p2 = pdf.withColumn("extra", col("probe_id") * 3)
+    val out = Temporal.asofJoin(p2, bdf, Seq("k"), "t", "build_id", Seq("v"))
+    assert(out.columns.toSeq === Seq("probe_id", "k", "t", "extra",
+      "m_build_id", "m_t", "m_v"))
+    assert(out.where(col("extra") =!= col("probe_id") * 3).count() === 0)
+  }
+
+  test("asofJoin refuses reserved column names") {
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(pdf.withColumn("_t", lit(1)), bdf, Seq("k"), "t", "build_id")
+    }
+  }
+
+  private val intervals = (0L until 200L).map { i =>
+    val s = rnd.nextInt(500).toLong
+    Interval(i, rnd.nextInt(5).toLong, s, s + rnd.nextInt(80).toLong)
+  }
+
+  test("intervalJoin matches brute force on both the bucketed and giant path") {
+    val want = (for {
+      p <- probes; iv <- intervals
+      if iv.k == p.k && p.t >= iv.s_t && p.t <= iv.e_t
+    } yield (p.probe_id, iv.interval_id)).toSet
+    // maxSpanBuckets=3 at width 10 forces intervals spanning >30 ticks
+    // through the broadcast-giant path; width 1000 puts everything in one
+    // bucket; width 1 gives maximal explode
+    for ((width, maxSpan) <- Seq((10L, 3), (10L, 4096), (1000L, 4096), (1L, 4096))) {
+      val got = Temporal.intervalJoin(pdf, intervals.toDF(), Seq("k"), "t",
+          "s_t", "e_t", bucketWidth = width, maxSpanBuckets = maxSpan)
+        .select("probe_id", "interval_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"duplicates at width=$width")
+      assert(got.toSet === want, s"width=$width maxSpan=$maxSpan")
+    }
+  }
+
+  test("bucketCol floors negatives and exact multiples") {
+    val df = Seq(-21L, -20L, -1L, 0L, 1L, 19L, 20L).toDF("t")
+      .select(Temporal.bucketCol(col("t"), 10L).as("b"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(-3L, -2L, -1L, 0L, 0L, 1L, 2L))
+  }
+}
