@@ -172,6 +172,31 @@ object Plans {
         fmt(Dedup.indexProbeCandidates(mkDocs(10000L, 10002L),
           s"$dir/dedup_idx"))
       },
+      "skew-safe as-of join (expect: the full-size streams meet ONLY in " +
+        "equi-join exchanges keyed on (k, _bkt) — no window over the raw " +
+        "rows partitioned by the key alone; the single window runs over " +
+        "the tiny distinct (key, bucket) carry frame, so a hot key costs " +
+        "one bucket's rows per reducer, never the whole key)" -> {
+        val ev = spark.range(200000).selectExpr("id",
+          "pmod(id, 50) AS k", "id * 7 AS t")
+        val p = ev.selectExpr("id AS probe_id", "k", "t")
+        val bb2 = ev.selectExpr("id AS build_id", "k", "t", "id AS v")
+        fmt(Temporal.asofJoinBucketed(p, bb2, Seq("k"), "t", "probe_id",
+          "build_id", Seq("v"), bucketWidth = 1000L))
+      },
+      "keyed interval join (expect: the interval side explodes into its " +
+        "covered buckets and the join is an equi-join on (k, _bkt) — " +
+        "candidate volume bounded by bucket co-occupancy, never a key-wide " +
+        "cartesian; >maxSpanBuckets giants union in via an explicit " +
+        "broadcast join)" -> {
+        val ev = spark.range(200000).selectExpr("id",
+          "pmod(id, 50) AS k", "id * 7 AS t")
+        val p = ev.selectExpr("id AS probe_id", "k", "t")
+        val iv = ev.selectExpr("id AS interval_id", "k", "t AS s_t",
+          "t + pmod(id, 11) * 500 AS e_t")
+        fmt(Temporal.intervalJoin(p, iv, Seq("k"), "t", "s_t", "e_t",
+          bucketWidth = 1000L, maxSpanBuckets = 4))
+      },
       "refined bbox extract over the stored planet (expect the per-way bin " +
         "BOUNDS ranges as PushedFilters on the ways scan — only ways whose " +
         "bound rects touch the bbox are exploded, never the whole table; " +
