@@ -891,6 +891,36 @@ object SparkEntry {
           bucketWidth = 7200000000L, maxSpanBuckets = 3)
         .select("probe_id", "interval_id", "k", "t", "s_t", "e_t")
         .orderBy("probe_id", "interval_id")
+    }),
+    "q_sessionize" -> ((s, dir) => {        // gap-based sessionization: a
+      // 1-day silence opens a new session, labeled by its first event's ts
+      // (deterministic, no global numbering); classic lag-flag + running
+      // last formulation, ONE key-partitioned window
+      val (p, _) = temporalStreams(s, dir)
+      Temporal.sessionize(p, Seq("k"), "t", "probe_id", 86400000000L)
+        .select("probe_id", "k", "t", "session_start")
+        .orderBy("probe_id")
+    }),
+    "q_sessionize_bucketed" -> ((s, dir) => { // the SKEW-SAFE variant
+      // (within-bucket windows + two running maxima over the tiny distinct
+      // (key, bucket) frame) — decision-identical by contract, shares
+      // q_sessionize's oracle VERBATIM. 6-hour buckets < the gap, so
+      // plenty of sessions span buckets and exercise both carries
+      val (p, _) = temporalStreams(s, dir)
+      Temporal.sessionizeBucketed(p, Seq("k"), "t", "probe_id", 86400000000L,
+          bucketWidth = 21600000000L)
+        .select("probe_id", "k", "t", "session_start")
+        .orderBy("probe_id")
+    }),
+    "q_session_stats" -> ((s, dir) => {     // per-session rollup off the
+      // sessionize labels: size + duration; partial-aggregated groupBy on
+      // (key, session_start) — a giant session still combines map-side
+      val (p, _) = temporalStreams(s, dir)
+      Temporal.sessionize(p, Seq("k"), "t", "probe_id", 86400000000L)
+        .groupBy("k", "session_start")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("t")) - min(col("t"))).as("dur_us"))
+        .orderBy("k", "session_start")
     })
   )
 
@@ -1865,15 +1895,50 @@ object SparkEntry {
            |         t + (build_id % 7 + 1) * 3600000000 AS e_t FROM b)
            |SELECT p.probe_id, iv.interval_id, p.k, p.t, iv.s_t, iv.e_t
            |FROM p JOIN iv ON p.k = iv.k AND p.t >= iv.s_t AND p.t <= iv.e_t
-           |ORDER BY probe_id, interval_id""".stripMargin
+           |ORDER BY probe_id, interval_id""".stripMargin,
+      // gap-based sessionization: identical lag-flag + running-last window
+      // formulation; session label = first event's ts
+      "q_sessionize" ->
+        s"""WITH $temporalCtes,
+           |x AS (SELECT probe_id, k, t,
+           |        lag(t) OVER (PARTITION BY k ORDER BY t, probe_id) AS prev
+           |      FROM p),
+           |y AS (SELECT probe_id, k, t,
+           |        CASE WHEN prev IS NULL OR t - prev > 86400000000
+           |             THEN t END AS st FROM x)
+           |SELECT probe_id, k, t,
+           |  last_value(st IGNORE NULLS) OVER (PARTITION BY k
+           |    ORDER BY t, probe_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS session_start
+           |FROM y ORDER BY probe_id""".stripMargin,
+      "q_session_stats" ->
+        s"""WITH $temporalCtes,
+           |x AS (SELECT probe_id, k, t,
+           |        lag(t) OVER (PARTITION BY k ORDER BY t, probe_id) AS prev
+           |      FROM p),
+           |y AS (SELECT probe_id, k, t,
+           |        CASE WHEN prev IS NULL OR t - prev > 86400000000
+           |             THEN t END AS st FROM x),
+           |s AS (SELECT k, t,
+           |        last_value(st IGNORE NULLS) OVER (PARTITION BY k
+           |          ORDER BY t, probe_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |          AS session_start
+           |      FROM y)
+           |SELECT k, session_start, CAST(count(*) AS BIGINT) AS n_events,
+           |       max(t) - min(t) AS dur_us
+           |FROM s GROUP BY k, session_start
+           |ORDER BY k, session_start""".stripMargin
     )
     // storage-path twins: identical result sets through the partitioned
     // write -> directory-pruned read round trip, so the oracle SQL is
     // shared verbatim (the oracle is storage-agnostic by construction)
     base + ("q_planet_extract_stored" -> base("q_planet_extract")) +
       ("q_knn_pruned" -> base("q_knn")) +
-      // the skew-safe bucketed as-of path is decision-identical by
-      // contract: one oracle proves both agree
-      ("q_asof_join_bucketed" -> base("q_asof_join"))
+      // the skew-safe bucketed paths are decision-identical by contract:
+      // one oracle proves each pair agrees
+      ("q_asof_join_bucketed" -> base("q_asof_join")) +
+      ("q_sessionize_bucketed" -> base("q_sessionize"))
   }
 }

@@ -176,6 +176,80 @@ object Temporal {
   }
 
   /**
+   * Gap-based sessionization: each event gets its session's start
+   * timestamp (`session_start` — the ts of the session's first event, a
+   * deterministic label that needs no global numbering). A new session
+   * opens when the previous event of the same key is more than `gap`
+   * behind (strictly; equal timestamps never split).
+   *
+   * `id` joins the ORDER BY so both engines sort ties identically; the
+   * output is tie-order independent anyway (equal-ts runs share one
+   * session and its start), but determinism should never hinge on that.
+   *
+   * Scale shape: one shuffle + one key-partitioned window (the classic
+   * formulation — lag flag + running last of flagged ts, both inside a
+   * single Window exec). A hot key serializes through one reducer; use
+   * [[sessionizeBucketed]] for skewed keys.
+   */
+  def sessionize(events: DataFrame, keys: Seq[String], ts: String, id: String,
+                 gap: Long): DataFrame = {
+    reserved(events, "event")
+    require(gap >= 0, "gap must be non-negative")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(id))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_prev", lag(col(ts), 1).over(w))
+      .withColumn("_st", when(col("_prev").isNull || col(ts) - col("_prev") > gap, col(ts)))
+      .withColumn("session_start", last(col("_st"), ignoreNulls = true).over(run))
+      .drop("_prev", "_st")
+  }
+
+  /**
+   * Skew-safe sessionization (same answer as [[sessionize]], spec-proven
+   * at every bucket width): reducer load bounded by time-bucket
+   * population. Buckets partition time, so everything crossing a bucket
+   * boundary reduces to two running maxima over the tiny distinct
+   * (key, bucket) frame:
+   *
+   *   - carry-prev: a bucket-first event's predecessor is the max ts of
+   *     all earlier buckets (a running max — ts are bucket-monotone);
+   *   - carry-start: an event before its bucket's first session flag
+   *     inherits the latest flagged ts of earlier buckets (running max of
+   *     per-bucket last flags — also bucket-monotone).
+   *
+   * Within a bucket the lag/flag/running-last trio is windowed on
+   * (key, bucket) — never the bare key.
+   */
+  def sessionizeBucketed(events: DataFrame, keys: Seq[String], ts: String, id: String,
+                         gap: Long, bucketWidth: Long = 3600L * 1000000L): DataFrame = {
+    reserved(events, "event")
+    require(gap >= 0, "gap must be non-negative")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val eb = events.withColumn("_bkt", bucketCol(col(ts), bucketWidth))
+    val wseq = Window.partitionBy(keys.map(col): _*).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wwin = Window.partitionBy((keys :+ "_bkt").map(col): _*).orderBy(col(ts), col(id))
+    val run = wwin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry-prev over the (key, bucket) frame: max ts of earlier buckets
+    val carryPrev = eb.groupBy((keys :+ "_bkt").map(col): _*)
+      .agg(max(col(ts)).as("_maxts"))
+      .withColumn("_cprev", max(col("_maxts")).over(wseq))
+      .select((keys :+ "_bkt").map(col) :+ col("_cprev"): _*)
+    val flagged = eb.join(carryPrev, keys :+ "_bkt")
+      .withColumn("_prev", coalesce(lag(col(ts), 1).over(wwin), col("_cprev")))
+      .withColumn("_st", when(col("_prev").isNull || col(ts) - col("_prev") > gap, col(ts)))
+      .withColumn("_wst", last(col("_st"), ignoreNulls = true).over(run))
+    // carry-start over the same tiny frame: latest flagged ts so far
+    val carrySt = flagged.groupBy((keys :+ "_bkt").map(col): _*)
+      .agg(max(col("_st")).as("_lastst"))
+      .withColumn("_cst", max(col("_lastst")).over(wseq))
+      .select((keys :+ "_bkt").map(col) :+ col("_cst"): _*)
+    flagged.join(carrySt, keys :+ "_bkt")
+      .withColumn("session_start", coalesce(col("_wst"), col("_cst")))
+      .select(events.columns.map(col) :+ col("session_start"): _*)
+  }
+
+  /**
    * Keyed interval (range) join: every (point, interval) pair of the same
    * key with `start <= ts <= end`. Output = point columns + interval
    * columns (callers keep the non-key names disjoint).

@@ -470,4 +470,29 @@ object StreamingIngest {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
                col("cell"))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming gap-based sessionization via Spark's native merging
+    * `session_window` state: per (key, session) event counts and bounds,
+    * emitted in append mode once the watermark closes the session. The
+    * streaming counterpart of `Temporal.sessionize` — the spec proves the
+    * incremental (micro-batch, state-merged) result equals the one-shot
+    * batch aggregation of the same frame, which is the exactly-once
+    * contract that matters for a continuously-ingesting pipeline.
+    *
+    * NOTE on boundary semantics: `session_window` merges sessions that
+    * OVERLAP, i.e. a successor strictly less than `gap` after its
+    * predecessor; `Temporal.sessionize` splits strictly greater than
+    * `gap`. Events spaced exactly `gap` apart are one session for
+    * `sessionize`, two for `session_window` — callers picking between
+    * them only at that boundary measure zero in practice. */
+  def sessionCounts(events: DataFrame, keys: Seq[String], tsCol: String,
+                    gap: String, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keys.map(col) ++ Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")): _*)
 }

@@ -340,6 +340,47 @@ class StreamingSpec extends SparkFunSuite {
     assert(out == Map(c1 -> 300L, c2 -> 300L))
   }
 
+  test("streaming session windows: state merges across micro-batches and " +
+       "equals the batch aggregation of the same frame") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // key 1's first session (minutes 0..8, 2-min spacing < 5-min gap)
+    // CROSSES the micro-batch boundary — the state-merge under test
+    val b1 = Seq((1L, ts(0)), (1L, ts(2)), (1L, ts(4)), (2L, ts(0)), (2L, ts(1)))
+    val b2 = Seq((1L, ts(6)), (1L, ts(8)), (1L, ts(30)), (1L, ts(31)), (2L, ts(20)))
+    val flushKey = 99L  // watermark pushers, filtered from the comparison
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingIngest.sessionCounts(
+        ms.toDF().toDF("k", "ts"), Seq("k"), "ts", "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_counts").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      // two flush batches: the first advances the watermark past every real
+      // session, the next triggers the state eviction that emits them
+      ms.addData(Seq((flushKey, ts(10000)))); q.processAllAvailable()
+      ms.addData(Seq((flushKey, ts(10001)))); q.processAllAvailable()
+    } finally q.stop()
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("k") =!= flushKey)
+        .select("k", "session_start", "session_end", "n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+    val got = toSet(spark.table("sess_counts"))
+    val want = toSet((b1 ++ b2).toDF("k", "ts")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("k"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("k"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events")))
+    assert(got === want)
+    // the cross-batch merge really happened: ONE session of 5 events
+    assert(got.exists(s => s._1 == 1L && s._4 == 5L),
+      s"expected key 1's 5-event merged session, got $got")
+  }
+
   test("batch re-ingest invalidates the diff index; a post-resume delete " +
        "still targets the right partition (no stale-index miss)") {
     import graft.cells.CellIndex

@@ -118,6 +118,45 @@ class TemporalSpec extends SparkFunSuite {
     }
   }
 
+  /** Naive sessionize: walk each key's (t, id)-sorted events; a gap > `gap`
+    * opens a new session labeled by its first event's ts. */
+  private def bruteSessions(gap: Long): Map[Long, Long] =
+    probes.groupBy(_.k).flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(p => (p.t, p.probe_id))
+      var start = Long.MinValue; var prev = Long.MinValue
+      sorted.map { p =>
+        if (prev == Long.MinValue || p.t - prev > gap) start = p.t
+        prev = p.t
+        p.probe_id -> start
+      }
+    }.toMap
+
+  private def collectSessions(df: DataFrame): Map[Long, Long] =
+    df.select("probe_id", "session_start").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("sessionize matches brute force (incl. gap=0 and equal-ts runs)") {
+    for (gap <- Seq(0L, 15L, 60L, 1000L)) {
+      val got = collectSessions(
+        Temporal.sessionize(pdf, Seq("k"), "t", "probe_id", gap))
+      assert(got === bruteSessions(gap), s"gap=$gap")
+    }
+  }
+
+  test("sessionize keeps every event row and its columns") {
+    val out = Temporal.sessionize(pdf, Seq("k"), "t", "probe_id", 15L)
+    assert(out.columns.toSeq === Seq("probe_id", "k", "t", "session_start"))
+    assert(out.count() === probes.size)
+  }
+
+  test("sessionizeBucketed is decision-identical to sessionize at every width") {
+    for (width <- Seq(1L, 7L, 16L, 50L, 1000L); gap <- Seq(0L, 15L, 60L)) {
+      val got = collectSessions(Temporal.sessionizeBucketed(
+        pdf, Seq("k"), "t", "probe_id", gap, bucketWidth = width))
+      assert(got === bruteSessions(gap), s"width=$width gap=$gap")
+    }
+  }
+
   test("bucketCol floors negatives and exact multiples") {
     val df = Seq(-21L, -20L, -1L, 0L, 1L, 19L, 20L).toDF("t")
       .select(Temporal.bucketCol(col("t"), 10L).as("b"))
