@@ -66,6 +66,10 @@ object Temporal {
     * row with NULL m_* columns — as-of joins are left joins. */
   private def finish(filled: DataFrame, probes: DataFrame, ts: String, buildId: String,
                      payload: Seq[String], tolerance: Option[Long]): DataFrame = {
+    val mNames = (Seq(buildId, ts) ++ payload).map(f => s"m_$f").toSet
+    val clash = probes.columns.filter(mNames)
+    require(clash.isEmpty,
+      s"probe columns collide with emitted match columns: ${clash.mkString(",")}")
     val gated = tolerance match {
       case Some(tol) =>
         when(col("_match").isNotNull && (col("_t") - col("_match")(ts)) <= tol, col("_match"))
@@ -81,9 +85,10 @@ object Temporal {
    * Backward as-of join: for each probe row, the build row of the same
    * key with the greatest `ts` at-or-before (inclusive=true) / strictly
    * before (inclusive=false) the probe's `ts`. Ties among builds at the
-   * same timestamp resolve to the greatest `buildId` (a deterministic
-   * total order, both engines agree). Optional `tolerance`: matches
-   * older than `probe.ts - tolerance` are nulled out.
+   * same timestamp resolve to the greatest `buildId` in the id column's
+   * natural sort order (a deterministic total order). Optional
+   * `tolerance`: matches older than `probe.ts - tolerance` are nulled
+   * out.
    *
    * Scale shape: one shuffle, partitioned by the key columns — correct
    * and minimal for well-distributed keys. A single hot key serializes
@@ -100,13 +105,16 @@ object Temporal {
     // at equal ts the build must sort BEFORE the probe for inclusive
     // semantics (the running last() then sees it), AFTER for strict
     val probeSide = if (inclusive) 1 else -1
+    // _seq breaks build-vs-build ties only (probes differ in _side), so the
+    // id column rides in its own type — no ANSI-hazard numeric cast
+    val seqType = builds.schema(buildId).dataType
     val b = builds.select(
       keys.map(col) ++ Seq(col(ts).as("_t"), lit(0).as("_side"),
-        col(buildId).cast("long").as("_seq"), m.as("_m"),
+        col(buildId).as("_seq"), m.as("_m"),
         lit(null).cast(pType).as("_probe")): _*)
     val p = probes.select(
       keys.map(col) ++ Seq(col(ts).as("_t"), lit(probeSide).as("_side"),
-        lit(0L).as("_seq"), lit(null).cast(mType).as("_m"),
+        lit(null).cast(seqType).as("_seq"), lit(null).cast(mType).as("_m"),
         struct(probes.columns.map(col): _*).as("_probe")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_side"), col("_seq"))
@@ -142,7 +150,7 @@ object Temporal {
     val m = matchStruct(buildId, ts, payload)
     val bb = builds.select(
       keys.map(col) ++ Seq(bucketCol(col(ts), bucketWidth).as("_bkt"),
-        col(ts).as("_bt"), col(buildId).cast("long").as("_bseq"), m.as("_m")): _*)
+        col(ts).as("_bt"), col(buildId).as("_bseq"), m.as("_m")): _*)
     val pb = probes.select(
       keys.map(col) ++ Seq(col(probeId), col(ts).as("_pt"),
         bucketCol(col(ts), bucketWidth).as("_bkt")): _*)
@@ -194,6 +202,8 @@ object Temporal {
   def sessionize(events: DataFrame, keys: Seq[String], ts: String, id: String,
                  gap: Long): DataFrame = {
     reserved(events, "event")
+    require(!events.columns.contains("session_start"),
+      "event columns must not already contain session_start (the emitted label)")
     require(gap >= 0, "gap must be non-negative")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(id))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -223,6 +233,8 @@ object Temporal {
   def sessionizeBucketed(events: DataFrame, keys: Seq[String], ts: String, id: String,
                          gap: Long, bucketWidth: Long = 3600L * 1000000L): DataFrame = {
     reserved(events, "event")
+    require(!events.columns.contains("session_start"),
+      "event columns must not already contain session_start (the emitted label)")
     require(gap >= 0, "gap must be non-negative")
     require(bucketWidth > 0, "bucketWidth must be positive")
     val eb = events.withColumn("_bkt", bucketCol(col(ts), bucketWidth))
@@ -273,13 +285,17 @@ object Temporal {
     val span = eb - sb + lit(1L)
     val pb = points.withColumn("_bkt", bucketCol(col(ts), bucketWidth))
     val cond = col(ts) >= col(start) && col(ts) <= col(end)
+    // inverted intervals (end < start) can never contain a point, and a
+    // negative span would slip past the giant guard into a DESCENDING
+    // sequence() explode (sequence(1, 0) descends) — drop them up front
+    val ivs = intervals.where(col(end) >= col(start))
     val bucketed = pb
-      .join(intervals.where(span <= maxSpanBuckets)
+      .join(ivs.where(span <= maxSpanBuckets)
               .withColumn("_bkt", explode(sequence(sb, eb))),
             keys :+ "_bkt")
       .where(cond)
       .drop("_bkt")
-    val giants = points.join(broadcast(intervals.where(span > maxSpanBuckets)), keys)
+    val giants = points.join(broadcast(ivs.where(span > maxSpanBuckets)), keys)
       .where(cond)
     bucketed.unionByName(giants)
   }

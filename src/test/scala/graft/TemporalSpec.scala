@@ -95,6 +95,39 @@ class TemporalSpec extends SparkFunSuite {
     }
   }
 
+  test("asofJoin refuses probe columns that collide with emitted m_ names") {
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(pdf.withColumn("m_v", lit(1)), bdf, Seq("k"), "t",
+        "build_id", Seq("v"))
+    }
+  }
+
+  test("asofJoin string build ids: ties break on natural string order, no ANSI cast") {
+    // two builds at the same (k, t); "b9" > "b10" in STRING order — the
+    // winner must be the string-greatest, and nothing may throw under ANSI
+    val sb = Seq(("b10", 0L, 10L, 1L), ("b9", 0L, 10L, 2L))
+      .toDF("build_id", "k", "t", "v")
+    val sp = Seq((100L, 0L, 10L)).toDF("probe_id", "k", "t")
+    val win = Temporal.asofJoin(sp, sb, Seq("k"), "t", "build_id", Seq("v"))
+      .select("m_build_id").collect().map(_.getString(0)).toSeq
+    assert(win === Seq("b9"))
+    val winB = Temporal.asofJoinBucketed(sp, sb, Seq("k"), "t", "probe_id",
+        "build_id", Seq("v"), bucketWidth = 7L)
+      .select("m_build_id").collect().map(_.getString(0)).toSeq
+    assert(winB === Seq("b9"))
+  }
+
+  test("sessionize refuses a pre-existing session_start column") {
+    intercept[IllegalArgumentException] {
+      Temporal.sessionize(pdf.withColumn("session_start", lit(1L)),
+        Seq("k"), "t", "probe_id", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.sessionizeBucketed(pdf.withColumn("session_start", lit(1L)),
+        Seq("k"), "t", "probe_id", 10L)
+    }
+  }
+
   private val intervals = (0L until 200L).map { i =>
     val s = rnd.nextInt(500).toLong
     Interval(i, rnd.nextInt(5).toLong, s, s + rnd.nextInt(80).toLong)
@@ -116,6 +149,21 @@ class TemporalSpec extends SparkFunSuite {
       assert(got.length === got.toSet.size, s"duplicates at width=$width")
       assert(got.toSet === want, s"width=$width maxSpan=$maxSpan")
     }
+  }
+
+  test("intervalJoin drops inverted intervals instead of descending-explode") {
+    // an inverted giant (end << start) has span <= 0: without the guard it
+    // slips past maxSpanBuckets into sequence(sb, eb), which DESCENDS
+    val inv = intervals :+ Interval(999L, 0L, 5000000L, 0L)
+    val want = (for {
+      p <- probes; iv <- intervals
+      if iv.k == p.k && p.t >= iv.s_t && p.t <= iv.e_t
+    } yield (p.probe_id, iv.interval_id)).toSet
+    val got = Temporal.intervalJoin(pdf, inv.toDF(), Seq("k"), "t",
+        "s_t", "e_t", bucketWidth = 10L, maxSpanBuckets = 3)
+      .select("probe_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
   }
 
   /** Naive sessionize: walk each key's (t, id)-sorted events; a gap > `gap`
