@@ -912,6 +912,16 @@ object SparkEntry {
         .select("probe_id", "k", "t", "session_start")
         .orderBy("probe_id")
     }),
+    "q_heavy_words" -> ((s, dir) => {       // EXACT heavy hitters via the
+      // bounded-shuffle two-pass: per-partition Misra-Gries candidates
+      // (<= k keys ever leave an executor, any key cardinality), then an
+      // exact recount of candidates only. Threshold N/50+1 splits this
+      // corpus's bimodal vocabulary; k=64 satisfies the completeness
+      // requirement minCount > N/(k+1) at every sf
+      val docs = tbl(s, dir, "documents")
+      val n = Frequency.totalWords(docs)
+      Frequency.heavyWords(docs, n / 50 + 1, k = 64).orderBy("word")
+    }),
     "q_session_stats" -> ((s, dir) => {     // per-session rollup off the
       // sessionize labels: size + duration; partial-aggregated groupBy on
       // (key, session_start) — a giant session still combines map-side
@@ -1912,6 +1922,15 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |    AS session_start
            |FROM y ORDER BY probe_id""".stripMargin,
+      // exact heavy hitters: the sketch only bounds the candidate set, so
+      // the oracle is the plain full-count formulation
+      "q_heavy_words" ->
+        """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+          |             t -> length(t) > 0)) AS word FROM documents),
+          |tot AS (SELECT count(*) AS nw FROM w)
+          |SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word
+          |HAVING count(*) >= (SELECT nw // 50 + 1 FROM tot)
+          |ORDER BY word""".stripMargin,
       "q_session_stats" ->
         s"""WITH $temporalCtes,
            |x AS (SELECT probe_id, k, t,

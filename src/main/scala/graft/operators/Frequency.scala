@@ -1,0 +1,111 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact heavy hitters with bounded shuffle — the frequent-item shape a
+ * training-data pipeline needs over HIGH-cardinality keys (shingles,
+ * URLs, n-grams), where "explode and groupBy everything" shuffles the
+ * whole key universe.
+ *
+ * Two passes:
+ *
+ *   1. candidate sketch: per-partition Misra-Gries with `k` counters
+ *      (classic streaming frequent-items; undercount per partition is at
+ *      most n_p/(k+1)). Only <= k candidate keys per partition ever leave
+ *      the executors — shuffle volume is k x partitions, independent of
+ *      key cardinality. A key absent from EVERY partition sketch has
+ *      global count <= N/(k+1), so with `minCount > N/(k+1)` the
+ *      candidate union provably contains every true heavy hitter
+ *      (validated at runtime — the call THROWS rather than silently
+ *      under-reporting when k is too small for the requested threshold).
+ *   2. exact recount: one more scan counts ONLY candidate keys (semi-join
+ *      against the small candidate set — AQE broadcasts it when small)
+ *      and filters to `minCount`. The result is EXACT, not approximate:
+ *      the sketch only bounds the candidate set, never the answer.
+ *
+ * The per-partition sketch is genuine imperative per-partition state —
+ * the sanctioned `mapPartitions` case; everything around it stays
+ * declarative.
+ *
+ * The reference engine has no frequency operator beyond full tag counts
+ * (tags.c aggregates a bounded dictionary); this is a graft extension.
+ */
+object Frequency {
+
+  /** Misra-Gries over one iterator: returns the surviving candidate keys
+    * and the number of items consumed. */
+  private[graft] def misraGries(it: Iterator[String], k: Int): (Seq[String], Long) = {
+    val counters = mutable.HashMap.empty[String, Long]
+    var n = 0L
+    while (it.hasNext) {
+      val w = it.next(); n += 1
+      counters.get(w) match {
+        case Some(c) => counters.update(w, c + 1)
+        case None =>
+          if (counters.size < k) counters.update(w, 1L)
+          else {
+            // decrement-all: each such event retires k+1 occurrences, so
+            // total decrement work is O(N) across the partition
+            val dead = mutable.ArrayBuffer.empty[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters.update(key, c - 1)
+            }
+            dead.foreach(counters.remove)
+          }
+      }
+    }
+    (counters.keys.toSeq, n)
+  }
+
+  /**
+   * Exact counts of every key occurring at least `minCount` times in
+   * `items` (ONE row per occurrence; `keyCol` must be a string column).
+   * Returns (keyCol, n) — the exact global counts of qualifying keys.
+   *
+   * Requires `minCount > N/(k+1)` (N = total rows) for the completeness
+   * guarantee; violating it throws with the smallest admissible `k`.
+   */
+  def heavyHitters(items: DataFrame, keyCol: String, minCount: Long,
+                   k: Int = 4096): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val keyed = items.select(col(keyCol).cast("string")).as[String]
+    // pass 1: (candidate, isTotal=false) rows + one (null, n_p, true) row
+    // per partition, so N rides along without a second scan
+    val sketch = keyed.mapPartitions { it =>
+      val (cands, n) = misraGries(it, k)
+      cands.iterator.map(w => (w, 0L, false)) ++ Iterator((null: String, n, true))
+    }.toDF("w", "np", "is_total").persist()
+    try {
+      val total = sketch.where(col("is_total")).agg(sum("np")).head.getLong(0)
+      require(total / (k + 1) < minCount,
+        s"completeness requires minCount > N/(k+1) = $total/${k + 1}; " +
+          s"raise k to at least ${total / minCount + 1} for minCount=$minCount")
+      val cands = sketch.where(!col("is_total")).select(col("w").as(keyCol)).distinct()
+      // pass 2: exact recount of candidates only
+      items.join(cands, keyCol)
+        .groupBy(keyCol).agg(count(lit(1)).as("n"))
+        .where(col("n") >= minCount)
+    } finally { sketch.unpersist(); () }
+  }
+
+  /** Convenience: exact heavy WORDS of a document corpus (whitespace
+    * tokens, the `wsWords` parity recipe) with count >= `minCount`. */
+  def heavyWords(docs: DataFrame, minCount: Long, k: Int = 4096,
+                 textCol: String = "text"): DataFrame =
+    heavyHitters(
+      docs.select(explode(Dedup.wsWords(col(textCol))).as("word")),
+      "word", minCount, k)
+
+  /** Total whitespace-token count of a corpus (for deriving relative
+    * heavy-hitter thresholds like N/50). */
+  def totalWords(docs: DataFrame, textCol: String = "text"): Long =
+    docs.select(coalesce(sum(size(Dedup.wsWords(col(textCol)))), lit(0L)))
+      .head.getLong(0)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Frequency
+
+/** Exact heavy hitters vs brute force on HIGH-cardinality skewed streams —
+  * the shape the Misra-Gries candidate pass exists for (the oracle gate's
+  * 31-word corpus can't stress it). */
+class FrequencySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  // 12 planted heavies (Zipf-ish weights) buried in 30k near-unique keys
+  private val heavies = (0 until 12).map(i => s"hot_$i" -> (2000 - 150 * i))
+  private val stream: Seq[String] = rnd.shuffle(
+    heavies.flatMap { case (w, n) => Seq.fill(n)(w) } ++
+      (0 until 30000).map(i => s"rare_${i % 27001}"))
+
+  private def brute(minCount: Long): Map[String, Long] =
+    stream.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= minCount).toMap
+
+  test("misraGries candidates contain every key above n/(k+1)") {
+    for (k <- Seq(16, 64, 256)) {
+      val (cands, n) = Frequency.misraGries(stream.iterator, k)
+      assert(n === stream.size)
+      assert(cands.size <= k)
+      val mustHave = brute(n / (k + 1) + 1).keySet
+      assert(mustHave.subsetOf(cands.toSet),
+        s"k=$k missing ${mustHave -- cands.toSet}")
+    }
+  }
+
+  test("heavyHitters is EXACT vs brute force across k and partitioning") {
+    val df = stream.toDF("w")
+    for (k <- Seq(256, 512); parts <- Seq(1, 7)) {
+      val minCount = 300L
+      val got = Frequency.heavyHitters(df.repartition(parts), "w", minCount, k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === brute(minCount), s"k=$k parts=$parts")
+    }
+  }
+
+  test("heavyHitters throws when k is too small for the threshold") {
+    val e = intercept[IllegalArgumentException] {
+      Frequency.heavyHitters(stream.toDF("w"), "w", minCount = 2L, k = 16)
+    }
+    assert(e.getMessage.contains("raise k"))
+  }
+
+  test("heavyWords matches brute force over documents incl. empty text") {
+    val docs = Seq(
+      (1L, "a a a b b c"), (2L, "a b   b  d"), (3L, ""), (4L, "a e")
+    ).toDF("doc_id", "text")
+    val got = Frequency.heavyWords(docs, minCount = 2L, k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 5L, "b" -> 4L))
+    assert(Frequency.totalWords(docs) === 12L)
+    assert(Frequency.totalWords(docs.where(col("doc_id") < 0)) === 0L)
+  }
+}
