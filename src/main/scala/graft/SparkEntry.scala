@@ -912,6 +912,17 @@ object SparkEntry {
         .select("probe_id", "k", "t", "session_start")
         .orderBy("probe_id")
     }),
+    "q_pagerank" -> ((s, dir) => {          // fixed-iteration INTEGER
+      // PageRank (bit-identical across engines: truncating div, no
+      // floats) over a deterministic event-derived digraph; 3 rounds,
+      // one dst-keyed shuffle per round with map-side partial sums
+      val ev = tbl(s, dir, "events").select(col("user_id"), col("event_id"))
+      val dst = pmod(col("event_id") * 13 + 7, lit(150))
+      val edges = ev.select(col("user_id").as("src"), dst.as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val nodes = ev.select(col("user_id").as("id")).distinct()
+      Graph.pageRankInt(nodes, edges, iters = 3).orderBy("id")
+    }),
     "q_heavy_words" -> ((s, dir) => {       // EXACT heavy hitters via the
       // bounded-shuffle two-pass: per-partition Misra-Gries candidates
       // (<= k keys ever leave an executor, any key cardinality), then an
@@ -1922,6 +1933,27 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |    AS session_start
            |FROM y ORDER BY probe_id""".stripMargin,
+      // integer PageRank: the same three rounds unrolled as CTEs — every
+      // quantity integral (// floors == truncation in the positive
+      // quadrant), so the values match bit-for-bit
+      "q_pagerank" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""c$i AS (SELECT e.dst AS id, sum(r${i - 1}.r // deg.d) AS c
+             |  FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.id
+             |  JOIN deg ON deg.src = e.src GROUP BY e.dst),
+             |r$i AS (SELECT n.id, 150000000 + (85 * COALESCE(c$i.c, 0)) // 100 AS r
+             |  FROM nodes n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ev AS (SELECT user_id, event_id FROM events),
+           |nodes AS (SELECT DISTINCT user_id AS id FROM ev),
+           |edges AS (SELECT DISTINCT user_id AS src,
+           |            (event_id * 13 + 7) % 150 AS dst FROM ev
+           |          WHERE user_id <> (event_id * 13 + 7) % 150),
+           |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+           |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+           |$rounds
+           |SELECT id, CAST(r AS BIGINT) AS r FROM r3 ORDER BY id""".stripMargin
+      },
       // exact heavy hitters: the sketch only bounds the candidate set, so
       // the oracle is the plain full-count formulation
       "q_heavy_words" ->
