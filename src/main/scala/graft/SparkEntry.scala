@@ -912,6 +912,16 @@ object SparkEntry {
         .select("probe_id", "k", "t", "session_start")
         .orderBy("probe_id")
     }),
+    "q_upsample" -> ((s, dir) => {          // deterministic fractional
+      // upsampling (the over-1x half of data mixing): weights 1.0x /
+      // 1.75x / 2.5x by doc_id residue; whole copies exact, the
+      // fractional copy is pure md5-hash membership — one scan, no
+      // shuffle, explode bounded by the weight
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      Sampling.upsample(docs, "doc_id",
+          lit(10000L) + pmod(col("doc_id"), lit(3)) * 7500L, salt = "up")
+        .orderBy("doc_id", "copy_n")
+    }),
     "q_pagerank" -> ((s, dir) => {          // fixed-iteration INTEGER
       // PageRank (bit-identical across engines: truncating div, no
       // floats) over a deterministic event-derived digraph; 3 rounds,
@@ -1933,6 +1943,19 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |    AS session_start
            |FROM y ORDER BY probe_id""".stripMargin,
+      // fractional upsampling: floor(w/10000) copies + one more iff the
+      // md5 bucket clears w mod 10000; copies unrolled via range()
+      "q_upsample" ->
+        """WITH d AS (SELECT doc_id,
+          |    10000 + (doc_id % 3) * 7500 AS w FROM documents),
+          |b AS (SELECT doc_id, w,
+          |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'up'), 1, 15)
+          |    AS BIGINT) % 10000 AS bkt FROM d),
+          |c AS (SELECT doc_id,
+          |    w // 10000 + CASE WHEN bkt < w % 10000 THEN 1 ELSE 0 END AS n
+          |  FROM b)
+          |SELECT doc_id, unnest(range(1, n + 1)) AS copy_n
+          |FROM c WHERE n > 0 ORDER BY doc_id, copy_n""".stripMargin,
       // integer PageRank: the same three rounds unrolled as CTEs — every
       // quantity integral (// floors == truncation in the positive
       // quadrant), so the values match bit-for-bit

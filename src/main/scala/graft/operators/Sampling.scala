@@ -43,6 +43,29 @@ object Sampling {
       math.round(rate * Buckets))
   }
 
+  /** Deterministic fractional UPSAMPLING — the over-1x half of data
+    * mixing: `weightBp` is the per-row multiplicity in bucket units
+    * (10000 = 1.0x). Each row yields floor(weightBp/10000) copies plus
+    * one more iff its hash bucket < weightBp mod 10000, so a stratum's
+    * expected multiplicity is exactly weightBp/10000 while every row's
+    * fate stays a pure hash function (idempotent retries, oracle-checkable
+    * membership — the same contract as [[hashSample]]). Weight 0 drops
+    * the row. Emits a 1-based `copy_n` so copies stay distinguishable
+    * downstream. One scan, no shuffle; the explode is bounded by the
+    * weight. */
+  def upsample(df: DataFrame, idCol: String, weightBp: Column,
+               salt: String = ""): DataFrame = {
+    require(!df.columns.contains("copy_n"),
+      "input must not already contain copy_n (the emitted copy index)")
+    val base = ((weightBp - pmod(weightBp, lit(Buckets))) / lit(Buckets)).cast("long")
+    val extra = when(hashBucket(col(idCol), salt) < pmod(weightBp, lit(Buckets)), 1L)
+      .otherwise(0L)
+    df.withColumn("_copies", base + extra)
+      .where(col("_copies") > 0)
+      .withColumn("copy_n", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
+
   /** Stratified deterministic sampling — the data-mixing primitive: each
     * stratum keeps its own rate (e.g. {web -> 0.1, books -> 1.0}). Rows in
     * strata absent from `rates` are DROPPED (explicit mixing weights only;

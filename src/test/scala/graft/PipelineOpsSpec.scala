@@ -319,6 +319,28 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(math.abs(mixed.length / 10000.0 - 0.5) < 0.03)
   }
 
+  test("upsample: exact whole multiples, hash-deterministic fractional " +
+       "remainder, weight-0 drop, copy indices dense from 1") {
+    val ids = (0L until 20000L).map(i => Tuple1(i)).toDF("id")
+    // weight 2.5x: every row twice, ~half a third time — and WHICH rows get
+    // the extra copy is exactly the 0.5 hashSample membership (same salt)
+    val up = Sampling.upsample(ids, "id", lit(25000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byId = up.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byId.size === 20000)
+    assert(byId.values.forall(c => c == (1L to c.length).toSeq), "copy_n gaps")
+    val threeCopies = byId.filter(_._2.length == 3).keySet
+    assert(byId.values.forall(c => c.length == 2 || c.length == 3))
+    val half = Sampling.hashSample(ids, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(threeCopies === half, "fractional membership != hashSample membership")
+    // weight 0 drops; exact 1.0 keeps exactly one copy
+    val w = when(col("id") % 2 === 0, 0L).otherwise(10000L)
+    val kept = Sampling.upsample(ids, "id", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.forall { case (id, c) => id % 2 == 1 && c == 1L })
+    assert(kept.length === 10000)
+  }
+
   test("dropClusterDuplicates keeps exactly one canonical doc per cluster; " +
        "crossContamination finds planted benchmark leakage") {
     val docs = Seq(
