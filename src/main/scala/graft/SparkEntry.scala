@@ -912,6 +912,20 @@ object SparkEntry {
         .select("probe_id", "k", "t", "session_start")
         .orderBy("probe_id")
     }),
+    "q_group_quantiles" -> ((s, dir) => {   // EXACT per-group quantiles,
+      // scale-safe: histogram + rank selection over the tiny distinct
+      // (group, value) frame — never a per-group sort of raw rows;
+      // quartiles+max of word counts per length band
+      val docs = tbl(s, dir, "documents")
+      val banded = docs.select(
+        when(length(col("text")) < 200, "short")
+          .when(length(col("text")) < 1000, "medium")
+          .otherwise("long").as("band"),
+        TextOps.tokenCountWs(col("text")).cast("long").as("v"))
+      Frequency.groupQuantiles(banded, "band", "v",
+          Seq(2500, 5000, 7500, 10000))
+        .orderBy("band", "q_bp")
+    }),
     "q_upsample" -> ((s, dir) => {          // deterministic fractional
       // upsampling (the over-1x half of data mixing): weights 1.0x /
       // 1.75x / 2.5x by doc_id residue; whole copies exact, the
@@ -1943,6 +1957,25 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |    AS session_start
            |FROM y ORDER BY probe_id""".stripMargin,
+      // exact lower quantiles: identical histogram + integer rank
+      // selection (ceil via (n*q+9999)//10000) — bit-equal by construction
+      "q_group_quantiles" ->
+        """WITH d AS (SELECT
+          |    CASE WHEN length(text) < 200 THEN 'short'
+          |         WHEN length(text) < 1000 THEN 'medium'
+          |         ELSE 'long' END AS band,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      t -> length(t) > 0)) AS BIGINT) AS v FROM documents),
+          |h AS (SELECT band, v, count(*) AS c FROM d GROUP BY band, v),
+          |w AS (SELECT band, v, c,
+          |    sum(c) OVER (PARTITION BY band ORDER BY v) AS cum,
+          |    sum(c) OVER (PARTITION BY band) AS tot FROM h),
+          |q AS (SELECT band, v, c, cum, tot,
+          |    unnest([2500, 5000, 7500, 10000]) AS q_bp FROM w)
+          |SELECT band, q_bp, v AS q_val FROM q
+          |WHERE cum - c < (tot * q_bp + 9999) // 10000
+          |  AND (tot * q_bp + 9999) // 10000 <= cum
+          |ORDER BY band, q_bp""".stripMargin,
       // fractional upsampling: floor(w/10000) copies + one more iff the
       // md5 bucket clears w mod 10000; copies unrolled via range()
       "q_upsample" ->

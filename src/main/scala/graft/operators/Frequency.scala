@@ -108,4 +108,34 @@ object Frequency {
   def totalWords(docs: DataFrame, textCol: String = "text"): Long =
     docs.select(coalesce(sum(size(Dedup.wsWords(col(textCol)))), lit(0L)))
       .head.getLong(0)
+
+  /**
+   * EXACT lower quantiles per group, scale-safe: the corpus collapses to
+   * a (group, value) -> count histogram first (ONE aggregate with
+   * map-side combine), and the rank selection windows run over that tiny
+   * frame — never a per-group sort of raw rows (the corpusStats median
+   * shape, generalized to arbitrary quantile lists). Reducer load is
+   * bounded by a group's DISTINCT values, not its row count.
+   *
+   * `qBp` are quantiles in basis points (2500 = q1, 5000 = lower median,
+   * 10000 = max); the lower quantile at q is the smallest value whose
+   * cumulative count reaches ceil(n*q) — pure integer arithmetic, so the
+   * DuckDB oracle reproduces it bit-for-bit. Returns
+   * (groupCol, q_bp, q_val), one row per group and quantile.
+   */
+  def groupQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     qBp: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qBp.nonEmpty && qBp.forall(q => q >= 1 && q <= 10000),
+      "quantiles must be in basis points within [1, 10000]")
+    require(qBp.distinct.size == qBp.size, "duplicate quantiles")
+    val byG = Window.partitionBy(groupCol)
+    df.groupBy(groupCol, valCol).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum("_c").over(byG.orderBy(valCol)))
+      .withColumn("_tot", sum("_c").over(byG))
+      .withColumn("q_bp", explode(array(qBp.map(lit): _*)))
+      .withColumn("_rank", expr("(_tot * q_bp + 9999) div 10000"))
+      .where(col("_cum") - col("_c") < col("_rank") && col("_rank") <= col("_cum"))
+      .select(col(groupCol), col("q_bp"), col(valCol).as("q_val"))
+  }
 }

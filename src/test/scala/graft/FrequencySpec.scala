@@ -49,6 +49,24 @@ class FrequencySpec extends SparkFunSuite {
     assert(e.getMessage.contains("raise k"))
   }
 
+  test("groupQuantiles equals the sort-based definition exactly") {
+    val rows = (0 until 5000).map { i =>
+      (s"g${i % 3}", (rnd.nextInt(40) * rnd.nextInt(40)).toLong)  // ties galore
+    } :+ ("g_single", 7L)  // one-row group: every quantile is that value
+    val df = rows.toDF("g", "v")
+    val qs = Seq(1, 2500, 5000, 7500, 10000)
+    val want = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      qs.map { q =>
+        val rank = ((sorted.size.toLong * q + 9999) / 10000).toInt
+        (g, q, sorted(rank - 1))
+      }
+    }.toSet
+    val got = Frequency.groupQuantiles(df, "g", "v", qs)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("heavyWords matches brute force over documents incl. empty text") {
     val docs = Seq(
       (1L, "a a a b b c"), (2L, "a b   b  d"), (3L, ""), (4L, "a e")
