@@ -950,12 +950,12 @@ object SparkEntry {
     "q_heavy_words" -> ((s, dir) => {       // EXACT heavy hitters via the
       // bounded-shuffle two-pass: per-partition Misra-Gries candidates
       // (<= k keys ever leave an executor, any key cardinality), then an
-      // exact recount of candidates only. Threshold N/50+1 splits this
-      // corpus's bimodal vocabulary; k=64 satisfies the completeness
-      // requirement minCount > N/(k+1) at every sf
-      val docs = tbl(s, dir, "documents")
-      val n = Frequency.totalWords(docs)
-      Frequency.heavyWords(docs, n / 50 + 1, k = 64).orderBy("word")
+      // exact recount of candidates only. Relative threshold 200bp (==
+      // N/50+1, resolved against the sketch pass's own N — no pre-scan)
+      // splits this corpus's bimodal vocabulary; k=64 satisfies the
+      // completeness requirement at every sf
+      Frequency.heavyWordsFrac(tbl(s, dir, "documents"), fracBp = 200, k = 64)
+        .orderBy("word")
     }),
     "q_session_stats" -> ((s, dir) => {     // per-session rollup off the
       // sessionize labels: size + duration; partial-aggregated groupBy on

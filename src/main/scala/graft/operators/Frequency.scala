@@ -63,33 +63,57 @@ object Frequency {
 
   /**
    * Exact counts of every key occurring at least `minCount` times in
-   * `items` (ONE row per occurrence; `keyCol` must be a string column).
-   * Returns (keyCol, n) — the exact global counts of qualifying keys.
+   * `items` (ONE row per occurrence; keys are compared as strings and NULL
+   * keys are ignored). Returns (keyCol, n) — the exact global counts of
+   * qualifying keys.
    *
-   * Requires `minCount > N/(k+1)` (N = total rows) for the completeness
-   * guarantee; violating it throws with the smallest admissible `k`.
+   * Requires `minCount > N/(k+1)` (N = total non-null rows) for the
+   * completeness guarantee; violating it throws with the smallest
+   * admissible `k`.
    */
   def heavyHitters(items: DataFrame, keyCol: String, minCount: Long,
                    k: Int = 4096): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
+    hh(items, keyCol, k)(_ => minCount)
+  }
+
+  /** [[heavyHitters]] with a RELATIVE threshold: keys occurring in
+    * strictly more than `fracBp`/10000 of the rows (minCount resolves to
+    * N*fracBp/10000 + 1 against the sketch pass's own row count — no
+    * extra pre-scan for N). */
+  def heavyHittersFrac(items: DataFrame, keyCol: String, fracBp: Long,
+                       k: Int = 4096): DataFrame = {
+    require(fracBp >= 1 && fracBp <= 10000, "fracBp must be in [1, 10000]")
+    hh(items, keyCol, k)(n => n * fracBp / 10000 + 1)
+  }
+
+  private def hh(items: DataFrame, keyCol: String, k: Int)
+                (minOf: Long => Long): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val spark = items.sparkSession
     import spark.implicits._
-    val keyed = items.select(col(keyCol).cast("string")).as[String]
+    val nonNull = items.where(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as(keyCol))
     // pass 1: (candidate, isTotal=false) rows + one (null, n_p, true) row
     // per partition, so N rides along without a second scan
-    val sketch = keyed.mapPartitions { it =>
+    val sketch = nonNull.as[String].mapPartitions { it =>
       val (cands, n) = misraGries(it, k)
       cands.iterator.map(w => (w, 0L, false)) ++ Iterator((null: String, n, true))
     }.toDF("w", "np", "is_total").persist()
     try {
-      val total = sketch.where(col("is_total")).agg(sum("np")).head.getLong(0)
+      val total = sketch.where(col("is_total"))
+        .agg(coalesce(sum("np"), lit(0L))).head.getLong(0)
+      val minCount = minOf(total)
       require(total / (k + 1) < minCount,
         s"completeness requires minCount > N/(k+1) = $total/${k + 1}; " +
           s"raise k to at least ${total / minCount + 1} for minCount=$minCount")
-      val cands = sketch.where(!col("is_total")).select(col("w").as(keyCol)).distinct()
-      // pass 2: exact recount of candidates only
-      items.join(cands, keyCol)
+      // candidates come to the driver EAGERLY (bounded by k x partitions,
+      // the same bound the broadcast needs) so the sketch cache is
+      // consumed before the finally-unpersist — pass 2 never re-sketches
+      val cands = sketch.where(!col("is_total")).select("w").distinct()
+        .as[String].collect().toSeq
+      // pass 2: exact recount of candidates only (map-side semi-join)
+      nonNull.join(broadcast(cands.toDF(keyCol)), keyCol)
         .groupBy(keyCol).agg(count(lit(1)).as("n"))
         .where(col("n") >= minCount)
     } finally { sketch.unpersist(); () }
@@ -102,6 +126,14 @@ object Frequency {
     heavyHitters(
       docs.select(explode(Dedup.wsWords(col(textCol))).as("word")),
       "word", minCount, k)
+
+  /** [[heavyWords]] with a relative threshold (see [[heavyHittersFrac]]):
+    * words in strictly more than fracBp/10000 of all tokens. */
+  def heavyWordsFrac(docs: DataFrame, fracBp: Long, k: Int = 4096,
+                     textCol: String = "text"): DataFrame =
+    heavyHittersFrac(
+      docs.select(explode(Dedup.wsWords(col(textCol))).as("word")),
+      "word", fracBp, k)
 
   /** Total whitespace-token count of a corpus (for deriving relative
     * heavy-hitter thresholds like N/50). */
@@ -120,8 +152,10 @@ object Frequency {
    * `qBp` are quantiles in basis points (2500 = q1, 5000 = lower median,
    * 10000 = max); the lower quantile at q is the smallest value whose
    * cumulative count reaches ceil(n*q) — pure integer arithmetic, so the
-   * DuckDB oracle reproduces it bit-for-bit. Returns
-   * (groupCol, q_bp, q_val), one row per group and quantile.
+   * DuckDB oracle reproduces it bit-for-bit. NULL values are excluded
+   * from the ranks (engines disagree on NULL sort position, so they must
+   * never enter the cumulative sums). Returns (groupCol, q_bp, q_val),
+   * one row per group and quantile.
    */
   def groupQuantiles(df: DataFrame, groupCol: String, valCol: String,
                      qBp: Seq[Int]): DataFrame = {
@@ -130,7 +164,8 @@ object Frequency {
       "quantiles must be in basis points within [1, 10000]")
     require(qBp.distinct.size == qBp.size, "duplicate quantiles")
     val byG = Window.partitionBy(groupCol)
-    df.groupBy(groupCol, valCol).agg(count(lit(1)).as("_c"))
+    df.where(col(valCol).isNotNull)
+      .groupBy(groupCol, valCol).agg(count(lit(1)).as("_c"))
       .withColumn("_cum", sum("_c").over(byG.orderBy(valCol)))
       .withColumn("_tot", sum("_c").over(byG))
       .withColumn("q_bp", explode(array(qBp.map(lit): _*)))

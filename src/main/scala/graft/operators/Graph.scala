@@ -35,6 +35,12 @@ object Graph {
                   scale: Long = 1000000000L): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(scale >= 100, "scale must be >= 100 (the damped base is scale*15/100)")
+    // ANSI overflow headroom: a hub's summed contribution is bounded by
+    // the total mass V*scale (mass never increases), and the update
+    // multiplies by 85 — keep 100x margin so 85 * sum stays in Long
+    val v = nodes.count()
+    require(v == 0 || scale <= Long.MaxValue / 100 / v,
+      s"V*scale headroom exceeded (V=$v): pass scale <= ${Long.MaxValue / 100 / math.max(v, 1)}")
     // degree rides on each edge once; every iteration reuses this frame
     val deg = edges.groupBy("src").agg(count(lit(1)).as("_d"))
     val e = edges.join(deg, "src").select(col("src"), col("dst"), col("_d"))

@@ -57,6 +57,8 @@ object Sampling {
                salt: String = ""): DataFrame = {
     require(!df.columns.contains("copy_n"),
       "input must not already contain copy_n (the emitted copy index)")
+    require(!df.columns.contains("_copies"),
+      "input must not already contain _copies (internal scratch)")
     val base = ((weightBp - pmod(weightBp, lit(Buckets))) / lit(Buckets)).cast("long")
     val extra = when(hashBucket(col(idCol), salt) < pmod(weightBp, lit(Buckets)), 1L)
       .otherwise(0L)

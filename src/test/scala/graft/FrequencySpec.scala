@@ -49,6 +49,29 @@ class FrequencySpec extends SparkFunSuite {
     assert(e.getMessage.contains("raise k"))
   }
 
+  test("heavyHittersFrac == fixed-threshold twin; empty and null inputs") {
+    // fracBp 100 over 44100 rows -> minCount 442
+    val viaFrac = Frequency.heavyHittersFrac(stream.toDF("w"), "w", 100L, k = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaFrac === brute(stream.size / 100L + 1))
+    // empty input: empty result, no NPE (zero-partition sum is NULL)
+    assert(Frequency.heavyHitters(Seq.empty[String].toDF("w"), "w", 1L).count() === 0)
+    // NULL keys are ignored, not silently dropped AFTER qualifying
+    val withNulls = (Seq.fill(500)(Option.empty[String]) ++
+      Seq.fill(400)(Some("x")) ++ stream.take(100).map(Some(_))).toDF("w")
+    val got = Frequency.heavyHitters(withNulls, "w", 300L, k = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("x" -> 400L))
+  }
+
+  test("groupQuantiles excludes NULL values from the ranks") {
+    val df = (Seq.fill(10)(("g", Option.empty[Long])) ++
+      (1L to 4L).map(v => ("g", Some(v)))).toDF("g", "v")
+    val got = Frequency.groupQuantiles(df, "g", "v", Seq(2500, 10000))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got === Map(2500 -> 1L, 10000 -> 4L))
+  }
+
   test("groupQuantiles equals the sort-based definition exactly") {
     val rows = (0 until 5000).map { i =>
       (s"g${i % 3}", (rnd.nextInt(40) * rnd.nextInt(40)).toLong)  // ties galore
