@@ -197,6 +197,36 @@ object Plans {
         fmt(Temporal.intervalJoin(p, iv, Seq("k"), "t", "s_t", "e_t",
           bucketWidth = 1000L, maxSpanBuckets = 4))
       },
+      "skew-safe sessionization (expect: raw events windowed ONLY on " +
+        "(k, _bkt) — both carry windows sort the tiny per-bucket aggregate " +
+        "frames, so a hot key's rows never serialize through one reducer)" -> {
+        val ev = spark.range(200000).selectExpr("id AS event_id",
+          "pmod(id, 50) AS k", "id * 7 AS t")
+        fmt(Temporal.sessionizeBucketed(ev, Seq("k"), "t", "event_id",
+          gap = 5000L, bucketWidth = 1000L))
+      },
+      "heavy-hitters exact recount (expect: BroadcastHashJoin against the " +
+        "collected candidate set — the second pass filters map-side and " +
+        "partial-aggregates before the only exchange; the key universe " +
+        "never shuffles)" -> {
+        val words = spark.range(200000).selectExpr(
+          "concat('w', pmod(id * 2654435761, 1000)) AS word")
+        fmt(Frequency.heavyHitters(words, "word", minCount = 400L, k = 2048))
+      },
+      "fractional upsample (expect: NO exchange at all — hash membership, " +
+        "copy sequence and explode are pure per-row expressions over the " +
+        "scan)" -> {
+        val docs = spark.range(200000).selectExpr("id AS doc_id")
+        fmt(Sampling.upsample(docs, "doc_id",
+          lit(10000L) + pmod(col("doc_id"), lit(3)) * 7500L))
+      },
+      "grouped exact quantiles (expect: ONE partial+final hash aggregate " +
+        "over the raw rows builds the (group, value) histogram; the " +
+        "rank-selection windows sort only that tiny frame)" -> {
+        val rows = spark.range(200000).selectExpr(
+          "concat('g', pmod(id, 5)) AS g", "pmod(id * 31, 400) AS v")
+        fmt(Frequency.groupQuantiles(rows, "g", "v", Seq(2500, 5000, 7500)))
+      },
       "refined bbox extract over the stored planet (expect the per-way bin " +
         "BOUNDS ranges as PushedFilters on the ways scan — only ways whose " +
         "bound rects touch the bbox are exploded, never the whole table; " +
