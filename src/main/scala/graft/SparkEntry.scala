@@ -912,6 +912,16 @@ object SparkEntry {
         .select("probe_id", "k", "t", "session_start")
         .orderBy("probe_id")
     }),
+    "q_keyword_search" -> ((s, dir) => {    // stored inverted index +
+      // bucket-pruned conjunctive search: postings written ONCE
+      // (word-bucket partitioned, meta sidecar), then the query reads
+      // only its terms' directories — the corpus text is never rescanned;
+      // "dup" is the corpus's rare term, "scan" a common one, so the AND
+      // is genuinely selective at every sf
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_postings_").toString + "/idx"
+      Postings.writePostingsIndex(tbl(s, dir, "documents"), idxDir, buckets = 32)
+      Postings.searchAll(s, idxDir, Seq("scan", "dup")).orderBy("doc_id")
+    }),
     "q_group_quantiles" -> ((s, dir) => {   // EXACT per-group quantiles,
       // scale-safe: histogram + rank selection over the tiny distinct
       // (group, value) frame — never a per-group sort of raw rows;
@@ -1957,6 +1967,16 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |    AS session_start
            |FROM y ORDER BY probe_id""".stripMargin,
+      // conjunctive keyword search: the index is internal — the oracle is
+      // the plain corpus formulation the pruned probe must reproduce
+      "q_keyword_search" ->
+        """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          |             t -> length(t) > 0)) AS word FROM documents),
+          |p AS (SELECT doc_id, word, count(*) AS tf FROM w
+          |      WHERE word IN ('scan', 'dup') GROUP BY doc_id, word)
+          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total FROM p
+          |GROUP BY doc_id HAVING count(DISTINCT word) = 2
+          |ORDER BY doc_id""".stripMargin,
       // exact lower quantiles: identical histogram + integer rank
       // selection (ceil via (n*q+9999)//10000) — bit-equal by construction
       "q_group_quantiles" ->

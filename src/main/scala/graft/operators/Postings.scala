@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Stored inverted (postings) index over a document corpus — the
+ * retrieval-side sibling of the stored dedup / IVF index patterns: build
+ * once, then answer keyword queries by reading ONLY the query terms'
+ * partitions, never scanning the corpus text again.
+ *
+ * Layout: postings rows (word, doc_id, tf) Hive-partitioned on
+ * `w_b` = hash bucket of the word, with a `_postings_meta.json` parameter
+ * sidecar (bucket count) so probes derive buckets from the SAME modulus
+ * the writer used — parameter divergence is impossible (the
+ * writeDedupIndex convention). A probe computes its terms' buckets, and
+ * the scan carries `w_b IN (...)` as PartitionFilters (PLANS.md section)
+ * — at 100 TB a 3-word query reads 3 of `buckets` directories.
+ *
+ * Tokenization is the corpus-wide `wsWords` parity recipe, so query
+ * semantics match the dedup/decontaminate tiers and the DuckDB oracle
+ * reproduces results verbatim.
+ */
+object Postings {
+
+  private def metaPath(path: String) = new Path(path, "_postings_meta.json")
+
+  /** Build (overwrite) the postings index: one explode + one map-side
+    * combined (word, doc_id) aggregate; `tf` is the term's in-document
+    * occurrence count, so downstream ranking (tf sums, df joins) never
+    * touches raw text. */
+  def writePostingsIndex(docs: DataFrame, path: String, buckets: Int = 64,
+                         textCol: String = "text"): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"), explode(Dedup.wsWords(col(textCol))).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("w_b", pmod(xxhash64(col("word")), lit(buckets.toLong)).cast("int"))
+      .repartition(col("w_b"))
+      .write.mode("overwrite").partitionBy("w_b").parquet(path)
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  private def readMetaBuckets(spark: SparkSession, path: String): Int = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no postings meta at $p — not a writePostingsIndex store")
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+    """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalStateException(s"corrupt postings meta: $s"))
+      .group(1).toInt
+  }
+
+  /** The pruned postings scan for `terms`: buckets derive from the meta
+    * sidecar via the same xxhash64 modulus the writer used (computed by a
+    * tiny Spark job — the diffSync probe convention), and land as literal
+    * PartitionFilters. Exposed for plan evidence. */
+  private[graft] def termPostings(spark: SparkSession, path: String,
+                                  terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val buckets = readMetaBuckets(spark, path)
+    import spark.implicits._
+    val bs = terms.toDF("word")
+      .select(pmod(xxhash64(col("word")), lit(buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path)
+      .where(col("w_b").isin(bs: _*) && col("word").isin(terms: _*))
+  }
+
+  /** Conjunctive (AND) keyword search: documents containing EVERY term,
+    * with the summed term frequency as a rank basis. Cost: a pruned read
+    * of |distinct term buckets| directories + one doc_id aggregate over
+    * the matching postings only. */
+  def searchAll(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    termPostings(spark, path, distinctTerms)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_hits"), sum("tf").as("tf_total"))
+      .where(col("_hits") === distinctTerms.size)
+      .select(col("doc_id"), col("tf_total"))
+  }
+
+  /** Document frequency of each term (postings-only read, same pruning):
+    * the df side of tf-idf ranking. Terms absent from the corpus get 0. */
+  def docFrequencies(spark: SparkSession, path: String,
+                     terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val t = terms.distinct.toDF("word")
+    t.join(termPostings(spark, path, terms.distinct)
+        .groupBy("word").agg(count(lit(1)).as("df")), Seq("word"), "left")
+      .select(col("word"), coalesce(col("df"), lit(0L)).as("df"))
+  }
+}

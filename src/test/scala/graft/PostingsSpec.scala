@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Postings
+
+/** Stored postings index: AND search + document frequencies vs brute
+  * force, bucket-pruned probe reads (PartitionFilters), meta-sidecar
+  * parameter authority, absent-term handling. */
+class PostingsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma alpha"),
+    (2L, "beta gamma  delta"),          // double space: wsWords filters it
+    (3L, "alpha beta beta beta"),
+    (4L, "epsilon zeta"),
+    (5L, "")).toDF("doc_id", "text")
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_postings_").toString + "/idx"
+    Postings.writePostingsIndex(docs, d, buckets = 8)
+    d
+  }
+
+  test("searchAll: conjunctive semantics, tf sums, duplicate query terms") {
+    def hits(terms: String*): Map[Long, Long] =
+      Postings.searchAll(spark, dir, terms).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("alpha", "beta") === Map(1L -> 3L, 3L -> 4L))
+    assert(hits("beta") === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    assert(hits("alpha", "alpha", "beta") === Map(1L -> 3L, 3L -> 4L),
+      "duplicate terms must not inflate the AND arity")
+    assert(hits("alpha", "nosuchword") === Map.empty)
+  }
+
+  test("docFrequencies: postings-only df, absent terms 0") {
+    val df = Postings.docFrequencies(spark, dir,
+        Seq("alpha", "beta", "nosuchword"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df === Map("alpha" -> 2L, "beta" -> 3L, "nosuchword" -> 0L))
+  }
+
+  test("probe reads only the query terms' bucket partitions") {
+    val plan = Postings.termPostings(spark, dir, Seq("alpha"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("w_b"),
+      s"postings probe is not directory-pruned:\n$plan")
+  }
+
+  test("a plain parquet dir without the meta sidecar is refused") {
+    val d = Files.createTempDirectory("graft_postings_plain_").toString + "/p"
+    docs.write.parquet(d)
+    val e = intercept[IllegalArgumentException] {
+      Postings.searchAll(spark, d, Seq("alpha"))
+    }
+    assert(e.getMessage.contains("postings meta"))
+  }
+
+  test("rebuild overwrites: a shrunk corpus leaves no stale postings") {
+    val d = Files.createTempDirectory("graft_postings_rw_").toString + "/idx"
+    Postings.writePostingsIndex(docs, d, buckets = 4)
+    Postings.writePostingsIndex(docs.where(col("doc_id") =!= 3L), d, buckets = 4)
+    val hits = Postings.searchAll(spark, d, Seq("beta"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 2L))
+  }
+}
