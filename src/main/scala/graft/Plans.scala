@@ -227,6 +227,17 @@ object Plans {
           "concat('g', pmod(id, 5)) AS g", "pmod(id * 31, 400) AS v")
         fmt(Frequency.groupQuantiles(rows, "g", "v", Seq(2500, 5000, 7500)))
       },
+      "postings-index keyword probe (expect PartitionFilters on w_b: the " +
+        "query terms hash to literal bucket directories, so conjunctive " +
+        "search reads |term buckets| dirs of the inverted index — the " +
+        "corpus text is never rescanned after the build)" -> {
+        val pdir = s"$dir/postings_idx"
+        val docs2 = spark.range(2000).selectExpr("id AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 30), " +
+            "i -> concat('w', pmod(id * i, 97)))) AS text")
+        graft.operators.Postings.writePostingsIndex(docs2, pdir, buckets = 32)
+        fmt(graft.operators.Postings.searchAll(spark, pdir, Seq("w3", "w17")))
+      },
       "refined bbox extract over the stored planet (expect the per-way bin " +
         "BOUNDS ranges as PushedFilters on the ways scan — only ways whose " +
         "bound rects touch the bbox are exploded, never the whole table; " +

@@ -47,6 +47,23 @@ object Postings {
     finally os.close()
   }
 
+  /** Online growth: append the postings of NEW documents (doc_ids not in
+    * the index — the caller's contract, same as the dedup-index online
+    * loop where a batch is deduped before it is admitted). Appending an
+    * already-indexed doc_id would double its tf counts, so it is the one
+    * misuse this cannot detect without a full scan; batches land in the
+    * same bucket layout read from the meta sidecar. Append == rebuild
+    * over the union corpus (spec-proven). */
+  def appendToPostingsIndex(docs: DataFrame, path: String,
+                            textCol: String = "text"): Unit = {
+    val buckets = readMetaBuckets(docs.sparkSession, path)
+    docs.select(col("doc_id"), explode(Dedup.wsWords(col(textCol))).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("w_b", pmod(xxhash64(col("word")), lit(buckets.toLong)).cast("int"))
+      .repartition(col("w_b"))
+      .write.mode("append").partitionBy("w_b").parquet(path)
+  }
+
   private def readMetaBuckets(spark: SparkSession, path: String): Int = {
     val p = metaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

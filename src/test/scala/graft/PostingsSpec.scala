@@ -59,6 +59,26 @@ class PostingsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("postings meta"))
   }
 
+  test("appendToPostingsIndex == rebuild over the union corpus") {
+    val d1 = Files.createTempDirectory("graft_postings_app_").toString + "/idx"
+    val d2 = Files.createTempDirectory("graft_postings_reb_").toString + "/idx"
+    val first = docs.where(col("doc_id") <= 3L)
+    val later = docs.where(col("doc_id") > 3L)
+      .unionByName(Seq((6L, "alpha beta")).toDF("doc_id", "text"))
+    Postings.writePostingsIndex(first, d1, buckets = 8)
+    Postings.appendToPostingsIndex(later, d1)
+    Postings.writePostingsIndex(docs.unionByName(
+      Seq((6L, "alpha beta")).toDF("doc_id", "text")), d2, buckets = 8)
+    def dump(d: String) = spark.read.parquet(d)
+      .select("word", "doc_id", "tf", "w_b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(dump(d1) === dump(d2))
+    // the appended index answers queries over the grown corpus
+    val hits = Postings.searchAll(spark, d1, Seq("alpha", "beta"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 3L, 6L))
+  }
+
   test("rebuild overwrites: a shrunk corpus leaves no stale postings") {
     val d = Files.createTempDirectory("graft_postings_rw_").toString + "/idx"
     Postings.writePostingsIndex(docs, d, buckets = 4)
