@@ -474,35 +474,23 @@ object Dedup {
         pmod(xxhash64(col("_b"), col("_k")), lit(buckets.toLong)).cast("int"))
       .repartition(col("idx_b"))
       .write.mode("overwrite").partitionBy("idx_b").parquet(path)
-    val p = dedupIdxMetaPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = fs.create(p, true)
-    try os.write(
-      s"""{"nGram":$nGram,"nHashes":$nHashes,"bands":$bands,"buckets":$buckets}"""
-        .getBytes("UTF-8"))
-    finally os.close()
+    IndexMeta.write(spark, dedupIdxMetaPath(path), Seq(
+      "nGram" -> nGram, "nHashes" -> nHashes, "bands" -> bands,
+      "buckets" -> buckets))
   }
 
   /** True iff `path` holds a [[writeDedupIndex]] store (the parameter
     * sidecar is present) — the bootstrap test for online loops. */
   def hasDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                    path: String): Boolean = {
-    val p = dedupIdxMetaPath(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+                    path: String): Boolean =
+    IndexMeta.exists(spark, dedupIdxMetaPath(path))
 
   private def readDedupIndexMeta(spark: org.apache.spark.sql.SparkSession,
                                  path: String): (Int, Int, Int, Int) = {
-    val p = dedupIdxMetaPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no dedup index meta at $p — not a writeDedupIndex store")
-    val in = fs.open(p)
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-    def f(k: String) = s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s)
-      .getOrElse(throw new IllegalStateException(s"corrupt dedup index meta: $s"))
-      .group(1).toInt
-    (f("nGram"), f("nHashes"), f("bands"), f("buckets"))
+    val Seq(g, h, b, k) = IndexMeta.read(spark, dedupIdxMetaPath(path),
+      "dedup index meta", "writeDedupIndex",
+      Seq("nGram", "nHashes", "bands", "buckets"))
+    (g, h, b, k)
   }
 
   /**

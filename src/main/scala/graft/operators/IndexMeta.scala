@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+
+/** The one implementation of the stored-index parameter sidecar: a tiny
+  * JSON of integer parameters written next to the index so probes READ
+  * the writer's own parameters — divergence between build and probe is
+  * impossible by construction. Shared by every index type (dedup
+  * signatures, postings) so the convention cannot drift per index. */
+private[operators] object IndexMeta {
+
+  def exists(spark: SparkSession, p: Path): Boolean =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+
+  def write(spark: SparkSession, p: Path, kv: Seq[(String, Int)]): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(
+      kv.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+        .getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** Read `keys` (all required); `what` names the sidecar and `store` the
+    * builder in the failure messages. */
+  def read(spark: SparkSession, p: Path, what: String, store: String,
+           keys: Seq[String]): Seq[Int] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no $what at $p — not a $store store")
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+    keys.map { k =>
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s)
+        .getOrElse(throw new IllegalStateException(s"corrupt $what: $s"))
+        .group(1).toInt
+    }
+  }
+}

@@ -27,24 +27,36 @@ object Postings {
 
   private def metaPath(path: String) = new Path(path, "_postings_meta.json")
 
-  /** Build (overwrite) the postings index: one explode + one map-side
-    * combined (word, doc_id) aggregate; `tf` is the term's in-document
-    * occurrence count, so downstream ranking (tf sums, df joins) never
-    * touches raw text. */
-  def writePostingsIndex(docs: DataFrame, path: String, buckets: Int = 64,
-                         textCol: String = "text"): Unit = {
-    require(buckets >= 1, "buckets must be >= 1")
-    val spark = docs.sparkSession
-    docs.select(col("doc_id"), explode(Dedup.wsWords(col(textCol))).as("word"))
+  /** The index's fixed row shape (doc_id is a long, the repo-wide id
+    * convention): pinning it on the read side makes probing a
+    * legitimately EMPTY index (all-empty first batch: no data files yet)
+    * return zero rows instead of failing schema inference. */
+  private val PostingsSchema = "word STRING, doc_id BIGINT, tf BIGINT, w_b INT"
+
+  /** The one postings-build pipeline (build and append MUST band into the
+    * same layout): explode + map-side combined (word, doc_id) aggregate;
+    * `tf` is the term's in-document occurrence count, so downstream
+    * ranking (tf sums, df joins) never touches raw text. */
+  private def postingsFrame(docs: DataFrame, buckets: Int,
+                            textCol: String): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(Dedup.wsWords(col(textCol))).as("word"))
       .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
       .withColumn("w_b", pmod(xxhash64(col("word")), lit(buckets.toLong)).cast("int"))
       .repartition(col("w_b"))
-      .write.mode("overwrite").partitionBy("w_b").parquet(path)
-    val p = metaPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = fs.create(p, true)
-    try os.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
-    finally os.close()
+
+  /** Build (overwrite) the postings index. The writer pins STATIC
+    * partition-overwrite mode: under a session-wide dynamic mode a
+    * rebuild over a shrunk corpus would only truncate the buckets the new
+    * postings touch, resurrecting deleted documents from the rest. */
+  def writePostingsIndex(docs: DataFrame, path: String, buckets: Int = 64,
+                         textCol: String = "text"): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    postingsFrame(docs, buckets, textCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("w_b").parquet(path)
+    IndexMeta.write(docs.sparkSession, metaPath(path), Seq("buckets" -> buckets))
   }
 
   /** Online growth: append the postings of NEW documents (doc_ids not in
@@ -55,26 +67,13 @@ object Postings {
     * same bucket layout read from the meta sidecar. Append == rebuild
     * over the union corpus (spec-proven). */
   def appendToPostingsIndex(docs: DataFrame, path: String,
-                            textCol: String = "text"): Unit = {
-    val buckets = readMetaBuckets(docs.sparkSession, path)
-    docs.select(col("doc_id"), explode(Dedup.wsWords(col(textCol))).as("word"))
-      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
-      .withColumn("w_b", pmod(xxhash64(col("word")), lit(buckets.toLong)).cast("int"))
-      .repartition(col("w_b"))
+                            textCol: String = "text"): Unit =
+    postingsFrame(docs, readMetaBuckets(docs.sparkSession, path), textCol)
       .write.mode("append").partitionBy("w_b").parquet(path)
-  }
 
-  private def readMetaBuckets(spark: SparkSession, path: String): Int = {
-    val p = metaPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no postings meta at $p — not a writePostingsIndex store")
-    val in = fs.open(p)
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-    """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
-      .getOrElse(throw new IllegalStateException(s"corrupt postings meta: $s"))
-      .group(1).toInt
-  }
+  private def readMetaBuckets(spark: SparkSession, path: String): Int =
+    IndexMeta.read(spark, metaPath(path), "postings meta",
+      "writePostingsIndex", Seq("buckets")).head
 
   /** The pruned postings scan for `terms`: buckets derive from the meta
     * sidecar via the same xxhash64 modulus the writer used (computed by a
@@ -88,7 +87,7 @@ object Postings {
     val bs = terms.toDF("word")
       .select(pmod(xxhash64(col("word")), lit(buckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(path)
+    spark.read.schema(PostingsSchema).parquet(path)
       .where(col("w_b").isin(bs: _*) && col("word").isin(terms: _*))
   }
 

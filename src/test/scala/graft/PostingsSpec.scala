@@ -46,8 +46,25 @@ class PostingsSpec extends SparkFunSuite {
   test("probe reads only the query terms' bucket partitions") {
     val plan = Postings.termPostings(spark, dir, Seq("alpha"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("w_b"),
+    // the bucket predicate must sit INSIDE the PartitionFilters clause —
+    // a bare "PartitionFilters: []" plus a post-scan filter must fail
+    assert("PartitionFilters: \\[[^\\]]*w_b".r.findFirstIn(plan).isDefined,
       s"postings probe is not directory-pruned:\n$plan")
+  }
+
+  test("an all-empty corpus leaves a legitimately empty index: probes " +
+       "return zero rows instead of failing schema inference") {
+    val d = Files.createTempDirectory("graft_postings_empty_").toString + "/idx"
+    Postings.writePostingsIndex(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"), d, buckets = 4)
+    assert(Postings.searchAll(spark, d, Seq("alpha")).count() === 0)
+    val df = Postings.docFrequencies(spark, d, Seq("alpha"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df === Map("alpha" -> 0L))
+    // a later non-empty append revives it
+    Postings.appendToPostingsIndex(Seq((3L, "alpha")).toDF("doc_id", "text"), d)
+    assert(Postings.searchAll(spark, d, Seq("alpha"))
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
   test("a plain parquet dir without the meta sidecar is refused") {
