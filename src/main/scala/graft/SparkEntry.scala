@@ -867,28 +867,30 @@ object SparkEntry {
       // population) — decision-identical to q_asof_join by contract, so it
       // shares that gate's oracle VERBATIM (the q_dedup_incremental_idx
       // pattern). 6-hour buckets << the per-user build spacing at sf0.01,
-      // so the carry-in path does the bulk of the matching
+      // so the carry-in path does the bulk of the matching. m_build_tol
+      // derives from the base match for free (tolerance gating == a match
+      // recency test); the tolerance PARAMETER is spec-covered and
+      // exercised by q_asof_join
       val (p, b) = temporalStreams(s, dir)
-      val base = Temporal.asofJoinBucketed(p, b, Seq("k"), "t", "probe_id",
-        "build_id", Seq("cents"), bucketWidth = 21600000000L)
-      val tol = Temporal.asofJoinBucketed(p, b, Seq("k"), "t", "probe_id",
-          "build_id", bucketWidth = 21600000000L, tolerance = Some(86400000000L))
-        .select(col("probe_id"), col("m_build_id").as("m_build_tol"))
-      base.join(tol, Seq("probe_id"))
+      Temporal.asofJoinBucketed(p, b, Seq("k"), "t", "probe_id",
+          "build_id", Seq("cents"), bucketWidth = 21600000000L)
+        .withColumn("m_build_tol",
+          when(col("t") - col("m_t") <= 86400000000L, col("m_build_id")))
         .select("probe_id", "k", "t", "m_build_id", "m_t", "m_cents", "m_build_tol")
         .orderBy("probe_id")
     }),
     "q_interval_join" -> ((s, dir) => {     // keyed interval (range) join:
       // build events open 1-7h windows; probe events join every containing
-      // window of their user. 2h buckets + maxSpanBuckets=3 route the long
-      // windows through the broadcast-giant path and the short ones through
-      // the bucket explode — BOTH paths land in the one oracle-checked set
+      // window of their user. 2h buckets + maxSpanBuckets=4 leave giants
+      // GENUINELY rare (only 7h windows straddling five buckets, a few
+      // percent — the guard's contract) while still landing both the
+      // explode and the broadcast path in the one oracle-checked set
       val (p, b) = temporalStreams(s, dir)
       val iv = b.select(col("build_id").as("interval_id"), col("k"),
         col("t").as("s_t"),
         (col("t") + (pmod(col("build_id"), lit(7)) + 1) * lit(3600000000L)).as("e_t"))
       Temporal.intervalJoin(p, iv, Seq("k"), "t", "s_t", "e_t",
-          bucketWidth = 7200000000L, maxSpanBuckets = 3)
+          bucketWidth = 7200000000L, maxSpanBuckets = 4)
         .select("probe_id", "interval_id", "k", "t", "s_t", "e_t")
         .orderBy("probe_id", "interval_id")
     }),
@@ -913,11 +915,12 @@ object SparkEntry {
         .orderBy("probe_id")
     }),
     "q_keyword_search" -> ((s, dir) => {    // stored inverted index +
-      // bucket-pruned conjunctive search: postings written ONCE
-      // (word-bucket partitioned, meta sidecar), then the query reads
-      // only its terms' directories — the corpus text is never rescanned;
-      // "dup" is the corpus's rare term, "scan" a common one, so the AND
-      // is genuinely selective at every sf
+      // bucket-pruned conjunctive search. NOTE the gate is self-contained
+      // (index build + probe per invocation, the stored-gate convention),
+      // so its bench time is dominated by the BUILD; the pruned-read
+      // advantage is evidenced by PLANS.md (w_b PartitionFilters) and the
+      // PostingsSpec assert, not this timing. "dup" is the corpus's rare
+      // term, "scan" a common one, so the AND is genuinely selective
       val idxDir = java.nio.file.Files.createTempDirectory("graft_postings_").toString + "/idx"
       Postings.writePostingsIndex(tbl(s, dir, "documents"), idxDir, buckets = 32)
       Postings.searchAll(s, idxDir, Seq("scan", "dup")).orderBy("doc_id")
@@ -1920,27 +1923,28 @@ object SparkEntry {
       // backward as-of join, replicated as the SAME union-timeline window
       // the engine runs: builds sort before probes at equal ts (inclusive
       // semantics), ties among builds resolve to the greatest build_id via
-      // the running last_value over (t, side, seq)
+      // the running last_value over (t, side, seq). The matched payload is
+      // ONE struct — like the engine's _m — so a NULL payload field could
+      // never make a field skip back to an older build than m_build_id
       "q_asof_join" ->
         s"""WITH $temporalCtes,
            |u AS (
-           |  SELECT k, t, 0 AS side, build_id AS seq, build_id, cents,
+           |  SELECT k, t, 0 AS side, build_id AS seq,
+           |         struct_pack(b := build_id, bt := t, c := cents) AS m,
            |         NULL AS probe_id FROM b
            |  UNION ALL
-           |  SELECT k, t, 1, 0, NULL, NULL, probe_id FROM p
+           |  SELECT k, t, 1, 0, NULL, probe_id FROM p
            |),
            |w AS (
            |  SELECT probe_id, k, t, side,
-           |    last_value(build_id IGNORE NULLS) OVER win AS m_build_id,
-           |    last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
-           |      OVER win AS m_t,
-           |    last_value(cents IGNORE NULLS) OVER win AS m_cents
+           |    last_value(m IGNORE NULLS) OVER (
+           |      PARTITION BY k ORDER BY t, side, seq
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
            |  FROM u
-           |  WINDOW win AS (PARTITION BY k ORDER BY t, side, seq
-           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |)
-           |SELECT probe_id, k, t, m_build_id, m_t, m_cents,
-           |  CASE WHEN t - m_t <= 86400000000 THEN m_build_id END AS m_build_tol
+           |SELECT probe_id, k, t, m.b AS m_build_id, m.bt AS m_t,
+           |  m.c AS m_cents,
+           |  CASE WHEN t - m.bt <= 86400000000 THEN m.b END AS m_build_tol
            |FROM w WHERE side = 1 ORDER BY probe_id""".stripMargin,
       // keyed interval join: plain range predicate — the engine's bucket
       // explode + giant-broadcast split must reproduce exactly this set
@@ -1986,7 +1990,8 @@ object SparkEntry {
           |         ELSE 'long' END AS band,
           |    CAST(len(list_filter(string_split(text, ' '),
           |      t -> length(t) > 0)) AS BIGINT) AS v FROM documents),
-          |h AS (SELECT band, v, count(*) AS c FROM d GROUP BY band, v),
+          |h AS (SELECT band, v, count(*) AS c FROM d
+          |      WHERE v IS NOT NULL GROUP BY band, v),
           |w AS (SELECT band, v, c,
           |    sum(c) OVER (PARTITION BY band ORDER BY v) AS cum,
           |    sum(c) OVER (PARTITION BY band) AS tot FROM h),
