@@ -75,6 +75,33 @@ object Postings {
     IndexMeta.read(spark, metaPath(path), "postings meta",
       "writePostingsIndex", Seq("buckets")).head
 
+  /** Maintenance: rewrite the index in place, collapsing the small files
+    * accumulated by [[appendToPostingsIndex]] batches — hash-partitioning
+    * on `w_b` puts each bucket in one task, so each bucket directory
+    * lands as ONE file, word-sorted for row-group min/max skipping. Row
+    * set, bucket layout, and meta are unchanged (query results identical,
+    * spec-proven). The current rows are eagerly materialized off the
+    * store (persistedCopy) BEFORE the overwrite: a lazy self-overwrite
+    * lineage would read files the write is deleting; the block handle is
+    * released deterministically. */
+  def compactPostingsIndex(spark: SparkSession, path: String): Unit = {
+    // refuses non-index dirs AND supplies the meta the root-overwrite is
+    // about to delete — it is re-written after the data lands
+    val buckets = readMetaBuckets(spark, path)
+    val cur = spark.read.schema(PostingsSchema).parquet(path)
+    val (frozen, handle) = org.apache.spark.sql.classic.GraftBridge
+      .persistedCopy(cur)
+    try {
+      frozen
+        .repartition(col("w_b"))
+        .sortWithinPartitions("w_b", "word", "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("w_b").parquet(path)
+      IndexMeta.write(spark, metaPath(path), Seq("buckets" -> buckets))
+    } finally { handle.unpersist(true); () }
+  }
+
   /** The pruned postings scan for `terms`: buckets derive from the meta
     * sidecar via the same xxhash64 modulus the writer used (computed by a
     * tiny Spark job — the diffSync probe convention), and land as literal

@@ -96,6 +96,41 @@ class PostingsSpec extends SparkFunSuite {
     assert(hits === Set(1L, 3L, 6L))
   }
 
+  test("compactPostingsIndex collapses append small-files; results and " +
+       "layout unchanged; refuses non-index dirs; zero pinned blocks") {
+    val d = Files.createTempDirectory("graft_postings_cmp_").toString + "/idx"
+    Postings.writePostingsIndex(docs.where(col("doc_id") === 1L), d, buckets = 4)
+    for (id <- 2L to 4L)
+      Postings.appendToPostingsIndex(docs.where(col("doc_id") === id), d)
+    def rowSet = spark.read.parquet(d)
+      .select("word", "doc_id", "tf", "w_b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    def dataFiles = {
+      val fs = new java.io.File(d)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(fs).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = rowSet
+    val filesBefore = dataFiles.size
+    Postings.compactPostingsIndex(spark, d)
+    assert(rowSet === before)
+    assert(dataFiles.size < filesBefore,
+      s"expected fewer files, had $filesBefore now ${dataFiles.size}")
+    // one file per non-empty bucket directory
+    val perBucket = dataFiles.groupBy(_.getParentFile.getName)
+    assert(perBucket.values.forall(_.size == 1), s"multi-file buckets: $perBucket")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "leaked blocks")
+    // searches still work through the compacted layout
+    assert(Postings.searchAll(spark, d, Seq("beta"))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    val plain = Files.createTempDirectory("graft_postings_np_").toString + "/p"
+    docs.write.parquet(plain)
+    intercept[IllegalArgumentException] {
+      Postings.compactPostingsIndex(spark, plain)
+    }
+  }
+
   test("rebuild overwrites: a shrunk corpus leaves no stale postings") {
     val d = Files.createTempDirectory("graft_postings_rw_").toString + "/idx"
     Postings.writePostingsIndex(docs, d, buckets = 4)
