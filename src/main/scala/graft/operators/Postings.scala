@@ -71,6 +71,11 @@ object Postings {
     postingsFrame(docs, readMetaBuckets(docs.sparkSession, path), textCol)
       .write.mode("append").partitionBy("w_b").parquet(path)
 
+  /** True iff `path` holds a [[writePostingsIndex]] store (the parameter
+    * sidecar is present) — the bootstrap test for online loops. */
+  def hasPostingsIndex(spark: SparkSession, path: String): Boolean =
+    IndexMeta.exists(spark, metaPath(path))
+
   private def readMetaBuckets(spark: SparkSession, path: String): Int =
     IndexMeta.read(spark, metaPath(path), "postings meta",
       "writePostingsIndex", Seq("buckets")).head
@@ -93,6 +98,7 @@ object Postings {
       .persistedCopy(cur)
     try {
       frozen
+        .dropDuplicates("word", "doc_id")  // physical replay repair
         .repartition(col("w_b"))
         .sortWithinPartitions("w_b", "word", "doc_id")
         .write.mode("overwrite")
@@ -105,7 +111,11 @@ object Postings {
   /** The pruned postings scan for `terms`: buckets derive from the meta
     * sidecar via the same xxhash64 modulus the writer used (computed by a
     * tiny Spark job — the diffSync probe convention), and land as literal
-    * PartitionFilters. Exposed for plan evidence. */
+    * PartitionFilters. Appends are at-least-once (a replayed streaming
+    * batch re-appends byte-identical rows), so the probe drops duplicate
+    * (word, doc_id) postings — probes are exactly-once regardless;
+    * [[compactPostingsIndex]] repairs the duplication physically.
+    * Exposed for plan evidence. */
   private[graft] def termPostings(spark: SparkSession, path: String,
                                   terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
@@ -116,6 +126,7 @@ object Postings {
       .distinct().collect().map(_.getInt(0)).toSeq
     spark.read.schema(PostingsSchema).parquet(path)
       .where(col("w_b").isin(bs: _*) && col("word").isin(terms: _*))
+      .dropDuplicates("word", "doc_id")
   }
 
   /** Conjunctive (AND) keyword search: documents containing EVERY term,

@@ -459,6 +459,35 @@ object StreamingIngest {
     q
   }
 
+  /** Streaming maintenance of the stored postings index: each micro-batch
+    * of newly arrived documents appends its postings in the index's own
+    * bucket layout (bootstrap builds it). REPLAY-SAFE end-to-end: a batch
+    * re-delivered after a checkpoint restart re-appends byte-identical
+    * rows, which probes drop on (word, doc_id) and
+    * `Postings.compactPostingsIndex` (run this periodically — appends
+    * accumulate one file per batch per bucket) repairs physically. The
+    * caller feeds NEW doc_ids only — compose after [[dedupIngest]], which
+    * is exactly the pipeline shape: dedup admits, postings index. */
+  def postingsIngest(spark: SparkSession, srcDir: String, indexDir: String,
+                     checkpointDir: String, buckets: Int = 64): StreamingQuery = {
+    import graft.operators.Postings
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(docsSchema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch.select(col("doc_id"), col("text"))
+        if (Postings.hasPostingsIndex(spark, indexDir))
+          Postings.appendToPostingsIndex(docs, indexDir)
+        else Postings.writePostingsIndex(docs, indexDir, buckets)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Windowed per-tile arrival statistics over an event-time stream with a
     * watermark — the streaming counterpart of the tile histogram. Emits
     * (window, cell, n) in append mode once the watermark passes. */

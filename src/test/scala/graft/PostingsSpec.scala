@@ -131,6 +131,22 @@ class PostingsSpec extends SparkFunSuite {
     }
   }
 
+  test("replayed append: probes stay exactly-once, compact repairs physically") {
+    val d = Files.createTempDirectory("graft_postings_rep_").toString + "/idx"
+    Postings.writePostingsIndex(docs.where(col("doc_id") <= 2L), d, buckets = 4)
+    val late = docs.where(col("doc_id") === 3L)
+    Postings.appendToPostingsIndex(late, d)
+    Postings.appendToPostingsIndex(late, d)   // the replay
+    def hits = Postings.searchAll(spark, d, Seq("beta"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+    assert(hits === want, "probe not exactly-once under replay")
+    val rawBefore = spark.read.parquet(d).count()
+    Postings.compactPostingsIndex(spark, d)
+    assert(spark.read.parquet(d).count() < rawBefore, "dups not repaired")
+    assert(hits === want)
+  }
+
   test("rebuild overwrites: a shrunk corpus leaves no stale postings") {
     val d = Files.createTempDirectory("graft_postings_rw_").toString + "/idx"
     Postings.writePostingsIndex(docs, d, buckets = 4)

@@ -340,6 +340,26 @@ class StreamingSpec extends SparkFunSuite {
     assert(out == Map(c1 -> 300L, c2 -> 300L))
   }
 
+  test("postingsIngest: arriving documents index exactly once across " +
+       "drains; searches see each drain's corpus") {
+    import graft.operators.Postings
+    val base = Files.createTempDirectory("graft_postidx_").toString
+    val (src, idx, ckpt) = (s"$base/src", s"$base/idx", s"$base/ckpt")
+    Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    StreamingIngest.postingsIngest(spark, src, idx, ckpt, buckets = 4)
+    def hits(term: String) = Postings.searchAll(spark, idx, Seq(term))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("beta") === Map(1L -> 1L, 2L -> 1L))
+    // second arrival wave: only the new docs append (checkpoint offsets),
+    // so re-draining does not double the first wave's tf counts
+    Seq((3L, "beta beta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    StreamingIngest.postingsIngest(spark, src, idx, ckpt, buckets = 4)
+    assert(hits("beta") === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    assert(hits("alpha") === Map(1L -> 1L))
+  }
+
   test("streaming session windows: state merges across micro-batches and " +
        "equals the batch aggregation of the same frame") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
