@@ -914,6 +914,40 @@ object SparkEntry {
         .select("probe_id", "k", "t", "session_start")
         .orderBy("probe_id")
     }),
+    "q_rollup" -> ((s, dir) => {            // hierarchical subtotals in one
+      // pass (ROLLUP grouping sets — partial-aggregated like any hash
+      // agg); NULL group labels sentinel-coalesced because engines
+      // disagree on NULL sort position
+      val ev = tbl(s, dir, "events").select(col("event_type"),
+        pmod(col("user_id"), lit(10)).as("ub"),
+        round(col("value") * 100).cast("long").as("cents"))
+      ev.rollup("event_type", "ub")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("ub"), lit(-1L)).as("ub"), col("n"), col("cents_sum"))
+        .orderBy("event_type", "ub")
+    }),
+    "q_pivot" -> ((s, dir) => {             // wide per-type counts via
+      // pivot with an EXPLICIT value list (no distinct-scan pre-pass);
+      // absent combos coalesce to 0 on both sides
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = tbl(s, dir, "events").select(
+        pmod(col("user_id"), lit(10)).as("ub"), col("event_type"))
+      val wide = ev.groupBy("ub").pivot("event_type", types).count()
+      wide.select(col("ub") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("ub")
+    }),
+    "q_props_extract" -> ((s, dir) => {     // semi-structured payload
+      // extraction: JSON-path pull of props.k (codegen get_json_object)
+      // aggregated per event type
+      val ev = tbl(s, dir, "events").select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      ev.groupBy("event_type")
+        .agg(sum("k").as("k_sum"), max("k").as("k_max"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
     "q_keyword_search" -> ((s, dir) => {    // stored inverted index +
       // bucket-pruned conjunctive search. NOTE the gate is self-contained
       // (index build + probe per invocation, the stored-gate convention),
@@ -1971,6 +2005,33 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |    AS session_start
            |FROM y ORDER BY probe_id""".stripMargin,
+      "q_rollup" ->
+        """WITH ev AS (SELECT event_type, user_id % 10 AS ub,
+          |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+          |SELECT coalesce(event_type, '(all)') AS event_type,
+          |  coalesce(ub, -1) AS ub, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cents) AS BIGINT) AS cents_sum
+          |FROM ev GROUP BY ROLLUP(event_type, ub)
+          |ORDER BY event_type, ub""".stripMargin,
+      // pivot: replicated as conditional aggregation (the portable form)
+      "q_pivot" ->
+        """WITH ev AS (SELECT user_id % 10 AS ub, event_type FROM events)
+          |SELECT ub,
+          |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+          |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+          |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+          |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+          |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+          |FROM ev GROUP BY ub ORDER BY ub""".stripMargin,
+      // props.k via regex (DuckDB side); the engine uses the JSON path —
+      // identical on this fixed {"k": N} payload shape
+      "q_props_extract" ->
+        """WITH ev AS (SELECT event_type,
+          |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+          |  FROM events)
+          |SELECT event_type, CAST(sum(k) AS BIGINT) AS k_sum,
+          |  max(k) AS k_max, CAST(count(*) AS BIGINT) AS n
+          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
       // conjunctive keyword search: the index is internal — the oracle is
       // the plain corpus formulation the pruned probe must reproduce
       "q_keyword_search" ->
