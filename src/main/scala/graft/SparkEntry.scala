@@ -914,6 +914,21 @@ object SparkEntry {
         .select("probe_id", "k", "t", "session_start")
         .orderBy("probe_id")
     }),
+    "q_multimodal_dedup" -> ((s, dir) => {  // CROSS-MODAL dedup: one
+      // component pass over the UNION of text near-dup edges (portable
+      // minhash) and embedding ANN edges (axis-sign banded top-5) —
+      // entities share the id space across modalities, so a text-dup of
+      // an embedding-dup drops even when neither modality alone connects
+      // them; survivors = component minima + untouched docs
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 1000)
+      val textPairs = Dedup.minhashLshPortable(docs, nGram = 3, nHashes = 4,
+        bands = 4, threshold = 0.5, maxBucket = 0).select("a_id", "b_id")
+      val embPairs = Similarity.axisKnnJoin(tbl(s, dir, "embeddings"), k = 5,
+          nTables = 8, bits = 8, probePred = col("vec_id") < 20, maxBucket = 0)
+        .select("a_id", "b_id")
+      Dedup.dropClusterDuplicates(docs, textPairs.unionByName(embPairs))
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_rollup" -> ((s, dir) => {            // hierarchical subtotals in one
       // pass (ROLLUP grouping sets — partial-aggregated like any hash
       // agg); NULL group labels sentinel-coalesced because engines
@@ -2005,6 +2020,34 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |    AS session_start
            |FROM y ORDER BY probe_id""".stripMargin,
+      // cross-modal dedup: text-minhash pairs UNION axis-sign ANN top-5
+      // pairs, one reachability closure, survivors = component minima
+      "q_multimodal_dedup" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |tp AS (SELECT a_id, b_id FROM scored
+           |       WHERE inter / (na + nb - inter) >= 0.5),
+           |esigs AS ($annSigsSql),
+           |ecand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           |          FROM esigs a JOIN esigs b ON a.t = b.t AND a.sig = b.sig
+           |          WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+           |escored AS (SELECT a_id, b_id,
+           |            list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+           |            FROM ecand JOIN embeddings ea ON ea.vec_id = ecand.a_id
+           |                       JOIN embeddings eb ON eb.vec_id = ecand.b_id),
+           |ep AS (SELECT a_id, b_id FROM (
+           |         SELECT a_id, b_id, row_number() OVER (
+           |           PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
+           |         FROM escored) WHERE rnk <= 5),
+           |prs AS (SELECT * FROM tp UNION SELECT * FROM ep),
+           |edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+           |          UNION SELECT b_id, a_id FROM prs),
+           |reach AS (SELECT src AS id, dst AS r FROM edges
+           |          UNION
+           |          SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+           |labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+           |SELECT doc_id FROM d
+           |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+           |ORDER BY doc_id""".stripMargin,
       "q_rollup" ->
         """WITH ev AS (SELECT event_type, user_id % 10 AS ub,
           |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
