@@ -113,6 +113,9 @@ class PostingsSpec extends SparkFunSuite {
     }
     val before = rowSet
     val filesBefore = dataFiles.size
+    // other suites may legitimately hold persisted RDDs in the shared
+    // session — the leak assert is scoped to blocks THIS call pins
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     Postings.compactPostingsIndex(spark, d)
     assert(rowSet === before)
     assert(dataFiles.size < filesBefore,
@@ -120,7 +123,8 @@ class PostingsSpec extends SparkFunSuite {
     // one file per non-empty bucket directory
     val perBucket = dataFiles.groupBy(_.getParentFile.getName)
     assert(perBucket.values.forall(_.size == 1), s"multi-file buckets: $perBucket")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "leaked blocks")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"leaked blocks: $leaked")
     // searches still work through the compacted layout
     assert(Postings.searchAll(spark, d, Seq("beta"))
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
