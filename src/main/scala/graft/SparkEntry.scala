@@ -914,6 +914,27 @@ object SparkEntry {
         .select("probe_id", "k", "t", "session_start")
         .orderBy("probe_id")
     }),
+    "q_jsonl_roundtrip" -> ((s, dir) => {   // JSONL interchange: parquet
+      // -> jsonl (one object per line) -> schema-pinned FAILFAST read;
+      // the oracle reads the ORIGINAL parquet, so the gate proves
+      // round-trip identity of the export format training pipelines
+      // exchange
+      val docs = tbl(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString + "/docs"
+      graft.sources.JsonlTable.write(docs, out, parts = 4)
+      graft.sources.JsonlTable.read(s, out, docs.schema)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "q_profile" -> ((s, dir) => {           // data-quality census: row
+      // total + per-column non-null and EXACT distinct counts in ONE
+      // aggregate (expand + partial agg — no per-column scans)
+      Profile.profile(tbl(s, dir, "events"),
+          Seq("event_id", "user_id", "event_type", "props"))
+        .orderBy("col_name")
+    }),
     "q_multimodal_dedup" -> ((s, dir) => {  // CROSS-MODAL dedup: one
       // component pass over the UNION of text near-dup edges (portable
       // minhash) and embedding ANN edges (axis-sign banded top-5) —
@@ -2020,6 +2041,29 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |    AS session_start
            |FROM y ORDER BY probe_id""".stripMargin,
+      // jsonl round trip: the oracle never sees the jsonl — it reads the
+      // original parquet, so any export/parse infidelity hash-mismatches
+      "q_jsonl_roundtrip" ->
+        """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_profile" ->
+        """SELECT * FROM (
+          |  SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(count(event_id) AS BIGINT) AS n_nonnull,
+          |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+          |  UNION ALL
+          |  SELECT 'user_id', CAST(count(*) AS BIGINT),
+          |    CAST(count(user_id) AS BIGINT),
+          |    CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+          |  UNION ALL
+          |  SELECT 'event_type', CAST(count(*) AS BIGINT),
+          |    CAST(count(event_type) AS BIGINT),
+          |    CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+          |  UNION ALL
+          |  SELECT 'props', CAST(count(*) AS BIGINT),
+          |    CAST(count(props) AS BIGINT),
+          |    CAST(count(DISTINCT props) AS BIGINT) FROM events
+          |) ORDER BY col_name""".stripMargin,
       // cross-modal dedup: text-minhash pairs UNION axis-sign ANN top-5
       // pairs, one reachability closure, survivors = component minima
       "q_multimodal_dedup" ->
