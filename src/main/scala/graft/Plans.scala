@@ -244,6 +244,18 @@ object Plans {
         "the reference's vex.c:883 single-cell-index TODO, fixed)" -> {
         val stored = PlanetExtract.readTables(spark, s"$dir/planet_store")
         fmt(PlanetExtract.bboxRefined(stored, b))
+      },
+      "budget-capped mixing (expect: the raw-docs side carries NO " +
+        "stratum-wide window — one partial+final hash aggregate builds the " +
+        "(stratum, bucket) cost histogram, the cumulative window sorts only " +
+        "that tiny frame, bucket classification joins back as a " +
+        "BroadcastHashJoin, and the per-doc running-sum window sits behind " +
+        "the boundary-bucket filter, so it sorts ~1/10000 of each stratum)" -> {
+        val docs = spark.range(200000).selectExpr("id AS doc_id",
+          "concat('s', CAST(id % 4 AS STRING)) AS src",
+          "CAST(50 + id % 400 AS LONG) AS n_chars")
+        fmt(Sampling.tokenBudgetMix(docs, "doc_id", col("n_chars"),
+          col("src"), Map("s0" -> 100000L, "s1" -> 1000000000L), salt = "p"))
       })
 
     val md = new StringBuilder("# PLANS — physical-plan evidence\n\n")

@@ -534,6 +534,47 @@ object SparkEntry {
           salt = "mix")
         .select("doc_id", "st").orderBy("doc_id")
     }),
+    "q_pipeline_pack" -> ((s, dir) => {     // composed packing pipeline:
+      // budget-capped mixing feeds shard assignment — the "select by
+      // volume, then write reproducible fixed-size training shards" step;
+      // both stages individually gated, this pins the COMPOSITION
+      val mixed = Sampling.tokenBudgetMix(tbl(s, dir, "documents"),
+        "doc_id", col("n_chars"), col("source"),
+        Map("src0" -> 5000L, "src1" -> 1000000000L, "src3" -> 20000L),
+        salt = "budget")
+      Sampling.shardAssign(mixed, "doc_id", shardSize = 50L, salt = "pack")
+        .select("doc_id", "source", "rnk", "shard").orderBy("doc_id")
+    }),
+    "q_shard_assign" -> ((s, dir) =>        // deterministic shuffle-shard
+      // assignment: exact global rank in the md5-shuffled order + the
+      // fixed-size shard it lands in; two-pass bucket ranking (the global
+      // sort is never one window — bases broadcast, numbering per bucket)
+      Sampling.shardAssign(tbl(s, dir, "documents"), "doc_id",
+          shardSize = 100L, salt = "sh")
+        .select("doc_id", "rnk", "shard").orderBy("doc_id")),
+    "q_budget_mix" -> ((s, dir) => {        // budget-capped mixing: per
+      // source keep docs in hash order until the source's n_chars budget
+      // is spent (mixing by absolute volume; src1 unlimited, src2 zero,
+      // all other sources have no budget and drop). Two-pass histogram
+      // selection — only the boundary bucket pays a per-doc window
+      Sampling.tokenBudgetMix(tbl(s, dir, "documents"), "doc_id",
+          col("n_chars"), col("source"),
+          Map("src0" -> 5000L, "src1" -> 1000000000L, "src2" -> 0L),
+          salt = "budget")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+    "q_split_leakage" -> ((s, dir) => {     // leakage-safe train/test
+      // split: membership keyed on the near-dup component REPRESENTATIVE,
+      // so a cluster never straddles the boundary (same bounded slice +
+      // portable pair recipe as q_dedup_clusters); the oracle recomputes
+      // pairs, closure, and membership end to end
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 1000)
+      val pairs = Dedup.minhashLshPortable(docs, nGram = 3, nHashes = 4,
+        bands = 4, threshold = 0.5, maxBucket = 0)
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+          testRate = 0.2, salt = "split")
+        .select("doc_id", "rep", "split").orderBy("doc_id")
+    }),
     "q_sample_fast" -> ((s, dir) =>         // rows-only (xxhash64-threshold
       // membership is not SQL-able in DuckDB; the md5 twin q_sample_mix is
       // the oracle-checked sibling of the same shape) — deterministic, so
@@ -1546,6 +1587,75 @@ object SparkEntry {
           |WHERE bkt < (CASE st WHEN 'short' THEN 1000
           |             WHEN 'medium' THEN 5000 ELSE 10000 END)
           |ORDER BY doc_id""".stripMargin,
+      // composed packing: budget selection (naive running sum) -> global
+      // row_number over the SURVIVORS in the 'pack' shuffle order
+      "q_pipeline_pack" ->
+        """WITH b AS (SELECT doc_id, source, n_chars,
+          |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'budget'),
+          |    1, 15) AS BIGINT) % 10000 AS bkt,
+          |  md5(CAST(doc_id AS VARCHAR) || 'budget') AS h,
+          |  CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 1000000000
+          |    WHEN 'src3' THEN 20000 END AS bud
+          |  FROM documents),
+          |c AS (SELECT *, SUM(n_chars) OVER (PARTITION BY source
+          |    ORDER BY bkt, h, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM b WHERE bud IS NOT NULL),
+          |sel AS (SELECT doc_id, source FROM c WHERE cum <= bud),
+          |p AS (SELECT doc_id, source,
+          |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack'),
+          |    1, 15) AS BIGINT) % 10000 AS pbkt,
+          |  md5(CAST(doc_id AS VARCHAR) || 'pack') AS ph FROM sel),
+          |r AS (SELECT doc_id, source, CAST(row_number()
+          |    OVER (ORDER BY pbkt, ph, doc_id) AS BIGINT) AS rnk FROM p)
+          |SELECT doc_id, source, rnk, (rnk - 1) // 50 AS shard
+          |FROM r ORDER BY doc_id""".stripMargin,
+      // shard assignment: the naive formulation — one global row_number
+      // over the md5-shuffled order (the two-pass engine must match it)
+      "q_shard_assign" ->
+        """WITH b AS (SELECT doc_id,
+          |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sh'),
+          |    1, 15) AS BIGINT) % 10000 AS bkt,
+          |  md5(CAST(doc_id AS VARCHAR) || 'sh') AS h FROM documents),
+          |r AS (SELECT doc_id, CAST(row_number()
+          |    OVER (ORDER BY bkt, h, doc_id) AS BIGINT) AS rnk FROM b)
+          |SELECT doc_id, rnk, (rnk - 1) // 100 AS shard
+          |FROM r ORDER BY doc_id""".stripMargin,
+      // budget-capped mixing: the naive formulation of the same selection
+      // — global per-source running sum in hash order, keep while <= budget
+      "q_budget_mix" ->
+        """WITH b AS (SELECT doc_id, source, n_chars,
+          |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'budget'),
+          |    1, 15) AS BIGINT) % 10000 AS bkt,
+          |  md5(CAST(doc_id AS VARCHAR) || 'budget') AS h,
+          |  CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 1000000000
+          |    WHEN 'src2' THEN 0 END AS bud
+          |  FROM documents),
+          |c AS (SELECT *, SUM(n_chars) OVER (PARTITION BY source
+          |    ORDER BY bkt, h, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM b WHERE bud IS NOT NULL)
+          |SELECT doc_id, source FROM c WHERE cum <= bud
+          |ORDER BY doc_id""".stripMargin,
+      // leakage-safe split: md5 membership of the component representative
+      // (closure over the portable minhash pairs), not of the doc itself
+      "q_split_leakage" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |prs AS (SELECT a_id, b_id FROM scored
+           |        WHERE inter / (na + nb - inter) >= 0.5),
+           |edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+           |          UNION SELECT b_id, a_id FROM prs),
+           |reach AS (SELECT src AS id, dst AS r FROM edges
+           |          UNION
+           |          SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+           |labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+           |rp AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS rep
+           |       FROM d LEFT JOIN labels l ON l.id = d.doc_id)
+           |SELECT doc_id, rep,
+           |  CASE WHEN CAST('0x' || substr(md5(CAST(rep AS VARCHAR) || 'split'),
+           |         1, 15) AS BIGINT) % 10000 < 2000
+           |       THEN 'test' ELSE 'train' END AS split
+           |FROM rp ORDER BY doc_id""".stripMargin,
       // duplicate passages: 8-word stride-1 windows in >= 2 docs
       "q_dup_passages" ->
         """WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -66,6 +67,127 @@ object Sampling {
       .where(col("_copies") > 0)
       .withColumn("copy_n", explode(sequence(lit(1L), col("_copies"))))
       .drop("_copies")
+  }
+
+  /** Leakage-safe train/test split: near-duplicate CLUSTERS never straddle
+    * the boundary. `pairs` is an undirected near-dup edge list
+    * `(a_id, b_id)` from any of the gated recipes (minhash/simhash/
+    * embedding); every doc resolves to its connected-component
+    * representative `rep` (component minimum; docs untouched by any edge
+    * are their own rep) and split membership is the hash-bucket test of the
+    * REP, not the doc — so a training example can never have a
+    * near-duplicate in the held-out set, the contamination mode a per-doc
+    * split cannot prevent. Emits the input columns + `rep` + `split`
+    * ('train' | 'test').
+    * Scale shape: components run over the EDGE list only (never the
+    * corpus); the label frame holds only edge-touched ids, so the docs-side
+    * left join broadcasts under AQE when dup density is low, and membership
+    * itself stays a pure column expression. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       testRate: Double, salt: String = ""): DataFrame = {
+    require(testRate >= 0.0 && testRate <= 1.0)
+    require(!docs.columns.contains("rep") && !docs.columns.contains("split"),
+      "input must not already contain rep/split (the emitted columns)")
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("label").as("_cc_label"))
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("_cc_label"), col(idCol)))
+      .withColumn("split",
+        when(hashBucket(col("rep"), salt) < math.round(testRate * Buckets),
+          lit("test")).otherwise(lit("train")))
+      .drop("_cc_label")
+  }
+
+  /** Deterministic BUDGET-capped mixing: per stratum, keep docs in hash
+    * order until the stratum's cost budget is spent (the "N tokens of web,
+    * M of books" recipe — mixing by absolute volume, where
+    * [[stratifiedSample]] mixes by rate). Selection is the maximal
+    * hash-ordered prefix whose running cost stays <= the budget: order docs
+    * by (hash bucket, md5 string, id) within the stratum and keep a doc iff
+    * its running cumulative `costCol` <= budget. Pure function of ids —
+    * idempotent retries, growth only APPENDS to the order's tail, and the
+    * selection is recomputable cross-engine (the gate's oracle replays it).
+    * Strata absent from `budgets` are dropped (explicit budgets only).
+    *
+    * Scale shape (the corpusStats lesson): the running sum is NEVER
+    * computed over the raw corpus — pass 1 aggregates cost into the
+    * (stratum, bucket) histogram (<= 10k rows per stratum) and the only
+    * full-width window; pass 2 classifies each bucket entirely-in /
+    * entirely-out off that broadcast frame, and only the ONE boundary
+    * bucket per stratum (~1/10000 of the corpus) pays a per-doc window. */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, costCol: Column,
+                     stratum: Column, budgets: Map[String, Long],
+                     salt: String = ""): DataFrame = {
+    require(budgets.values.forall(_ >= 0L), "budgets must be non-negative")
+    val scratch = Seq("_st", "_bkt", "_tk", "_bud", "_cb", "_t", "_bcum")
+    require(!docs.columns.exists(scratch.contains),
+      s"input must not contain internal scratch columns ${scratch.mkString(",")}")
+    val budgetExpr = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, b)) => when(col("_st") === k, lit(b)).otherwise(acc)
+    }
+    val tagged = docs
+      .withColumn("_st", stratum)
+      .withColumn("_bkt", hashBucket(col(idCol), salt))
+      .withColumn("_tk", costCol.cast("long"))
+      .withColumn("_bud", budgetExpr)
+      .where(col("_bud").isNotNull)           // strata without budgets drop
+    // pass 1: the cost histogram — the only frame a stratum-wide window
+    // ever sorts (<= 10k buckets per stratum)
+    val hist = tagged.groupBy("_st", "_bkt").agg(sum("_tk").as("_t"))
+    val cumBefore = coalesce(sum("_t").over(Window.partitionBy("_st")
+      .orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val decided = hist.withColumn("_cb", cumBefore).select("_st", "_bkt", "_cb", "_t")
+    val joined = tagged.join(broadcast(decided), Seq("_st", "_bkt"))
+    // entirely-in buckets: the whole bucket fits under the budget
+    val fullIn = joined.where(col("_cb") + col("_t") <= col("_bud"))
+    // the boundary bucket (at most one per stratum): per-doc running sum
+    // over ~corpus/10000 rows, ordered by (md5, id) to extend the same
+    // global hash order the buckets coarsely follow
+    val boundary = joined
+      .where(col("_cb") <= col("_bud") && col("_cb") + col("_t") > col("_bud"))
+      .withColumn("_bcum", sum("_tk").over(Window.partitionBy("_st")
+        .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("_cb") + col("_bcum") <= col("_bud"))
+      .drop("_bcum")
+    fullIn.unionByName(boundary).drop(scratch.filterNot(_ == "_bcum"): _*)
+  }
+
+  /** Deterministic global SHUFFLE + fixed-size SHARD assignment — the
+    * "write the corpus as N-doc training shards in a reproducible random
+    * order" step. Every row gets its exact 1-based rank `rnk` in the
+    * md5-shuffled total order (bucket, md5 string, id) and the shard
+    * `shard = (rnk - 1) / shardSize`, as pure functions of the id set:
+    * re-runs reproduce the same order, and the oracle can replay it as a
+    * naive global row_number.
+    *
+    * Scale shape: the global sort is never materialized as one window —
+    * pass 1 counts rows per hash bucket (a 10k-row frame; its cumulative
+    * window is the only full-width sort and touches 10k rows), pass 2
+    * broadcasts each bucket's base rank and numbers rows WITHIN their
+    * bucket only — a window partitioned by 10k buckets, each holding
+    * ~1/10000 of the corpus, so parallelism scales with the data instead
+    * of collapsing into one reducer. */
+  def shardAssign(docs: DataFrame, idCol: String, shardSize: Long,
+                  salt: String = ""): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val scratch = Seq("_bkt", "_base", "_n", "_wrn")
+    require(!docs.columns.exists(c => scratch.contains(c) ||
+        c == "rnk" || c == "shard"),
+      "input must not contain rnk/shard or internal scratch columns")
+    val tagged = docs.withColumn("_bkt", hashBucket(col(idCol), salt))
+    val hist = tagged.groupBy("_bkt").agg(count(lit(1)).as("_n"))
+    val base = coalesce(sum("_n").over(Window.orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val bases = hist.withColumn("_base", base).select("_bkt", "_base")
+    tagged.join(broadcast(bases), Seq("_bkt"))
+      .withColumn("_wrn", row_number().over(Window.partitionBy("_bkt")
+        .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))))
+      .withColumn("rnk", col("_base") + col("_wrn"))
+      // integer DIV (never float division-then-cast: positive-quadrant
+      // truncation parity with the oracle's `//` is exact by construction)
+      .withColumn("shard", expr(s"(rnk - 1) DIV ${shardSize}L"))
+      .drop("_bkt", "_base", "_wrn")
   }
 
   /** Stratified deterministic sampling — the data-mixing primitive: each

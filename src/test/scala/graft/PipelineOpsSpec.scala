@@ -341,6 +341,87 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(kept.length === 10000)
   }
 
+  test("shardAssign: ranks are the exact md5-shuffle permutation, shards " +
+       "cut every shardSize rows, scratch collisions refused") {
+    val docs = (0L until 10000L).map(i => Tuple1(i)).toDF("id")
+    val out = Sampling.shardAssign(docs, "id", shardSize = 128L, salt = "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 10000)
+    assert(out.map(_._2).sorted.toSeq === (1L to 10000L), "rnk not a permutation")
+    // the order is exactly the naive (bucket, md5, id) sort
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = (0L until 10000L).sortBy { i =>
+      val h = md5hex(i.toString + "sh")
+      (java.lang.Long.parseLong(h.take(15), 16) % 10000, h, i)
+    }.zipWithIndex.map { case (id, ix) => id -> (ix + 1L) }.toMap
+    assert(out.forall { case (id, r, _) => expect(id) == r })
+    assert(out.forall { case (_, r, s) => s == (r - 1) / 128 })
+    intercept[IllegalArgumentException] {
+      Sampling.shardAssign(docs.withColumn("rnk", lit(1L)), "id", 10L)
+    }
+  }
+
+  test("tokenBudgetMix: budget-exact hash-order prefix vs a naive oracle, " +
+       "absent strata dropped, zero and unlimited budgets") {
+    val docs = (0L until 1000L).map(i => Tuple1(i)).toDF("id")
+      .withColumn("s", when(col("id") % 2 === 0, "a").otherwise("b"))
+      .withColumn("c", lit(10L))
+    val out = Sampling.tokenBudgetMix(docs, "id", col("c"), col("s"),
+      Map("a" -> 1234L), salt = "tb").collect().map(_.getLong(0)).toSet
+    // naive oracle: sort the stratum by (bucket, md5, id), keep the prefix
+    // whose running cost stays <= budget -> exactly 123 ten-cost docs
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = (0L until 1000L).filter(_ % 2 == 0).sortBy { i =>
+      val h = md5hex(i.toString + "tb")
+      (java.lang.Long.parseLong(h.take(15), 16) % 10000, h, i)
+    }
+    assert(out === ordered.take(123).toSet)
+    assert(out.forall(_ % 2 == 0), "stratum b leaked through")
+    // zero budget keeps nothing; an effectively unlimited one keeps all
+    assert(Sampling.tokenBudgetMix(docs, "id", col("c"), col("s"),
+      Map("a" -> 0L), salt = "tb").count() === 0L)
+    assert(Sampling.tokenBudgetMix(docs, "id", col("c"), col("s"),
+      Map("a" -> 10000000L, "b" -> 10000000L), salt = "tb").count() === 1000L)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMix(docs.withColumn("_bkt", lit(1)), "id",
+        col("c"), col("s"), Map("a" -> 1L))
+    }
+  }
+
+  test("leakageSafeSplit: clusters never straddle the boundary, reps are " +
+       "component minima, singletons reduce to plain hash membership") {
+    val docs = (0L until 1000L).map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (20L, 21L), (21L, 22L)).toDF("a_id", "b_id")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+        testRate = 0.5, salt = "s")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size === 1000)
+    // reps: component minimum for edge-touched docs, self for singletons
+    assert(Seq(10L, 11L).map(out(_)._1).forall(_ == 10L))
+    assert(Seq(20L, 21L, 22L).map(out(_)._1).forall(_ == 20L))
+    assert(out(500L)._1 === 500L)
+    // the leakage guarantee itself: every cluster lands on ONE side
+    assert(Seq(10L, 11L).map(out(_)._2).distinct.size === 1)
+    assert(Seq(20L, 21L, 22L).map(out(_)._2).distinct.size === 1)
+    // cluster membership is the REP's membership, singletons their own —
+    // i.e. 'test' coincides exactly with hashSample membership of the rep
+    val testIds = out.filter(_._2._2 == "test").keySet
+    val repOf = out.view.mapValues(_._1).toMap
+    val half = Sampling.hashSample(docs, "doc_id", 0.5, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(testIds === (0L until 1000L).filter(i => half(repOf(i))).toSet)
+    // both sides populated at this rate
+    assert(testIds.nonEmpty && testIds.size < 1000)
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(docs.withColumn("split", lit("x")),
+        "doc_id", pairs, 0.5)
+    }
+  }
+
   test("dropClusterDuplicates keeps exactly one canonical doc per cluster; " +
        "crossContamination finds planted benchmark leakage") {
     val docs = Seq(
