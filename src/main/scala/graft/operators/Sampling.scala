@@ -86,8 +86,8 @@ object Sampling {
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        testRate: Double, salt: String = ""): DataFrame = {
     require(testRate >= 0.0 && testRate <= 1.0)
-    require(!docs.columns.contains("rep") && !docs.columns.contains("split"),
-      "input must not already contain rep/split (the emitted columns)")
+    require(!docs.columns.exists(Seq("rep", "split", "_cc_label").contains),
+      "input must not already contain rep/split (emitted) or _cc_label (scratch)")
     val labels = Dedup.connectedComponents(pairs)
       .select(col("id").as(idCol), col("label").as("_cc_label"))
     docs.join(labels, Seq(idCol), "left")
@@ -108,6 +108,12 @@ object Sampling {
     * idempotent retries, growth only APPENDS to the order's tail, and the
     * selection is recomputable cross-engine (the gate's oracle replays it).
     * Strata absent from `budgets` are dropped (explicit budgets only).
+    * Rows with a NULL id are dropped (no deterministic identity to hash —
+    * the contract of every sampler here); a NULL cost counts as 0 (the
+    * oracle's SUM skips NULLs). Costs must be non-negative — the bucket
+    * classification rests on a monotone cumulative, so a negative cost
+    * found in the histogram fails the job rather than silently selecting
+    * the wrong prefix.
     *
     * Scale shape (the corpusStats lesson): the running sum is NEVER
     * computed over the raw corpus — pass 1 aggregates cost into the
@@ -119,33 +125,46 @@ object Sampling {
                      stratum: Column, budgets: Map[String, Long],
                      salt: String = ""): DataFrame = {
     require(budgets.values.forall(_ >= 0L), "budgets must be non-negative")
-    val scratch = Seq("_st", "_bkt", "_tk", "_bud", "_cb", "_t", "_bcum")
+    val scratch = Seq("_st", "_bkt", "_tk", "_bud", "_cb", "_t", "_mt", "_bcum")
     require(!docs.columns.exists(scratch.contains),
       s"input must not contain internal scratch columns ${scratch.mkString(",")}")
-    val budgetExpr = budgets.foldLeft(lit(null).cast("long")) {
-      case (acc, (k, b)) => when(col("_st") === k, lit(b)).otherwise(acc)
-    }
+    // budgets as a broadcast lookup frame, NOT a nested when-fold — a
+    // caller-sized fold is the codegen subexpression-elimination hazard
+    // this repo has already reproduced (see ImageTable.compact notes);
+    // the inner join drops unbudgeted strata for free
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val budgetDf = budgets.toSeq.toDF("_st", "_bud")
     val tagged = docs
+      .where(col(idCol).isNotNull)            // no id -> no hash identity
       .withColumn("_st", stratum)
       .withColumn("_bkt", hashBucket(col(idCol), salt))
-      .withColumn("_tk", costCol.cast("long"))
-      .withColumn("_bud", budgetExpr)
-      .where(col("_bud").isNotNull)           // strata without budgets drop
+      .withColumn("_tk", coalesce(costCol.cast("long"), lit(0L)))
+      .join(broadcast(budgetDf), Seq("_st")) // strata without budgets drop
     // pass 1: the cost histogram — the only frame a stratum-wide window
-    // ever sorts (<= 10k buckets per stratum)
-    val hist = tagged.groupBy("_st", "_bkt").agg(sum("_tk").as("_t"))
+    // ever sorts (<= 10k buckets per stratum). min(_tk) rides along so a
+    // negative cost fails the (tiny) classification frame loudly instead
+    // of silently breaking the monotone-cumulative invariant
+    val hist = tagged.groupBy("_st", "_bkt")
+      .agg(sum("_tk").as("_t"), min("_tk").as("_mt"))
     val cumBefore = coalesce(sum("_t").over(Window.partitionBy("_st")
       .orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    val decided = hist.withColumn("_cb", cumBefore).select("_st", "_bkt", "_cb", "_t")
+    val decided = hist
+      .withColumn("_t", when(col("_mt") < 0, raise_error(concat(
+          lit("tokenBudgetMix: negative cost in stratum "), col("_st")))
+        .cast("long")).otherwise(col("_t")))
+      .withColumn("_cb", cumBefore).select("_st", "_bkt", "_cb", "_t")
     val joined = tagged.join(broadcast(decided), Seq("_st", "_bkt"))
     // entirely-in buckets: the whole bucket fits under the budget
     val fullIn = joined.where(col("_cb") + col("_t") <= col("_bud"))
-    // the boundary bucket (at most one per stratum): per-doc running sum
-    // over ~corpus/10000 rows, ordered by (md5, id) to extend the same
-    // global hash order the buckets coarsely follow
+    // the boundary bucket (exactly one per stratum under non-negative
+    // costs, but partitioned on (_st, _bkt) anyway — each bucket's running
+    // sum only ever extends its OWN base): per-doc window over
+    // ~corpus/10000 rows, ordered by (md5, id) to extend the same global
+    // hash order the buckets coarsely follow
     val boundary = joined
       .where(col("_cb") <= col("_bud") && col("_cb") + col("_t") > col("_bud"))
-      .withColumn("_bcum", sum("_tk").over(Window.partitionBy("_st")
+      .withColumn("_bcum", sum("_tk").over(Window.partitionBy("_st", "_bkt")
         .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
         .rowsBetween(Window.unboundedPreceding, 0)))
       .where(col("_cb") + col("_bcum") <= col("_bud"))
@@ -159,7 +178,10 @@ object Sampling {
     * md5-shuffled total order (bucket, md5 string, id) and the shard
     * `shard = (rnk - 1) / shardSize`, as pure functions of the id set:
     * re-runs reproduce the same order, and the oracle can replay it as a
-    * naive global row_number.
+    * naive global row_number. Rows with a NULL id are dropped (no
+    * deterministic identity to hash — the contract of every sampler here);
+    * they are excluded BEFORE the bucket census, so they can neither shift
+    * ranks nor vanish after being counted.
     *
     * Scale shape: the global sort is never materialized as one window —
     * pass 1 counts rows per hash bucket (a 10k-row frame; its cumulative
@@ -175,7 +197,8 @@ object Sampling {
     require(!docs.columns.exists(c => scratch.contains(c) ||
         c == "rnk" || c == "shard"),
       "input must not contain rnk/shard or internal scratch columns")
-    val tagged = docs.withColumn("_bkt", hashBucket(col(idCol), salt))
+    val tagged = docs.where(col(idCol).isNotNull)
+      .withColumn("_bkt", hashBucket(col(idCol), salt))
     val hist = tagged.groupBy("_bkt").agg(count(lit(1)).as("_n"))
     val base = coalesce(sum("_n").over(Window.orderBy("_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
@@ -193,14 +216,22 @@ object Sampling {
   /** Stratified deterministic sampling — the data-mixing primitive: each
     * stratum keeps its own rate (e.g. {web -> 0.1, books -> 1.0}). Rows in
     * strata absent from `rates` are DROPPED (explicit mixing weights only;
-    * pass 1.0 to keep a stratum whole). One scan, no shuffle: the
-    * per-stratum threshold is a CASE expression over the stratum column. */
+    * pass 1.0 to keep a stratum whole). One scan, no shuffle of the data:
+    * the per-stratum threshold arrives by broadcast-joining a tiny rate
+    * frame — not a caller-sized nested when-fold, the codegen
+    * subexpression-elimination hazard this repo has already reproduced. */
   def stratifiedSample(df: DataFrame, idCol: String, stratum: Column,
                        rates: Map[String, Double], salt: String = ""): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0))
-    val threshold = rates.foldLeft(lit(0L)) { case (acc, (k, r)) =>
-      when(stratum === k, lit(math.round(r * Buckets))).otherwise(acc)
-    }
-    df.where(hashBucket(col(idCol), salt) < threshold)
+    require(!df.columns.exists(Seq("_st", "_thr").contains),
+      "input must not contain internal scratch columns _st/_thr")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val rateDf = rates.toSeq
+      .map { case (k, r) => (k, math.round(r * Buckets)) }.toDF("_st", "_thr")
+    df.withColumn("_st", stratum)
+      .join(broadcast(rateDf), Seq("_st"))
+      .where(hashBucket(col(idCol), salt) < col("_thr"))
+      .drop("_st", "_thr")
   }
 }

@@ -361,6 +361,19 @@ class PipelineOpsSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.shardAssign(docs.withColumn("rnk", lit(1L)), "id", 10L)
     }
+    // NULL ids drop BEFORE the bucket census: the survivors' ranks are the
+    // dense permutation of the non-null id set (no gap where the null sat)
+    val holed = docs.withColumn("id",
+      when(col("id") < 3L, lit(null)).otherwise(col("id")))
+    val outH = Sampling.shardAssign(holed, "id", shardSize = 128L, salt = "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(outH.length === 9997)
+    assert(outH.map(_._2).sorted.toSeq === (1L to 9997L))
+    val expectH = (3L until 10000L).sortBy { i =>
+      val h = md5hex(i.toString + "sh")
+      (java.lang.Long.parseLong(h.take(15), 16) % 10000, h, i)
+    }.zipWithIndex.map { case (id, ix) => id -> (ix + 1L) }.toMap
+    assert(outH.forall { case (id, r) => expectH(id) == r })
   }
 
   test("tokenBudgetMix: budget-exact hash-order prefix vs a naive oracle, " +
@@ -390,6 +403,30 @@ class PipelineOpsSpec extends SparkFunSuite {
       Sampling.tokenBudgetMix(docs.withColumn("_bkt", lit(1)), "id",
         col("c"), col("s"), Map("a" -> 1L))
     }
+    // NULL ids have no hash identity -> dropped; NULL cost counts as 0 (so
+    // the doc is kept for free whenever its position is inside the budget)
+    val holed = docs
+      .withColumn("id", when(col("id") === ordered.head, lit(null)).otherwise(col("id")))
+      .withColumn("c", when(col("id") === ordered(1), lit(null)).otherwise(col("c")))
+    val outH = Sampling.tokenBudgetMix(holed, "id", col("c"), col("s"),
+      Map("a" -> 1234L), salt = "tb").collect().map(_.getLong(0)).toSet
+    // oracle: remove the nulled id from the order, replay with cost(ordered(1))=0
+    val orderedH = ordered.drop(1)
+    val keptH = orderedH.scanLeft(0L) { (acc, i) =>
+      acc + (if (i == ordered(1)) 0L else 10L)
+    }.tail.zip(orderedH).takeWhile(_._1 <= 1234L).map(_._2)
+    assert(outH === keptH.toSet)
+    assert(!outH.contains(ordered.head), "NULL id leaked through")
+    // a negative cost anywhere in a budgeted stratum fails the job loudly
+    val neg = docs.withColumn("c",
+      when(col("id") === 2L, lit(-5L)).otherwise(col("c")))
+    val ex = intercept[Exception] {
+      Sampling.tokenBudgetMix(neg, "id", col("c"), col("s"),
+        Map("a" -> 1234L), salt = "tb").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("negative cost")), msgs(ex).mkString("|"))
   }
 
   test("leakageSafeSplit: clusters never straddle the boundary, reps are " +
