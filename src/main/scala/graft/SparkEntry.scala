@@ -705,6 +705,24 @@ object SparkEntry {
           .over(Window.orderBy(col("adc"), col("vec_id"))).cast("long"))
         .select("vec_id", "rnk").orderBy("rnk")
     }),
+    "q_embed_ivfpq" -> ((s, dir) => {       // STORED IVF+PQ index probe,
+      // fully oracle-recomputed: portable IVF coarse lists (md5-ordered
+      // seed centroids, cosine argmax) over portable PQ codes, ADC
+      // ranking restricted to the top-3 probed list directories — the
+      // composition of q_embed_ivf_portable's list math with
+      // q_embed_pq_adc's ADC math, read back from the Hive-partitioned
+      // store (PartitionFilters prune to nprobe/nLists of the codes)
+      import org.apache.spark.sql.expressions.Window
+      val e = tbl(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString + "/idx"
+      Similarity.writeIvfPqIndex(e, idxDir, nLists = 8)
+      Similarity.ivfPqTopK(s, idxDir, q, k = 20, nprobe = 3)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("adc"), col("vec_id"))).cast("long"))
+        .select("vec_id", "rnk").orderBy("rnk")
+    }),
     "q_embed_neardup" -> ((s, dir) =>       // rows-only (random hyperplanes not
       // SQL-able; the oracle-checked banded variant is q_embed_ann_join).
       // threshold sized to the testdata: its embeddings have no true
@@ -1035,6 +1053,27 @@ object SparkEntry {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_postings_").toString + "/idx"
       Postings.writePostingsIndex(tbl(s, dir, "documents"), idxDir, buckets = 32)
       Postings.searchAll(s, idxDir, Seq("scan", "dup")).orderBy("doc_id")
+    }),
+    "q_search_ranked" -> ((s, dir) => {     // PORTABLE ranked retrieval:
+      // disjunctive top-k by integer reciprocal-df weighting — the score
+      // is bit-identical across engines (no log, no doubles, integer sum),
+      // so ranking AND scores are oracle-checked; same stored-index
+      // convention (and the same pruned-probe plan shape) as
+      // q_keyword_search
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_postings_").toString + "/idx"
+      Postings.writePostingsIndex(tbl(s, dir, "documents"), idxDir, buckets = 32)
+      Postings.searchRankedPortable(s, idxDir, Seq("scan", "dup"), k = 50,
+          scale = 1000000000L)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+    "q_search_bm25" -> ((s, dir) => {       // rows-only (BM25's ln + double
+      // accumulation are not cross-engine bit-portable; q_search_ranked is
+      // the oracle-checked ranking sibling over the same index + probe
+      // plumbing, and the spec proves BM25 against a Scala brute force)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_postings_").toString + "/idx"
+      Postings.writePostingsIndex(tbl(s, dir, "documents"), idxDir, buckets = 32)
+      Postings.searchBm25(s, idxDir, Seq("scan", "dup"), k = 20)
+        .select(col("doc_id"))
     }),
     "q_group_quantiles" -> ((s, dir) => {   // EXACT per-group quantiles,
       // scale-safe: histogram + rank selection over the tiny distinct
@@ -1462,6 +1501,42 @@ object SparkEntry {
            |pv AS (SELECT e.vec_id,
            |  $pivots
            |  FROM enc e JOIN qd ON qd.s = e.s AND qd.code = e.code
+           |  GROUP BY e.vec_id),
+           |ranked AS (SELECT vec_id,
+           |  row_number() OVER (ORDER BY $sum, vec_id) AS rnk FROM pv)
+           |SELECT vec_id, rnk FROM ranked WHERE rnk <= 20
+           |ORDER BY rnk""".stripMargin
+      },
+      // stored IVF+PQ probe: q_embed_ivf_portable's coarse-list math
+      // (md5-ordered seed centroids, LIMIT 8; argmax-cosine assignment
+      // ties to lowest cid; top-3 probe lists) composed with
+      // q_embed_pq_adc's ADC pivot, candidates restricted to the probed
+      // lists before ranking
+      "q_embed_ivfpq" -> {
+        val pivots = (0 until 8).map(s =>
+          s"max(CASE WHEN e.s = $s THEN qd.d END) AS d$s").mkString(", ")
+        val sum = (1 until 8).foldLeft("d0")((acc, s) => s"($acc + d$s)")
+        s"""WITH $pqCtes,
+           |iord AS (SELECT vec_id, embedding FROM embeddings
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+           |icents AS (SELECT row_number() OVER
+           |    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           |    embedding AS cv FROM iord),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |iscored AS (SELECT e.vec_id, c.cid,
+           |    list_cosine_similarity(e.embedding, c.cv) AS cs
+           |  FROM embeddings e CROSS JOIN icents c),
+           |assign AS (SELECT vec_id, cid FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cs DESC, cid) AS rn FROM iscored) WHERE rn = 1),
+           |probes AS (SELECT c.cid FROM icents c, q
+           |  ORDER BY list_cosine_similarity(c.cv, qv) DESC, c.cid LIMIT 3),
+           |qd AS (SELECT s, code, d FROM dists WHERE vec_id = 0),
+           |pv AS (SELECT e.vec_id,
+           |  $pivots
+           |  FROM enc e JOIN qd ON qd.s = e.s AND qd.code = e.code
+           |  WHERE e.vec_id IN (SELECT vec_id FROM assign
+           |                     WHERE cid IN (SELECT cid FROM probes))
            |  GROUP BY e.vec_id),
            |ranked AS (SELECT vec_id,
            |  row_number() OVER (ORDER BY $sum, vec_id) AS rnk FROM pv)
@@ -2239,6 +2314,19 @@ object SparkEntry {
           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total FROM p
           |GROUP BY doc_id HAVING count(DISTINCT word) = 2
           |ORDER BY doc_id""".stripMargin,
+      // portable ranked retrieval: reciprocal-df weights in pure integer
+      // arithmetic (scale // df truncates identically in both engines for
+      // positive values; the score sum is an integer — no accumulation-
+      // order hazard), ties on doc_id
+      "q_search_ranked" ->
+        """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          |             t -> length(t) > 0)) AS word FROM documents),
+          |p AS (SELECT doc_id, word, count(*) AS tf FROM w
+          |      WHERE word IN ('scan', 'dup') GROUP BY doc_id, word),
+          |d AS (SELECT word, count(*) AS df FROM p GROUP BY word)
+          |SELECT p.doc_id, CAST(sum(p.tf * (1000000000 // d.df)) AS BIGINT) AS score
+          |FROM p JOIN d USING (word) GROUP BY p.doc_id
+          |ORDER BY score DESC, p.doc_id LIMIT 50""".stripMargin,
       // exact lower quantiles: identical histogram + integer rank
       // selection (ceil via (n*q+9999)//10000) — bit-equal by construction
       "q_group_quantiles" ->

@@ -14,7 +14,14 @@ private[operators] object IndexMeta {
   def exists(spark: SparkSession, p: Path): Boolean =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
 
-  def write(spark: SparkSession, p: Path, kv: Seq[(String, Int)]): Unit = {
+  def write(spark: SparkSession, p: Path, kv: Seq[(String, Int)]): Unit =
+    writeL(spark, p, kv.map { case (k, v) => k -> v.toLong })
+
+  /** Long-valued twin of [[write]] for corpus-scale counters (doc counts,
+    * token totals) that outgrow Int; same file format, same authority
+    * contract. A separate name because Seq's erasure forbids a true
+    * overload. */
+  def writeL(spark: SparkSession, p: Path, kv: Seq[(String, Long)]): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(
@@ -26,7 +33,12 @@ private[operators] object IndexMeta {
   /** Read `keys` (all required); `what` names the sidecar and `store` the
     * builder in the failure messages. */
   def read(spark: SparkSession, p: Path, what: String, store: String,
-           keys: Seq[String]): Seq[Int] = {
+           keys: Seq[String]): Seq[Int] =
+    readL(spark, p, what, store, keys).map(_.toInt)
+
+  /** Long-valued twin of [[read]] (see [[writeL]]). */
+  def readL(spark: SparkSession, p: Path, what: String, store: String,
+            keys: Seq[String]): Seq[Long] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no $what at $p — not a $store store")
     val in = fs.open(p)
@@ -35,7 +47,7 @@ private[operators] object IndexMeta {
     keys.map { k =>
       s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s)
         .getOrElse(throw new IllegalStateException(s"corrupt $what: $s"))
-        .group(1).toInt
+        .group(1).toLong
     }
   }
 }

@@ -189,14 +189,7 @@ object Similarity {
     * becomes PartitionFilters — a directory-pruned scan. */
   def ivfTopK(assigned: DataFrame, centroids: Array[Array[Float]],
               query: Array[Float], k: Int, nprobe: Int): DataFrame = {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      val len = math.min(a.length, b.length)
-      var i = 0
-      while (i < len) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
-    }
-    val lists = centroids.indices.sortBy(i => -cos(centroids(i), query)).take(nprobe)
+    val lists = centroids.indices.sortBy(i => -cosD(centroids(i), query)).take(nprobe)
     bruteForceTopK(assigned.where(col("list_id").isin(lists: _*)), query, k)
   }
 
@@ -275,6 +268,102 @@ object Similarity {
     codes.select(col("vec_id"), adc.as("adc"))
       .orderBy(col("adc"), col("vec_id"))
       .limit(k)
+  }
+
+  // ---- stored IVF+PQ index ---------------------------------------------------
+
+  /**
+   * Persist the COMPOSED scale-path ANN index: portable IVF coarse lists
+   * (directory pruning) over portable PQ codes (memory-bound storage) —
+   * the stored table holds ONLY `(vec_id, code_0..code_{m-1})`
+   * Hive-partitioned on `list_id`, never the raw float vectors: at 100 TB
+   * the raw embeddings stay wherever they live, while this index is
+   * ~m bytes/vector and a probe reads `nprobe / nLists` of it as a
+   * directory-pruned code-column scan ([[ivfPqTopK]]). Centroids and
+   * codebooks ride in a `_ivfpq_meta.json` sidecar (driver-small), so
+   * probes always use the writer's own parameters — the IndexMeta
+   * convention. Both builds are the PORTABLE recipes (md5-ordered seed
+   * selection, double argmin/argmax, first-win ties), so the entire
+   * index + probe is recomputable cross-engine from the embeddings table
+   * (gate q_embed_ivfpq).
+   */
+  def writeIvfPqIndex(embs: DataFrame, path: String, nLists: Int = 8,
+                      m: Int = 8, ksub: Int = 16, dim: Int = 64): Unit = {
+    require(nLists >= 1, "nLists must be >= 1")
+    val (assigned, cents) = ivfBuildPortable(embs, nLists)
+    // codebooks only — the (lazy, unused) full-table encode is never run
+    val (_, cbs) = pqBuildPortable(embs, m, ksub, dim)
+    pqEncode(assigned, cbs)
+      .select((col("vec_id") +: (0 until m).map(s => col(s"code_$s"))) :+
+        col("list_id"): _*)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val json = "{\"centroids\":" +
+      cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]") +
+      ",\"codebooks\":" +
+      cbs.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+        .mkString("[", ",", "]") + "}"
+    val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
+    val fs = p.getFileSystem(embs.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Read back a stored IVF+PQ index: (codes, centroids, codebooks). */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _ivfpq_meta.json at $path — not a writeIvfPqIndex store")
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def floats(v: JValue): Array[Float] = v match {
+      case JArray(vs) => vs.map {
+        case JDouble(d) => d.toFloat
+        case JInt(i) => i.toFloat
+        case x => throw new IllegalArgumentException(s"bad float $x")
+      }.toArray
+      case x => throw new IllegalArgumentException(s"bad float list $x")
+    }
+    val root = JsonMethods.parse(json)
+    val cents = root \ "centroids" match {
+      case JArray(cs) => cs.map(floats).toArray
+      case x => throw new IllegalArgumentException(s"bad centroids $x")
+    }
+    val cbs = root \ "codebooks" match {
+      case JArray(ss) => ss.map {
+        case JArray(cs) => cs.map(floats).toArray
+        case x => throw new IllegalArgumentException(s"bad codebook $x")
+      }.toArray
+      case x => throw new IllegalArgumentException(s"bad codebooks $x")
+    }
+    (spark.read.parquet(path), cents, cbs)
+  }
+
+  /** Probe a stored IVF+PQ index: rank centroids by query cosine on the
+    * driver, read ONLY the top-`nprobe` list directories (the literal
+    * `list_id IN` lands as PartitionFilters), ADC-rank their codes via
+    * the sidecar codebooks — [[pqTopK]]'s scan over `nprobe / nLists` of
+    * an already-m-bytes-per-vector table. Approximate on two axes
+    * (list pruning x PQ distance), both bounded by parameters the
+    * sidecar pins. */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val (codes, cents, cbs) = readIvfPqIndex(spark, path)
+    val lists = cents.indices.sortBy(i => -cosD(cents(i), query)).take(nprobe)
+    pqTopK(codes.where(col("list_id").isin(lists: _*)), cbs, query, k)
+  }
+
+  /** Driver-side double cosine (the [[ivfTopK]] centroid-ranking basis). */
+  private def cosD(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val len = math.min(a.length, b.length)
+    var i = 0
+    while (i < len) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
   }
 
   /** Axis-sign LSH signature for band `t`: bit j = sign(embedding[t*bits+j])

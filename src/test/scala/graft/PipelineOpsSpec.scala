@@ -505,6 +505,58 @@ class PipelineOpsSpec extends SparkFunSuite {
       s"stored IVF probe is not directory-pruned:\n$plan")
   }
 
+  test("stored IVF+PQ index: codes round-trip the portable build; pruned " +
+       "probe == in-memory PQ rank over the probed lists; full-probe == pqTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString + "/idx"
+    Similarity.writeIvfPqIndex(embs, dir, nLists = 8)
+    val (codes, cents, cbs) = Similarity.readIvfPqIndex(spark, dir)
+    // the stored table holds ONLY vec_id + codes + list_id — no floats
+    assert(codes.columns.sorted.toSeq ===
+      (Seq("vec_id", "list_id") ++ (0 until 8).map(i => s"code_$i")).sorted)
+    // codes are exactly the portable encode of the portable assignment
+    val (assigned, cents0) = Similarity.ivfBuildPortable(embs, nLists = 8)
+    cents.indices.foreach(i =>
+      assert(java.util.Arrays.equals(cents(i), cents0(i)), s"centroid $i"))
+    val (_, cbs0) = Similarity.pqBuildPortable(embs)
+    cbs0.indices.foreach(s => cbs0(s).indices.foreach(c =>
+      assert(java.util.Arrays.equals(cbs(s)(c), cbs0(s)(c)), s"codeword $s/$c")))
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select((col("vec_id") +: (0 until 8).map(i => col(s"code_$i"))): _*)
+      .collect().map(r => (0 to 8).map(r.getAs[Number](_).longValue)).toSet
+    assert(dump(codes) === dump(Similarity.pqEncode(assigned, cbs0)))
+    // pruned probe: identical to ADC over the manually-probed lists, and
+    // with nprobe = nLists identical to the full pqTopK
+    val q = randVec(424242)
+    val out = Similarity.ivfPqTopK(spark, dir, q, k = 10, nprobe = 3)
+    val expectLists = cents0.indices
+      .sortBy(i => -{ // the probe's own centroid-ranking basis
+        val c = cents0(i)
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        c.indices.foreach { j => d += c(j) * q(j); na += c(j) * c(j); nb += q(j) * q(j) }
+        d / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
+      }).take(3)
+    val mem = Similarity.pqTopK(
+        Similarity.pqEncode(assigned, cbs0)
+          .where(col("list_id").isin(expectLists: _*)), cbs0, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.collect().map(_.getLong(0)).toSeq === mem)
+    val full = Similarity.ivfPqTopK(spark, dir, q, k = 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val pq = Similarity.pqTopK(Similarity.pqEncode(embs, cbs0), cbs0, q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === pq, "nprobe=nLists probe diverged from unpartitioned pqTopK")
+    // the literal list_id isin must reach the scan as a partition filter
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(plan).isDefined,
+      s"stored IVF+PQ probe is not directory-pruned:\n$plan")
+    // a plain parquet dir without the sidecar is refused
+    val plain = java.nio.file.Files.createTempDirectory("graft_ivfpq_np_").toString + "/p"
+    embs.write.parquet(plain)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(spark, plain, q, 5, 2)
+    }
+  }
+
   test("axisTopK (oracle-checkable probe): finds self and planted partner; recall vs brute") {
     val q = vecRows.find(_._1 == 3L).get._2
     val brute = Similarity.bruteForceTopK(embs, q, 10).collect().map(_.getLong(0)).toSet

@@ -151,6 +151,81 @@ class PostingsSpec extends SparkFunSuite {
     assert(hits === want)
   }
 
+  test("index stats: exact corpus counters at build, advanced by appends, " +
+       "resynchronized by compact after a replayed append") {
+    // base fixture: dls are 4,3,4,2,0 -> n_docs 5, total_len 13
+    assert(Postings.indexStats(spark, dir) === ((8, 5L, 13L)))
+    val d = Files.createTempDirectory("graft_postings_st_").toString + "/idx"
+    Postings.writePostingsIndex(docs.where(col("doc_id") <= 2L), d, buckets = 4)
+    assert(Postings.indexStats(spark, d) === ((4, 2L, 7L)))
+    val late = docs.where(col("doc_id") === 3L)
+    Postings.appendToPostingsIndex(late, d)
+    assert(Postings.indexStats(spark, d) === ((4, 3L, 11L)))
+    Postings.appendToPostingsIndex(late, d)   // the replay: counters inflate
+    assert(Postings.indexStats(spark, d) === ((4, 4L, 15L)))
+    Postings.compactPostingsIndex(spark, d)   // ...and compaction resyncs
+    assert(Postings.indexStats(spark, d) === ((4, 3L, 11L)))
+  }
+
+  test("searchRankedPortable: integer reciprocal-df ranking matches the " +
+       "naive oracle, ties break on doc_id, k truncates") {
+    // df(alpha)=2 (docs 1,3), df(delta)=1 (doc 2); S=1000000:
+    // doc1: tf 2 * (S/2) = S; doc2: tf 1 * S = S; doc3: tf 1 * (S/2)
+    val out = Postings.searchRankedPortable(spark, dir,
+        Seq("alpha", "delta"), k = 10, scale = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1000000L), (2L, 1000000L), (3L, 500000L)))
+    val top1 = Postings.searchRankedPortable(spark, dir,
+        Seq("alpha", "delta"), k = 1, scale = 1000000L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 === Seq(1L))
+    // duplicate query terms must not double-weight
+    val dup = Postings.searchRankedPortable(spark, dir,
+        Seq("alpha", "alpha", "delta"), k = 10, scale = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dup.toSeq === out.toSeq)
+  }
+
+  test("searchBm25: matches a brute-force oracle computed from the corpus; " +
+       "doclen read is directory-pruned") {
+    val terms = Seq("alpha", "beta")
+    val out = Postings.searchBm25(spark, dir, terms, k = 10)
+    val got = out.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // brute-force BM25 over the fixture corpus
+    val corpus = Map(
+      1L -> Seq("alpha", "beta", "gamma", "alpha"),
+      2L -> Seq("beta", "gamma", "delta"),
+      3L -> Seq("alpha", "beta", "beta", "beta"),
+      4L -> Seq("epsilon", "zeta"),
+      5L -> Seq.empty[String])
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    val (k1, b) = (1.2, 0.75)
+    def dfOf(t: String) = corpus.values.count(_.contains(t))
+    val expect = corpus.flatMap { case (id, ws) =>
+      val s = terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) 0.0 else {
+          val df = dfOf(t)
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * ws.size / avgdl))
+        }
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
+    val expOrder = expect.toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(got.map(_._1).toSeq === expOrder.map(_._1))
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expect(id)) < 1e-9, s"doc $id score $s vs ${expect(id)}")
+    }
+    // the doclen side read must be directory-pruned on d_b
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*d_b".r.findFirstIn(plan).isDefined,
+      s"doclen read is not directory-pruned:\n$plan")
+    // absent terms alone -> empty result, not a failure
+    assert(Postings.searchBm25(spark, dir, Seq("nosuchword"), 5).count() === 0)
+  }
+
   test("rebuild overwrites: a shrunk corpus leaves no stale postings") {
     val d = Files.createTempDirectory("graft_postings_rw_").toString + "/idx"
     Postings.writePostingsIndex(docs, d, buckets = 4)
