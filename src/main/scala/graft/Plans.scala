@@ -256,6 +256,39 @@ object Plans {
           "CAST(50 + id % 400 AS LONG) AS n_chars")
         fmt(Sampling.tokenBudgetMix(docs, "doc_id", col("n_chars"),
           col("src"), Map("s0" -> 100000L, "s1" -> 1000000000L), salt = "p"))
+      },
+      "sequence packing (expect: the raw-docs side carries NO global " +
+        "window — the bucket token histogram aggregates partial+final, its " +
+        "cumulative window sorts a <=10k-row frame, bucket base offsets " +
+        "come back as a BroadcastHashJoin, and the per-doc running sum is " +
+        "a window PARTITIONED by the 10k buckets, so no single reducer " +
+        "ever sees more than ~1/10000 of the corpus)" -> {
+        val docs = spark.range(200000).selectExpr("id AS doc_id",
+          "CAST(50 + id % 400 AS LONG) AS n_tok")
+        fmt(Sampling.packSequences(docs, "doc_id", col("n_tok"), 2048L, "p"))
+      },
+      "resample + LOCF (expect: ONE partial+final hash aggregate builds " +
+        "the (key, bucket) maxima; the gap grid is a Generate over each " +
+        "key's own span — never a global calendar; the forward-fill " +
+        "window partitions BY KEY, so reducer load is one key's grid)" -> {
+        val obs = spark.range(200000).selectExpr(
+          "CAST(id % 500 AS LONG) AS k", "CAST(id * 37 % 100000 AS LONG) AS t",
+          "CAST(id % 1000 AS LONG) AS v")
+        fmt(Temporal.resampleLocf(obs, Seq("k"), col("t"), col("v"), 100L))
+      },
+      "rectangle-overlap join (expect: SortMergeJoin/ShuffledHashJoin on " +
+        "the coarse cell keys (_cx, _cy) — candidates are an EQUI-join, " +
+        "never a cartesian; the exact intersection predicate and the " +
+        "min-corner emit-once filter run post-join inside WSCG)" -> {
+        val lrect = spark.range(100000).selectExpr("id AS l_id",
+          "CAST(id % 1000 AS LONG) AS l_x1", "CAST((id / 1000) % 1000 AS LONG) AS l_y1",
+          "CAST(id % 1000 + id % 13 AS LONG) AS l_x2",
+          "CAST((id / 1000) % 1000 + id % 17 AS LONG) AS l_y2")
+        val rrect = spark.range(100000).selectExpr("id AS r_id",
+          "CAST(id % 997 AS LONG) AS r_x1", "CAST((id / 997) % 997 AS LONG) AS r_y1",
+          "CAST(id % 997 + id % 11 AS LONG) AS r_x2",
+          "CAST((id / 997) % 997 + id % 19 AS LONG) AS r_y2")
+        fmt(SpatialJoin.rectJoin(lrect, rrect, cellSize = 64))
       })
 
     val md = new StringBuilder("# PLANS — physical-plan evidence\n\n")

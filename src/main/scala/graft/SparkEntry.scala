@@ -267,6 +267,23 @@ object SparkEntry {
       SpatialJoin.distanceJoin(a, bPts, 5000.0)
         .select("a_id", "b_id").orderBy("a_id", "b_id")
     }),
+    "q_rect_join" -> ((s, dir) => {         // rectangle-overlap join: two
+      // rect sets derived from events, coarse-cell equi-join candidates,
+      // exact closed-interval intersection + area, arithmetic emit-once
+      // (min-corner cell) — never a cross join, never a dropDuplicates
+      val ev = tbl(s, dir, "events")
+      def rect(p: String, m: Int, r: Int) = ev
+        .where(pmod(col("event_id"), lit(m)) === r)
+        .select(col("event_id").as(s"${p}_id"),
+          pmod(col("event_id"), lit(1000)).as(s"${p}_x1"),
+          pmod(expr("event_id DIV 1000"), lit(1000)).as(s"${p}_y1"),
+          (pmod(col("event_id"), lit(1000)) +
+            pmod(col("event_id"), lit(13))).as(s"${p}_x2"),
+          (pmod(expr("event_id DIV 1000"), lit(1000)) +
+            pmod(col("event_id"), lit(17))).as(s"${p}_y2"))
+      SpatialJoin.rectJoin(rect("l", 7, 0), rect("r", 5, 3), cellSize = 64)
+        .select("l_id", "r_id", "ov_area").orderBy("l_id", "r_id")
+    }),
     // ---- planet extract end-to-end (J1∘J2∘J3 + J4/J5/J6 over derived
     //      planet tables: nodes from events, ways = runs of 5 consecutive
     //      nodes, relations anchored at their first (node) member) ---------
@@ -552,6 +569,14 @@ object SparkEntry {
       Sampling.shardAssign(tbl(s, dir, "documents"), "doc_id",
           shardSize = 100L, salt = "sh")
         .select("doc_id", "rnk", "shard").orderBy("doc_id")),
+    "q_pack_sequences" -> ((s, dir) =>      // concat-and-chunk sequence
+      // packing: exact global token offset in the md5-shuffled order +
+      // the context windows each doc straddles; two-pass bucket cumsum
+      // (the only full-width window sorts the 10k-row bucket histogram)
+      Sampling.packSequences(tbl(s, dir, "documents"), "doc_id",
+          col("n_chars"), windowLen = 2048L, salt = "pk")
+        .select("doc_id", "tok_off", "win_start", "win_end", "win_off",
+          "n_wins").orderBy("doc_id")),
     "q_budget_mix" -> ((s, dir) => {        // budget-capped mixing: per
       // source keep docs in hash order until the source's n_chars budget
       // is spent (mixing by absolute volume; src1 unlimited, src2 zero,
@@ -973,6 +998,19 @@ object SparkEntry {
         .select("probe_id", "k", "t", "session_start")
         .orderBy("probe_id")
     }),
+    "q_resample_locf" -> ((s, dir) => {     // time-series resample to a
+      // daily grid + forward fill: per-(user, day) max, gap buckets filled
+      // with the latest earlier value. ONE partial+final hash agg builds
+      // the bucket maxima; the gap explode is bounded by each key's own
+      // span; the LOCF window partitions by key
+      val ev = tbl(s, dir, "events")
+      Temporal.resampleLocf(
+          ev.select(col("user_id").as("k"),
+            unix_micros(col("ts").cast("timestamp")).as("t"),
+            round(col("value") * 100).cast("long").as("cents")),
+          Seq("k"), col("t"), col("cents"), 86400000000L)
+        .select("k", "b", "v_ff").orderBy("k", "b")
+    }),
     "q_jsonl_roundtrip" -> ((s, dir) => {   // JSONL interchange: parquet
       // -> jsonl (one object per line) -> schema-pinned FAILFAST read;
       // the oracle reads the ORIGINAL parquet, so the gate proves
@@ -1362,6 +1400,27 @@ object SparkEntry {
            |  FROM scored)
            |SELECT qid, id, rnk FROM ranked WHERE rnk <= 10
            |ORDER BY qid, rnk""".stripMargin,
+      // rect-overlap join: the naive formulation — range-predicate join
+      // (DuckDB IEJoin) over the same derived rect sets + closed-interval
+      // intersection area
+      "q_rect_join" ->
+        """WITH l AS (SELECT event_id AS l_id,
+          |  event_id % 1000 AS l_x1, (event_id // 1000) % 1000 AS l_y1,
+          |  event_id % 1000 + event_id % 13 AS l_x2,
+          |  (event_id // 1000) % 1000 + event_id % 17 AS l_y2
+          |  FROM events WHERE event_id % 7 = 0),
+          |r AS (SELECT event_id AS r_id,
+          |  event_id % 1000 AS r_x1, (event_id // 1000) % 1000 AS r_y1,
+          |  event_id % 1000 + event_id % 13 AS r_x2,
+          |  (event_id // 1000) % 1000 + event_id % 17 AS r_y2
+          |  FROM events WHERE event_id % 5 = 3)
+          |SELECT l_id, r_id,
+          |  CAST((least(l_x2, r_x2) - greatest(l_x1, r_x1) + 1) *
+          |       (least(l_y2, r_y2) - greatest(l_y1, r_y1) + 1) AS BIGINT)
+          |    AS ov_area
+          |FROM l JOIN r ON l_x1 <= r_x2 AND r_x1 <= l_x2
+          |             AND l_y1 <= r_y2 AND r_y1 <= l_y2
+          |ORDER BY l_id, r_id""".stripMargin,
       "q_spatial_join" -> {
         val band = 5000.0 / 111319.49079327358 * 1.001   // lat prefilter band
         s"""WITH pts AS ($eventPointsSql),
@@ -1696,6 +1755,24 @@ object SparkEntry {
           |    OVER (ORDER BY bkt, h, doc_id) AS BIGINT) AS rnk FROM b)
           |SELECT doc_id, rnk, (rnk - 1) // 100 AS shard
           |FROM r ORDER BY doc_id""".stripMargin,
+      // sequence packing: the naive formulation — ONE global running sum
+      // over the md5-shuffled order; window ids by integer division
+      "q_pack_sequences" ->
+        """WITH b AS (SELECT doc_id, n_chars,
+          |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pk'),
+          |    1, 15) AS BIGINT) % 10000 AS bkt,
+          |  md5(CAST(doc_id AS VARCHAR) || 'pk') AS h
+          |  FROM documents WHERE n_chars > 0),
+          |o AS (SELECT doc_id, n_chars, CAST(coalesce(SUM(n_chars)
+          |    OVER (ORDER BY bkt, h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    AS BIGINT) AS tok_off FROM b)
+          |SELECT doc_id, tok_off,
+          |  tok_off // 2048 AS win_start,
+          |  (tok_off + n_chars - 1) // 2048 AS win_end,
+          |  tok_off % 2048 AS win_off,
+          |  (tok_off + n_chars - 1) // 2048 - tok_off // 2048 + 1 AS n_wins
+          |FROM o ORDER BY doc_id""".stripMargin,
       // budget-capped mixing: the naive formulation of the same selection
       // — global per-source running sum in hash order, keep while <= budget
       "q_budget_mix" ->
@@ -2226,6 +2303,21 @@ object SparkEntry {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |    AS session_start
            |FROM y ORDER BY probe_id""".stripMargin,
+      // resample + LOCF: the naive formulation — per-(key, day) max,
+      // dense grid via generate_series (END-INCLUSIVE, unlike range()),
+      // forward fill with IGNORE NULLS last_value
+      "q_resample_locf" ->
+        """WITH e AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS b,
+          |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+          |m AS (SELECT k, b, max(v) AS mv FROM e GROUP BY 1, 2),
+          |r AS (SELECT k, min(b) AS b0, max(b) AS b1 FROM m GROUP BY 1),
+          |g AS (SELECT k, unnest(generate_series(b0, b1)) AS b FROM r),
+          |j AS (SELECT g.k, g.b, m.mv FROM g
+          |      LEFT JOIN m ON g.k = m.k AND g.b = m.b)
+          |SELECT k, b, last_value(mv IGNORE NULLS) OVER (PARTITION BY k
+          |    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |  AS v_ff
+          |FROM j ORDER BY k, b""".stripMargin,
       // jsonl round trip: the oracle never sees the jsonl — it reads the
       // original parquet, so any export/parse infidelity hash-mismatches
       "q_jsonl_roundtrip" ->

@@ -213,6 +213,55 @@ object Sampling {
       .drop("_bkt", "_base", "_wrn")
   }
 
+  /** Deterministic sequence PACKING — the "concatenate the shuffled corpus
+    * and split it at fixed context-window boundaries" step of LLM training
+    * data prep (GPT-style concat-and-chunk). Every doc gets its exact
+    * global token offset in the md5-shuffled order; the context windows it
+    * occupies follow arithmetically:
+    *   tok_off   = sum of token counts of all docs before it,
+    *   win_start = tok_off DIV windowLen,
+    *   win_end   = (tok_off + tokens - 1) DIV windowLen,
+    *   win_off   = tok_off % windowLen (position inside its first window),
+    *   n_wins    = windows the doc straddles.
+    * A pure function of the id set: re-runs reproduce the layout, and the
+    * oracle replays it as one naive global running sum.
+    *
+    * Scale shape (the shardAssign two-pass recipe): pass 1 aggregates
+    * per-bucket token totals (a 10k-row frame; its cumulative window is
+    * the only full-width sort), pass 2 broadcasts each bucket's base
+    * offset and runs the running sum WITHIN its bucket — parallelism
+    * scales with the data instead of collapsing into one reducer. Rows
+    * with a NULL id or a non-positive token count are dropped (no
+    * deterministic identity / no trainable content to place). */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: Column,
+                    windowLen: Long, salt: String = ""): DataFrame = {
+    require(windowLen > 0, "windowLen must be positive")
+    val scratch = Seq("_bkt", "_tk", "_t", "_base", "_bcum")
+    val outCols = Seq("tok_off", "win_start", "win_end", "win_off", "n_wins")
+    require(!docs.columns.exists(c => scratch.contains(c) || outCols.contains(c)),
+      "input must not contain output or internal scratch columns")
+    val tagged = docs.where(col(idCol).isNotNull)
+      .withColumn("_tk", tokenCol.cast("long"))
+      .where(col("_tk") > 0)
+      .withColumn("_bkt", hashBucket(col(idCol), salt))
+    val hist = tagged.groupBy("_bkt").agg(sum("_tk").as("_t"))
+    val base = coalesce(sum("_t").over(Window.orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val bases = hist.withColumn("_base", base).select("_bkt", "_base")
+    tagged.join(broadcast(bases), Seq("_bkt"))
+      .withColumn("_bcum", coalesce(sum("_tk").over(Window.partitionBy("_bkt")
+        .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tok_off", col("_base") + col("_bcum"))
+      // integer DIV on the positive quadrant: truncation parity with the
+      // oracle's `//` is exact by construction (_tk > 0, tok_off >= 0)
+      .withColumn("win_start", expr(s"tok_off DIV ${windowLen}L"))
+      .withColumn("win_end", expr(s"(tok_off + _tk - 1) DIV ${windowLen}L"))
+      .withColumn("win_off", pmod(col("tok_off"), lit(windowLen)))
+      .withColumn("n_wins", col("win_end") - col("win_start") + lit(1L))
+      .drop("_bkt", "_tk", "_base", "_bcum")
+  }
+
   /** Stratified deterministic sampling — the data-mixing primitive: each
     * stratum keeps its own rate (e.g. {web -> 0.1, books -> 1.0}). Rows in
     * strata absent from `rates` are DROPPED (explicit mixing weights only;

@@ -84,4 +84,78 @@ object SpatialJoin {
       .withColumn("dist_m", sqrt(dx * dx + dy * dy) * lit(CellIndex.MetersPerDegree))
       .where(col("dist_m") <= radiusMeters)
   }
+
+  /**
+   * Rectangle-overlap join in integer bin space: all pairs (l, r) whose
+   * closed rectangles [x1,x2]x[y1,y2] intersect, with the exact overlap
+   * area — the bbox-vs-bbox analogue of the reference's bbox-vs-point grid
+   * binning (vex.c bin scan), generalized to two rectangle SETS.
+   *
+   * Shape: each rectangle explodes into the coarse grid cells it covers
+   * (cellSize bins per cell axis — a rect of width w covers at most
+   * w/cellSize + 1 cells per axis, bounded and data-independent); the
+   * candidate join is a plain equi-join on the packed cell key (AQE/skew
+   * handling applies); exact rect-intersection predicate filters. Pairs
+   * that share several cells are emitted ONCE by arithmetic, not by a
+   * dropDuplicates shuffle: a pair is kept only in the cell containing the
+   * intersection's min corner (which both rects provably cover).
+   *
+   * Rects covering more than `maxCellsPerRect` cells (rare planet-sized
+   * giants) skip the explode and broadcast instead (the intervalJoin
+   * rare-giant recipe, two-sided): giant-left pairs against ALL of right,
+   * small-left pairs against giant-right — the three branches partition
+   * the pair space, so nothing is emitted twice.
+   *
+   * Inputs: left needs integer columns l_x1 <= l_x2, l_y1 <= l_y2 (and any
+   * payload); right needs r_x1..r_y2. Coordinates must be non-negative
+   * (positive-quadrant truncation parity with SQL oracles). Output: all
+   * input columns + `ov_area` (bins in the closed intersection).
+   */
+  def rectJoin(left: DataFrame, right: DataFrame, cellSize: Int = 64,
+               maxCellsPerRect: Long = 4096L): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    require(maxCellsPerRect > 0, "maxCellsPerRect must be positive")
+    def cellsOf(p: String): Column =
+      (floor(col(s"${p}_x2") / cellSize) - floor(col(s"${p}_x1") / cellSize) + 1) *
+      (floor(col(s"${p}_y2") / cellSize) - floor(col(s"${p}_y1") / cellSize) + 1)
+    val overlap =
+      col("l_x1") <= col("r_x2") && col("r_x1") <= col("l_x2") &&
+      col("l_y1") <= col("r_y2") && col("r_y1") <= col("l_y2")
+    val mx = greatest(col("l_x1"), col("r_x1"))
+    val my = greatest(col("l_y1"), col("r_y1"))
+    def withArea(df: DataFrame): DataFrame = df.withColumn("ov_area",
+      (least(col("l_x2"), col("r_x2")) - mx + lit(1)).cast("long") *
+      (least(col("l_y2"), col("r_y2")) - my + lit(1)).cast("long"))
+    val lSmall = left.where(cellsOf("l") <= maxCellsPerRect)
+    val rSmall = right.where(cellsOf("r") <= maxCellsPerRect)
+    val l = lSmall
+      .withColumn("_cx", explode(sequence(
+        floor(col("l_x1") / cellSize).cast("long"),
+        floor(col("l_x2") / cellSize).cast("long"))))
+      .withColumn("_cy", explode(sequence(
+        floor(col("l_y1") / cellSize).cast("long"),
+        floor(col("l_y2") / cellSize).cast("long"))))
+    val r = rSmall
+      .withColumn("_cx", explode(sequence(
+        floor(col("r_x1") / cellSize).cast("long"),
+        floor(col("r_x2") / cellSize).cast("long"))))
+      .withColumn("_cy", explode(sequence(
+        floor(col("r_y1") / cellSize).cast("long"),
+        floor(col("r_y2") / cellSize).cast("long"))))
+    val main = l.join(r, Seq("_cx", "_cy"))
+      // exact closed-interval intersection
+      .where(overlap)
+      // emit-once: only the cell holding the intersection's min corner
+      .where(col("_cx") === floor(mx / cellSize).cast("long") &&
+             col("_cy") === floor(my / cellSize).cast("long"))
+      .drop("_cx", "_cy")
+    // rare giants: no explode — broadcast the giant side against the
+    // other side's raw rows (giant-left covers giant-giant, so the
+    // small-left x giant-right branch completes the partition)
+    val g1 = broadcast(left.where(cellsOf("l") > maxCellsPerRect))
+      .join(right, overlap)
+    val g2 = lSmall.join(
+      broadcast(right.where(cellsOf("r") > maxCellsPerRect)), overlap)
+    withArea(main).unionByName(withArea(g1)).unionByName(withArea(g2))
+  }
 }

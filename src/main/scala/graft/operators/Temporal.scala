@@ -299,4 +299,52 @@ object Temporal {
       .where(cond)
     bucketed.unionByName(giants)
   }
+
+  /** Time-series RESAMPLE + forward fill (last observation carried
+    * forward): per key, aggregate observations into fixed `stepMicros`
+    * buckets (bucket value = MAX over the bucket — deterministic under
+    * duplicate timestamps), emit every bucket from the key's first to its
+    * last observation, and fill empty buckets with the most recent earlier
+    * bucket's value. The regular-grid feature-table step of a time-series
+    * training pipeline.
+    *
+    * Output: (key columns, `b` bucket index, `v_ff` filled value). The
+    * first bucket per key always has an observation, so `v_ff` is never
+    * NULL.
+    *
+    * Scale shape: one partial+final hash aggregate builds the per-(key,
+    * bucket) maxima; the gap explode is a bounded `sequence` over the
+    * key's own bucket span; the LOCF window partitions BY KEY — reducer
+    * load is one key's grid, which for real per-entity series is bounded
+    * by timespan/step, never by corpus size. Keys whose grid would exceed
+    * `maxSpanBuckets` fail loudly rather than exploding silently. */
+  def resampleLocf(df: DataFrame, keys: Seq[String], tsMicros: Column,
+                   value: Column, stepMicros: Long,
+                   maxSpanBuckets: Long = 1000000L): DataFrame = {
+    require(stepMicros > 0, "stepMicros must be positive")
+    require(keys.nonEmpty, "at least one key column")
+    reserved(df, "resampleLocf")
+    require(!df.columns.exists(Seq("b", "v_ff").contains),
+      "input must not contain output columns b/v_ff")
+    val kc = keys.map(col)
+    val obs = df
+      .withColumn("_v", value.cast("long"))
+      .withColumn("b", bucketCol(tsMicros, stepMicros))
+    val perBucket = obs.groupBy(kc :+ col("b"): _*).agg(max("_v").as("_bv"))
+    // the span guard lives INSIDE the sequence bound (a free-standing
+    // guard column would be pruned away as unused by Catalyst)
+    val hi = when(col("_b1") - col("_b0") >= maxSpanBuckets,
+      raise_error(concat(lit("resampleLocf: key grid exceeds "),
+        lit(maxSpanBuckets), lit(" buckets"))).cast("long"))
+      .otherwise(col("_b1"))
+    val span = perBucket.groupBy(kc: _*)
+      .agg(min("b").as("_b0"), max("b").as("_b1"))
+      .withColumn("b", explode(sequence(col("_b0"), hi)))
+      .drop("_b0", "_b1")
+    span.join(perBucket, keys :+ "b", "left")
+      .withColumn("v_ff", last("_bv", ignoreNulls = true).over(
+        Window.partitionBy(kc: _*).orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_bv")
+  }
 }

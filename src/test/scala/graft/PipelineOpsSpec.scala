@@ -376,6 +376,54 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(outH.forall { case (id, r) => expectH(id) == r })
   }
 
+  test("packSequences: offsets are the exact global running sum in the " +
+       "md5-shuffle order; window arithmetic; drops and collisions refused") {
+    val docs = (0L until 5000L).map(i => (i, 1L + i % 37)).toDF("id", "tk")
+    val out = Sampling.packSequences(docs, "id", col("tk"), 64L, salt = "pk")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("tok_off"),
+        r.getAs[Long]("win_start"), r.getAs[Long]("win_end"),
+        r.getAs[Long]("win_off"), r.getAs[Long]("n_wins"))).sortBy(_._1)
+    assert(out.length === 5000)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // naive oracle: one global (bucket, md5, id) sort + running sum
+    val ordered = (0L until 5000L).sortBy { i =>
+      val h = md5hex(i.toString + "pk")
+      (java.lang.Long.parseLong(h.take(15), 16) % 10000, h, i)
+    }
+    val offs = ordered.scanLeft(0L)((acc, i) => acc + (1L + i % 37))
+      .zip(ordered).map { case (off, i) => i -> off }.toMap
+    assert(out.forall { case (id, off, _, _, _, _) => offs(id) == off },
+      "tok_off != naive global running sum")
+    assert(out.forall { case (id, off, ws, we, wo, nw) =>
+      val tk = 1L + id % 37
+      ws == off / 64 && we == (off + tk - 1) / 64 &&
+        wo == off % 64 && nw == we - ws + 1
+    }, "window arithmetic broken")
+    // the packing is gap-free: total tokens == last doc's end offset
+    val total = (0L until 5000L).map(i => 1L + i % 37).sum
+    assert(out.map { case (id, off, _, _, _, _) => off + (1L + id % 37) }.max == total)
+    // NULL ids and non-positive token counts drop BEFORE the census
+    val holed = docs
+      .withColumn("id", when(col("id") === 7L, lit(null)).otherwise(col("id")))
+      .withColumn("tk", when(col("id") === 11L, lit(0L)).otherwise(col("tk")))
+    val outH = Sampling.packSequences(holed, "id", col("tk"), 64L, salt = "pk")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("tok_off")))
+    assert(outH.length === 4998)
+    val orderedH = ordered.filterNot(i => i == 7L || i == 11L)
+    val offsH = orderedH.scanLeft(0L)((acc, i) => acc + (1L + i % 37))
+      .zip(orderedH).map { case (off, i) => i -> off }.toMap
+    assert(outH.forall { case (id, off) => offsH(id) == off },
+      "dropped rows shifted surviving offsets wrongly")
+    intercept[IllegalArgumentException] {
+      Sampling.packSequences(docs.withColumn("tok_off", lit(1L)), "id", col("tk"), 64L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.packSequences(docs, "id", col("tk"), 0L)
+    }
+  }
+
   test("tokenBudgetMix: budget-exact hash-order prefix vs a naive oracle, " +
        "absent strata dropped, zero and unlimited budgets") {
     val docs = (0L until 1000L).map(i => Tuple1(i)).toDF("id")

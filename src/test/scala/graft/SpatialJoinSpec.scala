@@ -55,6 +55,56 @@ class SpatialJoinSpec extends SparkFunSuite {
     assert(expected.exists { case (ai, bi) => ai == 1L && bi == 10L })
   }
 
+  test("rectJoin: exact pair set + overlap areas vs a brute-force oracle, " +
+       "each pair emitted once, across cell sizes") {
+    val rnd = new scala.util.Random(42)
+    def rects(n: Int, span: Int) = (0 until n).map { i =>
+      val x1 = rnd.nextInt(500); val y1 = rnd.nextInt(500)
+      (i.toLong, x1, y1, x1 + rnd.nextInt(span), y1 + rnd.nextInt(span))
+    }
+    val a = rects(300, 40); val b = rects(300, 25)
+    val expected = (for {
+      (ai, ax1, ay1, ax2, ay2) <- a; (bi, bx1, by1, bx2, by2) <- b
+      if ax1 <= bx2 && bx1 <= ax2 && ay1 <= by2 && by1 <= ay2
+    } yield ((ai, bi),
+      (math.min(ax2, bx2) - math.max(ax1, bx1) + 1).toLong *
+      (math.min(ay2, by2) - math.max(ay1, by1) + 1).toLong)).toMap
+    val leftDF = a.toDF("l_id", "l_x1", "l_y1", "l_x2", "l_y2")
+    val rightDF = b.toDF("r_id", "r_x1", "r_y1", "r_x2", "r_y2")
+    for (cs <- Seq(7, 64, 1024)) {  // cells smaller, similar, larger than rects
+      val rows = SpatialJoin.rectJoin(leftDF, rightDF, cellSize = cs).collect()
+        .map(r => ((r.getAs[Long]("l_id"), r.getAs[Long]("r_id")),
+          r.getAs[Long]("ov_area")))
+      assert(rows.length == rows.map(_._1).distinct.length,
+        s"cellSize=$cs: a pair was emitted more than once")
+      assert(rows.toMap == expected, s"cellSize=$cs: pair/area set mismatch")
+    }
+    intercept[IllegalArgumentException] {
+      SpatialJoin.rectJoin(leftDF, rightDF, cellSize = 0)
+    }
+    // giant-rect fallback: plant planet-sized rects on BOTH sides; with a
+    // tiny cell cap they take the broadcast branches — the pair set must
+    // stay identical (each branch disjoint: no pair emitted twice)
+    val aG = a :+ (900L, 0, 0, 480, 480)
+    val bG = b :+ (901L, 10, 10, 470, 470)
+    val expectedG = (for {
+      (ai, ax1, ay1, ax2, ay2) <- aG; (bi, bx1, by1, bx2, by2) <- bG
+      if ax1 <= bx2 && bx1 <= ax2 && ay1 <= by2 && by1 <= ay2
+    } yield ((ai, bi),
+      (math.min(ax2, bx2) - math.max(ax1, bx1) + 1).toLong *
+      (math.min(ay2, by2) - math.max(ay1, by1) + 1).toLong)).toMap
+    val lG = aG.toDF("l_id", "l_x1", "l_y1", "l_x2", "l_y2")
+    val rG = bG.toDF("r_id", "r_x1", "r_y1", "r_x2", "r_y2")
+    for (cap <- Seq(9L, 1000000L)) {   // giants engage / giants don't
+      val rows = SpatialJoin.rectJoin(lG, rG, cellSize = 7, maxCellsPerRect = cap)
+        .collect().map(r => ((r.getAs[Long]("l_id"), r.getAs[Long]("r_id")),
+          r.getAs[Long]("ov_area")))
+      assert(rows.length == rows.map(_._1).distinct.length,
+        s"cap=$cap: a pair was emitted more than once")
+      assert(rows.toMap == expectedG, s"cap=$cap: pair/area set mismatch")
+    }
+  }
+
   test("clustered fixture: join images to themselves finds the dense cores") {
     val imgs = Fixtures.localImages(3000, withBytes = false)
       .map(r => (r.image_id, CellIndex.getLon(CellIndex.unpackX(r.phash)),

@@ -210,4 +210,43 @@ class TemporalSpec extends SparkFunSuite {
       .select(Temporal.bucketCol(col("t"), 10L).as("b"))
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(-3L, -2L, -1L, 0L, 0L, 1L, 2L))
   }
+
+  test("resampleLocf matches brute force: per-bucket max, gap-free grid, " +
+       "forward fill; span guard and column collisions refused") {
+    val rnd = new scala.util.Random(7)
+    val obs = (0 until 2000).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(400).toLong * 3 + rnd.nextInt(3),
+        rnd.nextInt(1000).toLong)
+    }
+    val df = obs.toDF("k", "t", "v")
+    val out = Temporal.resampleLocf(df, Seq("k"), col("t"), col("v"), 10L)
+      .collect().map(r => ((r.getAs[Long]("k"), r.getAs[Long]("b")),
+        r.getAs[Long]("v_ff"))).toMap
+    // brute-force oracle
+    val byKey = obs.groupBy(_._1)
+    val expect = byKey.flatMap { case (k, rows) =>
+      val perB = rows.groupBy(_._2 / 10).map { case (b, rs) => b -> rs.map(_._3).max }
+      val (b0, b1) = (perB.keys.min, perB.keys.max)
+      var lastV = 0L
+      (b0 to b1).map { b =>
+        lastV = perB.getOrElse(b, lastV)
+        (k, b) -> lastV
+      }
+    }.toMap
+    assert(out === expect)
+    // every key's grid is dense and starts with an observed bucket
+    assert(out.keySet === expect.keySet)
+    intercept[Exception] {  // span guard raises (SparkRuntimeException)
+      Temporal.resampleLocf(df, Seq("k"), col("t"), col("v"), 10L,
+        maxSpanBuckets = 5L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.resampleLocf(df.withColumn("v_ff", lit(1L)), Seq("k"),
+        col("t"), col("v"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.resampleLocf(df.withColumn("_x", lit(1L)), Seq("k"),
+        col("t"), col("v"), 10L)
+    }
+  }
 }
