@@ -473,7 +473,11 @@ object Dedup {
       .withColumn("idx_b",
         pmod(xxhash64(col("_b"), col("_k")), lit(buckets.toLong)).cast("int"))
       .repartition(col("idx_b"))
-      .write.mode("overwrite").partitionBy("idx_b").parquet(path)
+      .write.mode("overwrite")
+      // STATIC pin: a dynamic-mode rebuild over a shrunk corpus would only
+      // truncate touched buckets, resurrecting stale signatures
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("idx_b").parquet(path)
     IndexMeta.write(spark, dedupIdxMetaPath(path), Seq(
       "nGram" -> nGram, "nHashes" -> nHashes, "bands" -> bands,
       "buckets" -> buckets))

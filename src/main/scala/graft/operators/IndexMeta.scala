@@ -34,7 +34,12 @@ private[operators] object IndexMeta {
     * builder in the failure messages. */
   def read(spark: SparkSession, p: Path, what: String, store: String,
            keys: Seq[String]): Seq[Int] =
-    readL(spark, p, what, store, keys).map(_.toInt)
+    readL(spark, p, what, store, keys).map { v =>
+      // fail loudly on a corrupt/hand-edited sidecar — a silent .toInt
+      // wrap would feed garbage (e.g. buckets=0) into probe pruning
+      require(v >= 0 && v <= Int.MaxValue, s"corrupt $what: value $v out of Int range")
+      v.toInt
+    }
 
   /** Long-valued twin of [[read]] (see [[writeL]]). */
   def readL(spark: SparkSession, p: Path, what: String, store: String,

@@ -121,7 +121,10 @@ object Postings {
     * counters advance by the batch's exact census; data lands BEFORE the
     * meta rewrite, so a crash between the two leaves counters stale-low
     * (ranking statistics conservatively behind, never phantom-high) and
-    * the next [[compactPostingsIndex]] resynchronizes them exactly. */
+    * the next [[compactPostingsIndex]] resynchronizes them exactly. A
+    * crash between the postings commit and the doclen write leaves the
+    * batch's docs postings-only (dropped by searchBm25's doclen join);
+    * compaction repairs that too — dl is recomputed from their tf sums. */
   def appendToPostingsIndex(docs: DataFrame, path: String,
                             textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
@@ -179,13 +182,24 @@ object Postings {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("w_b").parquet(path)
-      frozenDl.repartition(col("d_b"))
+      // postings-orphan repair: a crash between an append's postings
+      // commit and its doclen write leaves docs with postings but no
+      // doclen row — invisible to searchBm25's doclen join. Their dl is
+      // recoverable exactly (dl == sum of the doc's tf), so compaction
+      // resurrects them; dl=0 docs live only in doclen and are untouched
+      val orphans = frozen.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .join(frozenDl.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("d_b",
+          pmod(xxhash64(col("doc_id")), lit(buckets.toLong)).cast("int"))
+      val allDl = frozenDl.unionByName(orphans)
+      allDl.repartition(col("d_b"))
         .sortWithinPartitions("d_b", "doc_id")
         .write.mode("append")   // root overwrite just removed the old dir
         .partitionBy("d_b").parquet(doclenPath(path))
       // replayed appends advanced the meta counters at-least-once; the
-      // deduped doclen is the exact census, so compaction resynchronizes
-      val (n, tot) = doclenStats(frozenDl)
+      // deduped + orphan-repaired doclen is the exact census, so
+      // compaction resynchronizes
+      val (n, tot) = doclenStats(allDl)
       writeMeta(spark, path, buckets, n, tot)
     } finally { dlHandle.unpersist(true); handle.unpersist(true); () }
   }

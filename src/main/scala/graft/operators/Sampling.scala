@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /**
@@ -193,24 +193,39 @@ object Sampling {
   def shardAssign(docs: DataFrame, idCol: String, shardSize: Long,
                   salt: String = ""): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
-    val scratch = Seq("_bkt", "_base", "_n", "_wrn")
+    val scratch = Seq("_bkt", "_base", "_m", "_wrn")
     require(!docs.columns.exists(c => scratch.contains(c) ||
         c == "rnk" || c == "shard"),
       "input must not contain rnk/shard or internal scratch columns")
     val tagged = docs.where(col(idCol).isNotNull)
       .withColumn("_bkt", hashBucket(col(idCol), salt))
-    val hist = tagged.groupBy("_bkt").agg(count(lit(1)).as("_n"))
-    val base = coalesce(sum("_n").over(Window.orderBy("_bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    val bases = hist.withColumn("_base", base).select("_bkt", "_base")
-    tagged.join(broadcast(bases), Seq("_bkt"))
-      .withColumn("_wrn", row_number().over(Window.partitionBy("_bkt")
-        .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))))
+    val (joined, w) = bucketCumsum(tagged, idCol, salt, count(lit(1)))
+    joined
+      .withColumn("_wrn", row_number().over(w))
       .withColumn("rnk", col("_base") + col("_wrn"))
       // integer DIV (never float division-then-cast: positive-quadrant
       // truncation parity with the oracle's `//` is exact by construction)
       .withColumn("shard", expr(s"(rnk - 1) DIV ${shardSize}L"))
       .drop("_bkt", "_base", "_wrn")
+  }
+
+  /** The shared two-pass exact-global-order scaffold ([[shardAssign]],
+    * [[packSequences]]): aggregate `metric` per hash bucket (the ONLY
+    * frame a full-width window ever sorts — <= 10k rows), cumulative-sum
+    * it into per-bucket bases, broadcast those back onto the tagged rows,
+    * and return the joined frame (`_base` attached) plus the in-bucket
+    * window in (md5(id+salt), id) order — together the exact global
+    * (bucket, md5, id) order the DuckDB oracles replay naively. Callers
+    * must have dropped NULL ids and tagged `_bkt` already. */
+  private def bucketCumsum(tagged: DataFrame, idCol: String, salt: String,
+                           metric: Column): (DataFrame, WindowSpec) = {
+    val hist = tagged.groupBy("_bkt").agg(metric.as("_m"))
+    val base = coalesce(sum("_m").over(Window.orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val bases = hist.withColumn("_base", base).select("_bkt", "_base")
+    val w = Window.partitionBy("_bkt")
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    (tagged.join(broadcast(bases), Seq("_bkt")), w)
   }
 
   /** Deterministic sequence PACKING — the "concatenate the shuffled corpus
@@ -236,7 +251,7 @@ object Sampling {
   def packSequences(docs: DataFrame, idCol: String, tokenCol: Column,
                     windowLen: Long, salt: String = ""): DataFrame = {
     require(windowLen > 0, "windowLen must be positive")
-    val scratch = Seq("_bkt", "_tk", "_t", "_base", "_bcum")
+    val scratch = Seq("_bkt", "_tk", "_m", "_base", "_bcum")
     val outCols = Seq("tok_off", "win_start", "win_end", "win_off", "n_wins")
     require(!docs.columns.exists(c => scratch.contains(c) || outCols.contains(c)),
       "input must not contain output or internal scratch columns")
@@ -244,14 +259,10 @@ object Sampling {
       .withColumn("_tk", tokenCol.cast("long"))
       .where(col("_tk") > 0)
       .withColumn("_bkt", hashBucket(col(idCol), salt))
-    val hist = tagged.groupBy("_bkt").agg(sum("_tk").as("_t"))
-    val base = coalesce(sum("_t").over(Window.orderBy("_bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    val bases = hist.withColumn("_base", base).select("_bkt", "_base")
-    tagged.join(broadcast(bases), Seq("_bkt"))
-      .withColumn("_bcum", coalesce(sum("_tk").over(Window.partitionBy("_bkt")
-        .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val (joined, w) = bucketCumsum(tagged, idCol, salt, sum("_tk"))
+    joined
+      .withColumn("_bcum", coalesce(sum("_tk").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("tok_off", col("_base") + col("_bcum"))
       // integer DIV on the positive quadrant: truncation parity with the
       // oracle's `//` is exact by construction (_tk > 0, tok_off >= 0)

@@ -17,6 +17,47 @@ import graft.functions.vec
  */
 object Similarity {
 
+  // ---- sidecar IO (the one implementation for every float sidecar here) ----
+
+  private def writeSidecar(df: DataFrame, path: String, name: String,
+                           json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+  }
+
+  private def readSidecar(spark: org.apache.spark.sql.SparkSession,
+                          path: String, name: String, store: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no $name at $path — not a $store store")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def jFloats(v: org.json4s.JValue): Array[Float] = {
+    import org.json4s._
+    v match {
+      case JArray(vs) => vs.map {
+        case JDouble(d) => d.toFloat
+        case JInt(i) => i.toFloat
+        case x => throw new IllegalArgumentException(s"bad float $x")
+      }.toArray
+      case x => throw new IllegalArgumentException(s"bad float list $x")
+    }
+  }
+
+  private def jFloatMatrix(v: org.json4s.JValue, what: String)
+      : Array[Array[Float]] = {
+    import org.json4s._
+    v match {
+      case JArray(rows) => rows.map(jFloats).toArray
+      case x => throw new IllegalArgumentException(s"bad $what $x")
+    }
+  }
+
   /** Exact cosine top-k for one query vector: scan + orderBy + limit
     * (Spark plans TakeOrderedAndProject — no full sort). */
   def bruteForceTopK(embs: DataFrame, query: Array[Float], k: Int): DataFrame =
@@ -112,12 +153,23 @@ object Similarity {
     * the oracle-checkable twin of [[ivfBuild]], same plan shape. */
   def ivfBuildPortable(embs: DataFrame, nLists: Int)
       : (DataFrame, Array[Array[Float]]) = {
-    val centroids = embs.select(col("embedding"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nLists).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val centroids = seedRows(embs, nLists)
     (assign(embs, centroids), centroids)
   }
+
+  /** The one portable seed selection ([[ivfBuildPortable]],
+    * [[pqBuildPortable]], [[writeIvfPqIndex]]): the first `n` embeddings
+    * in (md5(vec_id), vec_id) order — no float arithmetic, so any engine
+    * with md5 replays the exact choice. Driver-small (n rows). */
+  private def seedRows(embs: DataFrame, n: Int): Array[Array[Float]] =
+    embs.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(n).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Slice seed rows into the m per-subspace codebooks. */
+  private def pqCodebooks(seeds: Array[Array[Float]], m: Int,
+                          subDim: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(m)(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
 
   private def assign(embs: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     // argmax over per-centroid cosine columns (static unroll, codegen'd).
@@ -144,42 +196,23 @@ object Similarity {
                     path: String): Unit = {
     // one file per list directory, not #tasks x #lists
     assigned.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
-    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
-    val fs = p.getFileSystem(
-      assigned.sparkSession.sparkContext.hadoopConfiguration)
-    val os = fs.create(p, true)
-    try os.write(json.getBytes("UTF-8")) finally os.close()
+      .write.mode("overwrite")
+        // STATIC pin: under a session-wide dynamic mode a rebuild over a
+        // shrunk corpus would only truncate the lists the new build touches,
+        // resurrecting stale vectors (the writePostingsIndex hazard)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("list_id").parquet(path)
+    writeSidecar(assigned, path, "_centroids.json",
+      centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
   }
 
   /** Read back a stored IVF index: (assigned rows, centroids). The
     * underscore-prefixed sidecar is invisible to the parquet scan. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, Array[Array[Float]]) = {
-    val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json = try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toString("UTF-8")
-    } finally in.close()
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val centroids = JsonMethods.parse(json) match {
-      case JArray(lists) => lists.map {
-        case JArray(vs) => vs.map {
-          case JDouble(d) => d.toFloat
-          case JInt(i) => i.toFloat
-          case v => throw new IllegalArgumentException(s"bad centroid value $v")
-        }.toArray
-        case v => throw new IllegalArgumentException(s"bad centroid list $v")
-      }.toArray
-      case v => throw new IllegalArgumentException(s"bad centroid json $v")
-    }
+    val json = readSidecar(spark, path, "_centroids.json", "writeIvfIndex")
+    val centroids = jFloatMatrix(
+      org.json4s.jackson.JsonMethods.parse(json), "centroid json")
     (spark.read.parquet(path), centroids)
   }
 
@@ -215,13 +248,9 @@ object Similarity {
   def pqBuildPortable(embs: DataFrame, m: Int = 8, ksub: Int = 16,
                       dim: Int = 64): (DataFrame, Array[Array[Array[Float]]]) = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
-    val subDim = dim / m
-    val seeds = embs.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(ksub).select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
+    val seeds = seedRows(embs, ksub)
     require(seeds.nonEmpty, "empty embeddings table")
-    val codebooks = Array.tabulate(m)(s =>
-      seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val codebooks = pqCodebooks(seeds, m, dim / m)
     (pqEncode(embs, codebooks), codebooks)
   }
 
@@ -290,54 +319,41 @@ object Similarity {
   def writeIvfPqIndex(embs: DataFrame, path: String, nLists: Int = 8,
                       m: Int = 8, ksub: Int = 16, dim: Int = 64): Unit = {
     require(nLists >= 1, "nLists must be >= 1")
-    val (assigned, cents) = ivfBuildPortable(embs, nLists)
-    // codebooks only — the (lazy, unused) full-table encode is never run
-    val (_, cbs) = pqBuildPortable(embs, m, ksub, dim)
-    pqEncode(assigned, cbs)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    // ONE seed collect serves both builds: the first nLists of the seed
+    // rows ARE the IVF centroids, the first ksub feed the PQ codebooks
+    val seeds = seedRows(embs, math.max(nLists, ksub))
+    require(seeds.nonEmpty, "empty embeddings table")
+    val cents = seeds.take(nLists)
+    val cbs = pqCodebooks(seeds.take(ksub), m, dim / m)
+    pqEncode(assign(embs, cents), cbs)
       .select((col("vec_id") +: (0 until m).map(s => col(s"code_$s"))) :+
         col("list_id"): _*)
       .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
-    val json = "{\"centroids\":" +
-      cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]") +
-      ",\"codebooks\":" +
-      cbs.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
-        .mkString("[", ",", "]") + "}"
-    val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
-    val fs = p.getFileSystem(embs.sparkSession.sparkContext.hadoopConfiguration)
-    val os = fs.create(p, true)
-    try os.write(json.getBytes("UTF-8")) finally os.close()
+      .write.mode("overwrite")
+        // STATIC pin: under a session-wide dynamic mode a rebuild over a
+        // shrunk corpus would only truncate the lists the new build touches,
+        // resurrecting stale vectors (the writePostingsIndex hazard)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("list_id").parquet(path)
+    writeSidecar(embs, path, "_ivfpq_meta.json",
+      "{\"centroids\":" +
+        cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]") +
+        ",\"codebooks\":" +
+        cbs.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+          .mkString("[", ",", "]") + "}")
   }
 
   /** Read back a stored IVF+PQ index: (codes, centroids, codebooks). */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
-    val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no _ivfpq_meta.json at $path — not a writeIvfPqIndex store")
-    val in = fs.open(p)
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    def floats(v: JValue): Array[Float] = v match {
-      case JArray(vs) => vs.map {
-        case JDouble(d) => d.toFloat
-        case JInt(i) => i.toFloat
-        case x => throw new IllegalArgumentException(s"bad float $x")
-      }.toArray
-      case x => throw new IllegalArgumentException(s"bad float list $x")
-    }
+    val json = readSidecar(spark, path, "_ivfpq_meta.json", "writeIvfPqIndex")
     val root = JsonMethods.parse(json)
-    val cents = root \ "centroids" match {
-      case JArray(cs) => cs.map(floats).toArray
-      case x => throw new IllegalArgumentException(s"bad centroids $x")
-    }
+    val cents = jFloatMatrix(root \ "centroids", "centroids")
     val cbs = root \ "codebooks" match {
-      case JArray(ss) => ss.map {
-        case JArray(cs) => cs.map(floats).toArray
-        case x => throw new IllegalArgumentException(s"bad codebook $x")
-      }.toArray
+      case JArray(ss) => ss.map(jFloatMatrix(_, "codebook")).toArray
       case x => throw new IllegalArgumentException(s"bad codebooks $x")
     }
     (spark.read.parquet(path), cents, cbs)

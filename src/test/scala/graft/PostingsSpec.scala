@@ -135,6 +135,37 @@ class PostingsSpec extends SparkFunSuite {
     }
   }
 
+  test("postings-orphan crash window: a doc with postings but no doclen " +
+       "row is invisible to searchBm25 until compact repairs its dl") {
+    val d = Files.createTempDirectory("graft_postings_orph_").toString + "/idx"
+    Postings.writePostingsIndex(docs.where(col("doc_id") <= 2L), d, buckets = 4)
+    Postings.appendToPostingsIndex(docs.where(col("doc_id") === 3L), d)
+    // simulate the crash between the append's postings commit and its
+    // doclen write: remove doc 3's doclen bucket directory (chosen so no
+    // other doc shares it — asserted)
+    val b3 = docs.where(col("doc_id") === 3L)
+      .select(pmod(xxhash64(col("doc_id")), lit(4L)).cast("int"))
+      .collect()(0).getInt(0)
+    val others = docs.where(col("doc_id") <= 2L)
+      .select(pmod(xxhash64(col("doc_id")), lit(4L)).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    assert(!others.contains(b3), "fixture ids must not share doc 3's bucket")
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$d/_doclen/d_b=$b3"))
+    // doc 3 is the only one with 3 betas — top BM25 hit when visible
+    def betaHits = Postings.searchBm25(spark, d, Seq("beta"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(betaHits === Set(1L, 2L), "orphaned doc leaked into ranking")
+    Postings.compactPostingsIndex(spark, d)
+    assert(betaHits === Set(1L, 2L, 3L), "compact did not repair the orphan")
+    // repaired dl is the exact tf sum, and the meta census includes doc 3
+    val dl3 = spark.read.parquet(s"$d/_doclen")
+      .where(col("doc_id") === 3L).collect()
+    assert(dl3.length === 1 && dl3(0).getAs[Long]("dl") === 4L)
+  }
+
   test("replayed append: probes stay exactly-once, compact repairs physically") {
     val d = Files.createTempDirectory("graft_postings_rep_").toString + "/idx"
     Postings.writePostingsIndex(docs.where(col("doc_id") <= 2L), d, buckets = 4)
