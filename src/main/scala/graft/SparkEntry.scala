@@ -284,6 +284,25 @@ object SparkEntry {
       SpatialJoin.rectJoin(rect("l", 7, 0), rect("r", 5, 3), cellSize = 64)
         .select("l_id", "r_id", "ov_area").orderBy("l_id", "r_id")
     }),
+    "q_poly_join" -> ((s, dir) => {         // point-in-polygon SET join:
+      // each polygon explodes to its bbox's coarse cells, points carry
+      // their one cell, equi-join + codegen even-odd PIP refine; CCW
+      // triangles by construction so the oracle's strict sign test is
+      // SQL-expressible (interiors agree; edges dodged by the .x003/.x007
+      // vertex offsets vs the .01-grid points)
+      val ev = tbl(s, dir, "events")
+      val x1 = pmod(col("event_id"), lit(140)).cast("double") + lit(1.2003)
+      val y1 = pmod(expr("event_id DIV 140"), lit(60)).cast("double") + lit(1.1007)
+      val tris = ev.where(pmod(col("event_id"), lit(199)) === 11)
+        .select(col("event_id").as("poly_id"),
+          array(x1,
+                x1 + pmod(col("event_id"), lit(7)) + lit(3.0),
+                x1 + pmod(col("event_id"), lit(5))).as("px"),
+          array(y1, y1,
+                y1 + pmod(col("event_id"), lit(11)) + lit(2.0)).as("py"))
+      SpatialJoin.polyJoin(eventPoints(s, dir), tris, binDeg = 1.0)
+        .select("poly_id", "event_id").orderBy("poly_id", "event_id")
+    }),
     // ---- planet extract end-to-end (J1∘J2∘J3 + J4/J5/J6 over derived
     //      planet tables: nodes from events, ways = runs of 5 consecutive
     //      nodes, relations anchored at their first (node) member) ---------
@@ -429,6 +448,16 @@ object SparkEntry {
         .orderBy(desc("p_retailprice"), col("p_partkey"))
         .limit(100)
         .select("p_partkey", "p_name")),
+    "q_topk_grouped" -> ((s, dir) => {      // top-3 per group WITHOUT a
+      // per-group sort: bounded-heap typed Aggregator — map-side partial
+      // aggregation truncates every group to k rows per map task, so a
+      // hot group never funnels its whole row set through one reducer
+      // the way the window-rank formulation does
+      val ev = tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        pmod(col("event_id"), lit(999983L)).as("v"))
+      Frequency.topKPerGroup(ev, Seq("user_id"), "v", "event_id", k = 3)
+        .orderBy("user_id", "rnk")
+    }),
     // ---- text pipeline -----------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(tbl(s, dir, "documents"))
@@ -612,6 +641,19 @@ object SparkEntry {
       // bounded slice
       val slice = tbl(s, dir, "documents").where(col("doc_id") < 1000)
       Dedup.crossContamination(
+          slice.where(pmod(col("doc_id"), lit(2)) === 1),
+          slice.where(pmod(col("doc_id"), lit(2)) === 0),
+          nGram = 2, minContainment = 0.3, maxDocFreq = 0)
+        .select("doc_id", "bench_id", "inter", "containment")
+        .orderBy("doc_id", "bench_id")
+    }),
+    "q_decontaminate_bloom" -> ((s, dir) => { // decision-identical Bloom
+      // prefilter twin: broadcast Bloom over the (small) benchmark's
+      // shingles drops corpus shingles BEFORE the shuffle; no false
+      // negatives + exact join after = same rows as q_decontaminate,
+      // whose oracle is shared verbatim
+      val slice = tbl(s, dir, "documents").where(col("doc_id") < 1000)
+      Dedup.crossContaminationBloom(
           slice.where(pmod(col("doc_id"), lit(2)) === 1),
           slice.where(pmod(col("doc_id"), lit(2)) === 0),
           nGram = 2, minContainment = 0.3, maxDocFreq = 0)
@@ -1421,6 +1463,27 @@ object SparkEntry {
           |FROM l JOIN r ON l_x1 <= r_x2 AND r_x1 <= l_x2
           |             AND l_y1 <= r_y2 AND r_y1 <= l_y2
           |ORDER BY l_id, r_id""".stripMargin,
+      // point-in-polygon set join: brute-force cross join + the strict
+      // CCW sign test (triangles are CCW by construction: cross product
+      // of the first two edges is (m7+3)*(m11+2) > 0). Fractional vertex
+      // offsets are cast to DOUBLE so DuckDB's arithmetic follows the
+      // same double rounding sequence as the engine (a bare 1.2003
+      // literal would be exact DECIMAL and can differ in the last bit)
+      "q_poly_join" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |tri AS (SELECT event_id AS poly_id,
+           |  (event_id % 140) + 1.2003::DOUBLE AS x1,
+           |  ((event_id // 140) % 60) + 1.1007::DOUBLE AS y1,
+           |  (event_id % 140) + 1.2003::DOUBLE + (event_id % 7) + 3 AS x2,
+           |  ((event_id // 140) % 60) + 1.1007::DOUBLE AS y2,
+           |  (event_id % 140) + 1.2003::DOUBLE + (event_id % 5) AS x3,
+           |  ((event_id // 140) % 60) + 1.1007::DOUBLE + (event_id % 11) + 2 AS y3
+           |  FROM events WHERE event_id % 199 = 11)
+           |SELECT t.poly_id, p.event_id FROM tri t JOIN pts p ON
+           |  ((t.x2 - t.x1) * (p.lat - t.y1) - (t.y2 - t.y1) * (p.lon - t.x1)) > 0 AND
+           |  ((t.x3 - t.x2) * (p.lat - t.y2) - (t.y3 - t.y2) * (p.lon - t.x2)) > 0 AND
+           |  ((t.x1 - t.x3) * (p.lat - t.y3) - (t.y1 - t.y3) * (p.lon - t.x3)) > 0
+           |ORDER BY poly_id, event_id""".stripMargin,
       "q_spatial_join" -> {
         val band = 5000.0 / 111319.49079327358 * 1.001   // lat prefilter band
         s"""WITH pts AS ($eventPointsSql),
@@ -1475,6 +1538,17 @@ object SparkEntry {
       "q_topk" ->
         """SELECT p_partkey, p_name FROM part
           |ORDER BY p_retailprice DESC, p_partkey LIMIT 100""".stripMargin,
+      // grouped top-k: the oracle is the window-rank formulation the
+      // engine deliberately avoids (bounded-heap aggregate instead);
+      // (v DESC, event_id ASC) is a total order so the two agree exactly
+      "q_topk_grouped" ->
+        """WITH scored AS (SELECT user_id, event_id,
+          |  event_id % 999983 AS v FROM events),
+          |ranked AS (SELECT user_id, event_id, v,
+          |  row_number() OVER (PARTITION BY user_id
+          |    ORDER BY v DESC, event_id) AS rnk FROM scored)
+          |SELECT user_id, event_id, v, rnk FROM ranked WHERE rnk <= 3
+          |ORDER BY user_id, rnk""".stripMargin,
       "q_dedup_exact" ->
         """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dupes
           |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
@@ -2509,6 +2583,9 @@ object SparkEntry {
       // the skew-safe bucketed paths are decision-identical by contract:
       // one oracle proves each pair agrees
       ("q_asof_join_bucketed" -> base("q_asof_join")) +
-      ("q_sessionize_bucketed" -> base("q_sessionize"))
+      ("q_sessionize_bucketed" -> base("q_sessionize")) +
+      // Bloom prefilter has no false negatives and the exact join kills
+      // the false positives — decision-identical to the unfiltered path
+      ("q_decontaminate_bloom" -> base("q_decontaminate"))
   }
 }

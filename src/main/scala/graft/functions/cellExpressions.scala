@@ -221,6 +221,66 @@ object PointInPolygon {
   }
 }
 
+/**
+ * [[PointInPolygon]] with the polygon as COLUMNS (array<double> lon/lat
+ * vertex rings) instead of a query-time constant — the form a polygon-SET
+ * spatial join needs, where each candidate row carries its own ring. Same
+ * even-odd crossing loop, same boundary convention, emitted inline over
+ * `ArrayData` so the refine predicate stays in whole-stage codegen.
+ * Rings shorter than 3 vertices (or mismatched lengths) test false.
+ */
+case class PointInPolyCols(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_poly_cols"
+
+  override protected def nullSafeEval(lon: Any, lat: Any,
+                                      pxa: Any, pya: Any): Any = {
+    val px = pxa.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val py = pya.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = px.numElements()
+    if (n < 3 || py.numElements() != n) return false
+    val x = lon.asInstanceOf[Double]; val y = lat.asInstanceOf[Double]
+    var in = false
+    var i = 0; var j = n - 1
+    while (i < n) {
+      val yi = py.getDouble(i); val yj = py.getDouble(j)
+      if ((yi > y) != (yj > y) &&
+          x < (px.getDouble(j) - px.getDouble(i)) * (y - yi) / (yj - yi) +
+              px.getDouble(i)) in = !in
+      j = i; i += 1
+    }
+    in
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, px, py) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val in = ctx.freshName("in")
+      val yi = ctx.freshName("yi"); val yj = ctx.freshName("yj")
+      s"""
+         |boolean $in = false;
+         |int $n = $px.numElements();
+         |if ($n >= 3 && $py.numElements() == $n) {
+         |  int $j = $n - 1;
+         |  for (int $i = 0; $i < $n; $j = $i++) {
+         |    double $yi = $py.getDouble($i); double $yj = $py.getDouble($j);
+         |    if (($yi > $lat) != ($yj > $lat) &&
+         |        $lon < ($px.getDouble($j) - $px.getDouble($i)) *
+         |               ($lat - $yi) / ($yj - $yi) + $px.getDouble($i)) {
+         |      $in = !$in;
+         |    }
+         |  }
+         |}
+         |${ev.value} = $in;
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression) =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** Column-API surface for the expressions + SQL registration. */
 object geo {
   private def col(e: Expression): Column = GraftBridge.column(e)
@@ -241,6 +301,10 @@ object geo {
     val py = poly.indices.collect { case i if i % 2 == 1 => poly(i) }.toArray
     col(PointInPolygon(ex(lon), ex(lat), px, py))
   }
+  /** Ring as columns (array<double> lons / lats) — the polygon-join refine. */
+  def point_in_poly_cols(lon: Column, lat: Column,
+                         px: Column, py: Column): Column =
+    col(PointInPolyCols(ex(lon), ex(lat), ex(px), ex(py)))
 
   /** Register SQL-callable versions (resolution fixed per function name). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -737,6 +737,53 @@ object Dedup {
       .select("doc_id", "bench_id", "inter", "containment")
   }
 
+  /**
+   * [[crossContamination]] with a broadcast Bloom prefilter on the corpus
+   * side — the 100 TB shape: the benchmark suite is small by contract
+   * (it is a benchmark), so its distinct shingle universe fits a
+   * driver-built Bloom filter that is broadcast once; corpus shingles are
+   * dropped BEFORE the shuffle unless the Bloom might contain them. The
+   * exact join then runs only over (true positives + the fpp-bounded
+   * false positives) instead of the full corpus shingle stream.
+   *
+   * Decisions are IDENTICAL to [[crossContamination]]: a Bloom filter has
+   * no false negatives, so every truly-shared shingle survives the
+   * prefilter, and false positives are eliminated by the exact equi-join
+   * that follows. The df-cut also agrees: the filter is deterministic per
+   * shingle VALUE, so a surviving shingle's corpus document frequency is
+   * computed over all its occurrences, exactly as in the unfiltered path
+   * (shingles it drops could never join anyway).
+   *
+   * Two driver jobs run over the benchmark side (distinct-count + Bloom
+   * build) — fine for a small benchmark, wrong for a huge one; use
+   * [[crossContamination]] when the "benchmark" is another corpus.
+   */
+  def crossContaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+                              nGram: Int = 3, minContainment: Double = 0.5,
+                              maxDocFreq: Int = 100000,
+                              fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val bp = benchmark
+      .select(col("doc_id").as("bench_id"), shingles(col("text"), nGram).as("_sh"))
+      .withColumn("_nb", size(col("_sh")))
+      .select(col("bench_id"), col("_nb"), explode(col("_sh")).as("_s"))
+    val distinctSh = bp.select("_s").distinct()
+    val bloom = distinctSh.stat.bloomFilter(
+      "_s", math.max(distinctSh.count(), 1L), fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val cp = corpus
+      .select(col("doc_id"), explode(shingles(col("text"), nGram)).as("_s"))
+      .where(mightContain(col("_s")))
+    val cpCut = capBuckets(cp, Seq("_s"), maxDocFreq)
+    cpCut.join(bp, "_s")
+      .groupBy("doc_id", "bench_id", "_nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter") / greatest(col("_nb"), lit(1)))
+      .where(col("containment") >= minContainment)
+      .select("doc_id", "bench_id", "inter", "containment")
+  }
+
   /** Embedding near-dup: hyperplane-LSH bucket join + exact cosine verify.
     * Multiple independent signature tables raise recall.
     * Buckets over `maxBucket` rows are dropped (see capBuckets); 0 disables.

@@ -173,4 +173,68 @@ object Frequency {
       .where(col("_cum") - col("_c") < col("_rank") && col("_rank") <= col("_cum"))
       .select(col(groupCol), col("q_bp"), col(valCol).as("q_val"))
   }
+
+  /** One (value, id) candidate for [[topKPerGroup]]; ranked by
+    * (v DESC, id ASC) — a total order because ids are unique. */
+  case class TopKIn(v: Long, id: Long)
+
+  /** Bounded top-k typed Aggregator: the buffer is a SORTED list that
+    * never exceeds k entries, so the partial state each map task ships
+    * through the shuffle is at most k rows per group — independent of the
+    * group's row count. `reduce` is a single ordered insert (O(k), k is
+    * small by contract); `merge` is a sorted-merge truncated at k. */
+  private class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        TopKIn, List[TopKIn], Seq[TopKIn]] {
+    private def before(a: TopKIn, b: TopKIn): Boolean =
+      a.v > b.v || (a.v == b.v && a.id < b.id)
+    override def zero: List[TopKIn] = Nil
+    override def reduce(buf: List[TopKIn], in: TopKIn): List[TopKIn] =
+      merge(buf, in :: Nil)
+    override def merge(a: List[TopKIn], b: List[TopKIn]): List[TopKIn] = {
+      val out = List.newBuilder[TopKIn]
+      var x = a; var y = b; var n = 0
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && before(x.head, y.head))) {
+          out += x.head; x = x.tail
+        } else { out += y.head; y = y.tail }
+        n += 1
+      }
+      out.result()
+    }
+    override def finish(r: List[TopKIn]): Seq[TopKIn] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[TopKIn]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[TopKIn]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /**
+   * Top-k rows per group WITHOUT a per-group sort: the window-rank
+   * formulation (`row_number() OVER (PARTITION BY g ORDER BY v DESC)`)
+   * shuffles and sorts EVERY row of every group; this one aggregates with
+   * a bounded-heap [[TopKAgg]] so map-side partial aggregation truncates
+   * each group's contribution to k rows per map task before the shuffle.
+   * At 100 TB with a hot group (one language, one domain) the window puts
+   * that group's entire row set through one reducer; here the reducer
+   * merges at most k rows per upstream partition.
+   *
+   * Answer is EXACT and identical to the window formulation: rank by
+   * (`valueCol` DESC, `idCol` ASC) — a total order when ids are unique,
+   * so ties cannot reorder. NULL values/ids are excluded (they cannot
+   * rank). Returns groupCols + (idCol, valueCol, rnk), rnk in [1, k].
+   */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, "k must be in [1, 10000]")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val topk = udaf(new TopKAgg(k))
+    df.where(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(topk(col(valueCol).cast("long"), col(idCol).cast("long")).as("_top"))
+      .select(groupCols.map(col) :+ posexplode(col("_top")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("col.id").as(idCol), col("col.v").as(valueCol),
+        (col("pos") + 1).cast("long").as("rnk")): _*)
+  }
 }

@@ -158,4 +158,55 @@ object SpatialJoin {
       broadcast(right.where(cellsOf("r") > maxCellsPerRect)), overlap)
     withArea(main).unionByName(withArea(g1)).unionByName(withArea(g2))
   }
+
+  /**
+   * Point-in-polygon JOIN: all (point, polygon) pairs where the point lies
+   * inside the polygon's ring — the polygon-SET generalization of the
+   * single-constant-polygon extract (q_polygon_extract), and the classic
+   * "assign events to regions" shape.
+   *
+   * Plan: each polygon explodes into the `binDeg`-degree grid cells its
+   * bounding box covers; each point computes its ONE containing cell; the
+   * candidate join is a plain equi-join on (cx, cy) — AQE skew handling
+   * applies — and the exact even-odd ray-casting refine
+   * ([[graft.functions.PointInPolyCols]], codegen'd inline) filters.
+   * Emit-once is structural: a point has exactly one cell and a polygon
+   * covers each cell at most once, so no pair can appear twice and no
+   * dropDuplicates shuffle is needed.
+   *
+   * Polygons whose bbox covers more than `maxCellsPerPoly` cells (rare
+   * continent-sized giants) skip the explode and broadcast against the raw
+   * point stream instead (the rectJoin rare-giant recipe, one-sided — the
+   * giant set must be broadcast-small).
+   *
+   * Rings must not cross the antimeridian (bbox explode assumes
+   * min <= max per axis); split such rings upstream. Boundary semantics
+   * are the PNPOLY half-open convention (see [[graft.functions.PointInPolygon]]).
+   *
+   * @param points (lon, lat) + payload columns.
+   * @param polys  (px array<double>, py array<double>) vertex ring
+   *               (unclosed) + payload columns; pre-alias name conflicts.
+   */
+  def polyJoin(points: DataFrame, polys: DataFrame, binDeg: Double = 1.0,
+               maxCellsPerPoly: Long = 4096L): DataFrame = {
+    require(binDeg > 0, "binDeg must be positive")
+    require(maxCellsPerPoly > 0, "maxCellsPerPoly must be positive")
+    def bin(c: Column): Column = floor(c / binDeg).cast("long")
+    val (x1, x2) = (array_min(col("px")), array_max(col("px")))
+    val (y1, y2) = (array_min(col("py")), array_max(col("py")))
+    val cells = (bin(x2) - bin(x1) + 1) * (bin(y2) - bin(y1) + 1)
+    val inside = graft.functions.geo.point_in_poly_cols(
+      col("lon"), col("lat"), col("px"), col("py"))
+    val small = polys.where(cells <= maxCellsPerPoly)
+      .withColumn("_cx", explode(sequence(bin(x1), bin(x2))))
+      .withColumn("_cy", explode(sequence(bin(y1), bin(y2))))
+    val pts = points
+      .withColumn("_cx", bin(col("lon")))
+      .withColumn("_cy", bin(col("lat")))
+    val main = pts.join(small, Seq("_cx", "_cy")).where(inside)
+      .drop("_cx", "_cy")
+    val g = points.join(
+      broadcast(polys.where(cells > maxCellsPerPoly)), inside)
+    main.unionByName(g)
+  }
 }

@@ -100,4 +100,36 @@ class FrequencySpec extends SparkFunSuite {
     assert(Frequency.totalWords(docs) === 12L)
     assert(Frequency.totalWords(docs.where(col("doc_id") < 0)) === 0L)
   }
+
+  test("topKPerGroup equals the window-rank formulation exactly, " +
+       "across k, partitioning, a hot group, ties, and NULLs") {
+    val rnd = new scala.util.Random(77)
+    // hot group 0 gets ~half the rows; values collide often (ties broken
+    // by id, which is unique by construction)
+    val rows = (0 until 3000).map { i =>
+      val g = if (rnd.nextBoolean()) 0L else rnd.nextInt(20).toLong + 1
+      (g, rnd.nextInt(40).toLong, i.toLong)
+    }
+    val base = rows.toDF("g", "v", "id")
+    val withNulls = base.unionByName(Seq(
+      (99L, Option.empty[Long], Option(1000000L)),
+      (99L, Option(5L), Option.empty[Long]))
+      .toDF("g", "v", "id"))
+    def brute(k: Int): Set[(Long, Long, Long, Long)] =
+      rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
+          .map { case ((_, v, id), i) => (g, id, v, i + 1L) }
+      }.toSet
+    for (k <- Seq(1, 3, 50); parts <- Seq(1, 13)) {
+      val got = Frequency.topKPerGroup(
+          withNulls.repartition(parts), Seq("g"), "v", "id", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === brute(k), s"k=$k parts=$parts")
+    }
+    // group 99 only has NULL-v / NULL-id rows -> absent entirely
+    assert(Frequency.topKPerGroup(withNulls, Seq("g"), "v", "id", 3)
+      .where(col("g") === 99L).count() === 0L)
+  }
 }

@@ -531,6 +531,29 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(hits(0)._3 == 1.0, s"containment ${hits(0)._3}")  // all 4 bigrams present
   }
 
+  test("crossContaminationBloom is decision-identical to crossContamination " +
+       "(random corpus, planted leaks, loose and tight fpp, with df cut)") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = (0 until 60).map(i => s"w$i")
+    def doc(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bench = (0L until 20L).map(i => (i, doc(10))).toDF("doc_id", "text")
+    val benchTexts = bench.collect().map(r => (r.getLong(0), r.getString(1)))
+    // corpus: random docs + planted verbatim copies of benchmark docs
+    val corpus = ((100L until 300L).map(i => (i, doc(25))) ++
+      benchTexts.take(5).map { case (i, t) => (1000L + i, s"lead $t tail") })
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    for ((fpp, maxDf) <- Seq((0.5, 0), (0.01, 0), (0.01, 50))) {
+      val exact = key(Dedup.crossContamination(corpus, bench, nGram = 2,
+        minContainment = 0.4, maxDocFreq = maxDf))
+      val bloom = key(Dedup.crossContaminationBloom(corpus, bench, nGram = 2,
+        minContainment = 0.4, maxDocFreq = maxDf, fpp = fpp))
+      assert(bloom === exact, s"fpp=$fpp maxDf=$maxDf")
+      assert(exact.nonEmpty, "weak fixture: no contamination found")
+    }
+  }
+
   test("stored IVF index: write/read round-trips centroids + assignment; " +
        "probe over the stored table is directory-pruned and result-identical") {
     val (assigned, centroids) = Similarity.ivfBuildPortable(embs, nLists = 16)

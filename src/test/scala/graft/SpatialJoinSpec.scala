@@ -105,6 +105,64 @@ class SpatialJoinSpec extends SparkFunSuite {
     }
   }
 
+  test("polyJoin equals brute-force PNPOLY over random rings " +
+       "(triangles + non-convex quads), each pair emitted once, " +
+       "giant-poly broadcast branch included") {
+    val rnd = new scala.util.Random(1717)
+    val pts = (0L until 1500L)
+      .map(i => (i, rnd.nextDouble() * 60.0, rnd.nextDouble() * 40.0))
+    // rings: triangles and bowtie-ish quads (even-odd semantics matter),
+    // plus one giant covering nearly the whole field
+    val rings: Seq[(Long, Array[Double], Array[Double])] =
+      (0 until 25).map { i =>
+        val cx = rnd.nextDouble() * 55.0; val cy = rnd.nextDouble() * 35.0
+        if (i % 2 == 0) {
+          (i.toLong, Array(cx, cx + 3.17, cx + 1.03),
+            Array(cy, cy + 0.009, cy + 2.71))
+        } else {
+          // self-intersecting quad: even-odd keeps only the two lobes
+          (i.toLong, Array(cx, cx + 2.5, cx, cx + 2.5),
+            Array(cy, cy + 2.0, cy + 2.0, cy))
+        }
+      } :+ (100L, Array(0.001, 59.0, 59.0, 0.001),
+            Array(0.002, 0.002, 39.5, 39.5))
+    val ptsDF = pts.toDF("id", "lon", "lat")
+    val ringsDF = rings.toDF("poly_id", "px", "py")
+    val expected = (for {
+      (pid, px, py) <- rings; (id, x, y) <- pts
+      if graft.functions.PointInPolygon.contains(px, py, x, y)
+    } yield (id, pid)).toSet
+    // cap 40: the giant (and some quads) take the broadcast branch;
+    // cap huge: everything through the cell explode — identical results
+    for (cap <- Seq(40L, 1000000L)) {
+      val rows = SpatialJoin.polyJoin(ptsDF, ringsDF, binDeg = 1.0,
+          maxCellsPerPoly = cap).select("id", "poly_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == rows.distinct.length, s"cap=$cap: dup pair")
+      assert(rows.toSet === expected, s"cap=$cap")
+    }
+    assert(expected.nonEmpty)
+    // even-odd actually exercised: some point inside a quad's bbox is OUT
+    val quad = rings(1)
+    assert(pts.exists { case (_, x, y) =>
+      x >= quad._2.min && x <= quad._2.max &&
+      y >= quad._3.min && y <= quad._3.max &&
+      !graft.functions.PointInPolygon.contains(quad._2, quad._3, x, y)
+    })
+  }
+
+  test("polyJoin: degenerate rings (<3 vertices, mismatched lengths) " +
+       "match nothing; empty sides are fine") {
+    val ptsDF = Seq((1L, 5.0, 5.0)).toDF("id", "lon", "lat")
+    val bad: Seq[(Long, Array[Double], Array[Double])] = Seq(
+      (1L, Array(0.0, 10.0), Array(0.0, 10.0)),             // 2 vertices
+      (2L, Array(0.0, 10.0, 0.0), Array(0.0, 0.0)))         // length mismatch
+    assert(SpatialJoin.polyJoin(ptsDF, bad.toDF("poly_id", "px", "py")).count() === 0L)
+    assert(SpatialJoin.polyJoin(ptsDF.limit(0),
+      Seq((1L, Array(0.0, 10.0, 0.0), Array(0.0, 0.0, 10.0)))
+        .toDF("poly_id", "px", "py")).count() === 0L)
+  }
+
   test("clustered fixture: join images to themselves finds the dense cores") {
     val imgs = Fixtures.localImages(3000, withBytes = false)
       .map(r => (r.image_id, CellIndex.getLon(CellIndex.unpackX(r.phash)),
