@@ -289,6 +289,44 @@ object Plans {
           "CAST(id % 997 + id % 11 AS LONG) AS r_x2",
           "CAST((id / 997) % 997 + id % 19 AS LONG) AS r_y2")
         fmt(SpatialJoin.rectJoin(lrect, rrect, cellSize = 64))
+      },
+      "point-in-polygon set join (expect: polygons Generate into bbox " +
+        "cells, points compute ONE cell, candidates meet in an equi-join " +
+        "on (_cx, _cy) — never a cartesian in the main branch — and the " +
+        "point_in_poly_cols refine runs post-join inside WSCG; the rare " +
+        "giant branch is an explicit BroadcastNestedLoopJoin over the " +
+        "filtered giants only)" -> {
+        val pts = spark.range(100000).selectExpr("id",
+          "CAST(id % 600 AS DOUBLE) / 10 AS lon",
+          "CAST((id / 600) % 400 AS DOUBLE) / 10 AS lat")
+        val polys = spark.range(200).selectExpr("id AS poly_id",
+          "array(CAST(id % 55 AS DOUBLE), CAST(id % 55 AS DOUBLE) + 3.1, " +
+            "CAST(id % 55 AS DOUBLE) + 1.2) AS px",
+          "array(CAST(id % 35 AS DOUBLE), CAST(id % 35 AS DOUBLE) + 0.1, " +
+            "CAST(id % 35 AS DOUBLE) + 2.7) AS py")
+        fmt(SpatialJoin.polyJoin(pts, polys, binDeg = 1.0))
+      },
+      "grouped top-k via bounded-heap Aggregator (expect: " +
+        "ObjectHashAggregate with a partial topkagg BEFORE the exchange — " +
+        "each map task ships at most k rows per group, vs the window-rank " +
+        "plan whose Sort + Window put every row of a hot group through " +
+        "one reducer)" -> {
+        val ev = spark.range(200000).selectExpr("CAST(id % 50 AS LONG) AS g",
+          "id", "CAST(id * 31 % 999983 AS LONG) AS v")
+        fmt(Frequency.topKPerGroup(ev, Seq("g"), "v", "id", k = 3))
+      },
+      "Bloom-prefiltered decontamination (expect: the corpus shingle " +
+        "stream passes the broadcast-Bloom UDF filter BEFORE its exchange " +
+        "— only might-contain shingles shuffle into the exact join; the " +
+        "benchmark side is the small build side)" -> {
+        val corpus = spark.range(20000).selectExpr("id AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 20), " +
+            "i -> concat('w', pmod(id * i, 211)))) AS text")
+        val bench = spark.range(50).selectExpr("id + 100000 AS doc_id",
+          "concat_ws(' ', transform(sequence(1, 10), " +
+            "i -> concat('w', pmod(id * i, 211)))) AS text")
+        fmt(Dedup.crossContaminationBloom(corpus, bench, nGram = 2,
+          minContainment = 0.3, maxDocFreq = 0))
       })
 
     val md = new StringBuilder("# PLANS — physical-plan evidence\n\n")
