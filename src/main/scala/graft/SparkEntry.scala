@@ -1053,6 +1053,28 @@ object SparkEntry {
           Seq("k"), col("t"), col("cents"), 86400000000L)
         .select("k", "b", "v_ff").orderBy("k", "b")
     }),
+    "q_merge_intervals" -> ((s, dir) => {   // interval-union coverage: the
+      // q_interval_join window set collapsed to disjoint per-user spans;
+      // (start, end, id) total order makes the running-max frame
+      // deterministic on both engines
+      val (_, b) = temporalStreams(s, dir)
+      val iv = b.select(col("build_id"), col("k"), col("t").as("s_t"),
+        (col("t") + (pmod(col("build_id"), lit(7)) + 1) * lit(3600000000L)).as("e_t"))
+      Temporal.mergeIntervals(iv, Seq("k"), "s_t", "e_t", "build_id")
+        .select("k", "span_start", "span_end", "n_intervals")
+        .orderBy("k", "span_start")
+    }),
+    "q_percentile" -> ((s, dir) => {        // per-group exact percentile
+      // WITHOUT sorting raw rows: histogram + strictly-below cumulative
+      // over the distinct-value frame, joined back — the cross-language
+      // quality-score normalization shape
+      val ev = tbl(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      Frequency.percentileByGroup(ev, Seq("event_type"), "cents")
+        .select("event_id", "event_type", "cents", "pct_bp")
+        .orderBy("event_id")
+    }),
     "q_jsonl_roundtrip" -> ((s, dir) => {   // JSONL interchange: parquet
       // -> jsonl (one object per line) -> schema-pinned FAILFAST read;
       // the oracle reads the ORIGINAL parquet, so the gate proves
@@ -2392,6 +2414,37 @@ object SparkEntry {
           |    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |  AS v_ff
           |FROM j ORDER BY k, b""".stripMargin,
+      // interval union: same running-max + span-count formulation over
+      // the (start, end, id) total order, grouped to spans
+      "q_merge_intervals" ->
+        s"""WITH $temporalCtes,
+           |iv AS (SELECT build_id, k, t AS s_t,
+           |         t + (build_id % 7 + 1) * 3600000000 AS e_t FROM b),
+           |x AS (SELECT build_id, k, s_t, e_t,
+           |        max(e_t) OVER (PARTITION BY k ORDER BY s_t, e_t, build_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           |      FROM iv),
+           |y AS (SELECT build_id, k, s_t, e_t,
+           |        CASE WHEN pm IS NULL OR s_t > pm THEN 1 ELSE 0 END AS nw
+           |      FROM x),
+           |z AS (SELECT k, s_t, e_t,
+           |        sum(nw) OVER (PARTITION BY k ORDER BY s_t, e_t, build_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp
+           |      FROM y)
+           |SELECT k, min(s_t) AS span_start, max(e_t) AS span_end,
+           |       CAST(count(*) AS BIGINT) AS n_intervals
+           |FROM z GROUP BY k, sp ORDER BY k, span_start""".stripMargin,
+      // exact per-row percentile: (rank() - 1) counts strictly-smaller
+      // values (ties share the minimum rank), integer // matches the
+      // engine's div — bit-equal by construction
+      "q_percentile" ->
+        """WITH e AS (SELECT event_id, event_type,
+          |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+          |  WHERE value IS NOT NULL)
+          |SELECT event_id, event_type, cents,
+          |  (rank() OVER (PARTITION BY event_type ORDER BY cents) - 1)
+          |    * 10000 // (count(*) OVER (PARTITION BY event_type)) AS pct_bp
+          |FROM e ORDER BY event_id""".stripMargin,
       // jsonl round trip: the oracle never sees the jsonl — it reads the
       // original parquet, so any export/parse infidelity hash-mismatches
       "q_jsonl_roundtrip" ->

@@ -210,6 +210,42 @@ object Frequency {
   }
 
   /**
+   * EXACT per-row percentile within a group, scale-safe — the transform
+   * that normalizes a quality score across languages/domains before a
+   * global keep-threshold. pct_bp = floor(10000 * |{rows in group with
+   * value < v}| / n) — pure integer arithmetic, so the DuckDB oracle
+   * ((rank() - 1) * 10000 // n) reproduces it bit-for-bit.
+   *
+   * The naive formulation is a window over EVERY raw row per group (the
+   * corpusStats scale-killer); here the raw rows never sort: one
+   * map-side-combined histogram aggregate builds the (group, value) ->
+   * count frame, the strictly-below cumulative runs over that tiny frame,
+   * and the result joins back as a plain equi-join on (group, value)
+   * (AQE broadcasts it when small). Rows with NULL value are dropped
+   * (engines disagree on NULL rank position).
+   *
+   * Returns the input rows + `pct_bp` in [0, 10000).
+   */
+  def percentileByGroup(df: DataFrame, groupCols: Seq[String],
+                        valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!df.columns.contains("pct_bp"), "input already has pct_bp")
+    val kc = groupCols.map(col)
+    val byG = Window.partitionBy(kc: _*)
+    val hist = df.where(col(valCol).isNotNull)
+      .groupBy(kc :+ col(valCol): _*).agg(count(lit(1)).as("_c"))
+      .withColumn("_lt", coalesce(sum("_c").over(byG.orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum("_c").over(byG))
+      .drop("_c")
+    df.where(col(valCol).isNotNull)
+      .join(hist, groupCols :+ valCol)
+      .withColumn("pct_bp", expr("_lt * 10000 div _n"))
+      .drop("_lt", "_n")
+  }
+
+  /**
    * Top-k rows per group WITHOUT a per-group sort: the window-rank
    * formulation (`row_number() OVER (PARTITION BY g ORDER BY v DESC)`)
    * shuffles and sorts EVERY row of every group; this one aggregates with

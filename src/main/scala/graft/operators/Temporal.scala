@@ -347,4 +347,45 @@ object Temporal {
           .rowsBetween(Window.unboundedPreceding, 0)))
       .drop("_bv")
   }
+
+  /**
+   * Merge overlapping-or-touching CLOSED intervals per key into disjoint
+   * coverage spans — the "what time ranges do we actually have data for"
+   * question (ingest coverage, snapshot validity, sensor uptime).
+   *
+   * One key-partitioned window ordered by (start, end, id) — a TOTAL
+   * order, so the ROWS-frame running max is deterministic and the DuckDB
+   * oracle reproduces the spans bit-for-bit (ordering by start alone
+   * would make the 1-PRECEDING frame tie-dependent). An interval starts a
+   * new span iff its start exceeds the running max end of everything
+   * before it; the span id is the running count of such starts. Reducer
+   * load is one key's intervals (the sessionize shape; if a single key's
+   * interval count is itself the skew, the sessionizeBucketed carry
+   * scaffold applies — not duplicated here).
+   *
+   * Returns one row per span: keys + (span_start, span_end, n_intervals).
+   * NULL starts/ends are dropped (they order differently across engines).
+   *
+   * @param id a UNIQUE tiebreak column (ids make the order total).
+   */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], start: String,
+                     end: String, id: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    reserved(df, "mergeIntervals")
+    val kc = keys.map(col)
+    val order = Window.partitionBy(kc: _*)
+      .orderBy(col(start), col(end), col(id))
+    val prevMax = max(col(end)).over(
+      order.rowsBetween(Window.unboundedPreceding, -1))
+    df.where(col(start).isNotNull && col(end).isNotNull)
+      .where(col(start) <= col(end))
+      .withColumn("_new", when(prevMax.isNull || col(start) > prevMax, 1L)
+        .otherwise(0L))
+      .withColumn("_span", sum("_new").over(
+        order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(kc :+ col("_span"): _*)
+      .agg(min(start).as("span_start"), max(end).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("_span")
+  }
 }

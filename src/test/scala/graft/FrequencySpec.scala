@@ -101,6 +101,34 @@ class FrequencySpec extends SparkFunSuite {
     assert(Frequency.totalWords(docs.where(col("doc_id") < 0)) === 0L)
   }
 
+  test("percentileByGroup equals the strictly-below-count definition " +
+       "(heavy ties, singleton group, NULL exclusion)") {
+    val rnd = new scala.util.Random(909)
+    val rows = (0L until 4000L).map(i =>
+      (i, s"g${rnd.nextInt(5)}", rnd.nextInt(30).toLong)) :+
+      (9999L, "solo", 7L)
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val n = rs.size.toLong
+      rs.map { case (id, g, v) =>
+        (id, g, v, rs.count(_._3 < v).toLong * 10000L / n)
+      }
+    }.toSet
+    val withNull = rows.map { case (id, g, v) => (id, g, Option(v)) }
+      .:+((8888L, "g0", Option.empty[Long]))
+    val got = Frequency.percentileByGroup(
+        withNull.toDF("id", "g", "v").repartition(9), Seq("g"), "v")
+      .select("id", "g", "v", "pct_bp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)                 // NULL row absent, rest exact
+    assert(expected.exists(_._4 == 0L))      // minima are 0 bp
+    assert(expected.forall(_._4 < 10000L))   // strictly below 10000
+    intercept[IllegalArgumentException] {
+      Frequency.percentileByGroup(
+        rows.toDF("id", "g", "v").withColumn("pct_bp", lit(1)), Seq("g"), "v")
+    }
+  }
+
   test("topKPerGroup equals the window-rank formulation exactly, " +
        "across k, partitioning, a hot group, ties, and NULLs") {
     val rnd = new scala.util.Random(77)

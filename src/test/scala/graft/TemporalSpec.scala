@@ -249,4 +249,37 @@ class TemporalSpec extends SparkFunSuite {
         col("t"), col("v"), 10L)
     }
   }
+
+  test("mergeIntervals equals a fold-based oracle (random intervals: " +
+       "nesting, duplicates, touching endpoints, single points)") {
+    val rnd = new scala.util.Random(515)
+    val iv = (0L until 2000L).map { i =>
+      val k = rnd.nextInt(8).toLong
+      val s = rnd.nextInt(500).toLong
+      (i, k, s, s + rnd.nextInt(20).toLong)   // len 0..19 incl. points
+    }
+    def oracle(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+      rows.sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((cs, ce, cn) :: t, (s, e, _)) if s <= ce =>
+          (cs, math.max(ce, e), cn + 1) :: t
+        case (acc, (s, e, _)) => (s, e, 1L) :: acc
+      }.reverse
+    val expected = iv.groupBy(_._2).flatMap { case (k, rows) =>
+      oracle(rows.map(r => (r._3, r._4, r._1)))
+        .map { case (s, e, n) => (k, s, e, n) }
+    }.toSet
+    val got = Temporal.mergeIntervals(
+        iv.toDF("id", "k", "s", "e").repartition(7),
+        Seq("k"), "s", "e", "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    // inverted and NULL intervals are dropped, not merged
+    val dirty = (Seq((1L, 0L, 10L, 5L)).toDF("id", "k", "s", "e")
+      .unionByName(Seq((2L, 0L, Option.empty[Long], Option(3L)))
+        .toDF("id", "k", "s", "e")))
+    assert(Temporal.mergeIntervals(dirty, Seq("k"), "s", "e", "id")
+      .count() === 0L)
+  }
 }
