@@ -306,6 +306,15 @@ object Plans {
             "CAST(id % 35 AS DOUBLE) + 2.7) AS py")
         fmt(SpatialJoin.polyJoin(pts, polys, binDeg = 1.0))
       },
+      "skew-safe interval union (expect: the raw intervals window ONLY " +
+        "on (k, _bkt) — local per-bucket merge — and the key-wide pass " +
+        "sorts the LOCAL-SPAN aggregate frame, so a hot key's raw rows " +
+        "never serialize through one reducer)" -> {
+        val iv = spark.range(200000).selectExpr("id",
+          "pmod(id, 50) AS k", "id * 7 AS s", "id * 7 + pmod(id, 11) * 500 AS e")
+        fmt(Temporal.mergeIntervalsBucketed(iv, Seq("k"), "s", "e", "id",
+          bucketWidth = 1000L))
+      },
       "grouped top-k via bounded-heap Aggregator (expect: " +
         "ObjectHashAggregate with a partial topkagg BEFORE the exchange — " +
         "each map task ships at most k rows per group, vs the window-rank " +

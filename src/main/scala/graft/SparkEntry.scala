@@ -1064,6 +1064,19 @@ object SparkEntry {
         .select("k", "span_start", "span_end", "n_intervals")
         .orderBy("k", "span_start")
     }),
+    "q_merge_intervals_bucketed" -> ((s, dir) => { // the SKEW-SAFE twin:
+      // per-(key, 2h-bucket) local merge, cross-bucket pass over the
+      // local-span frame — decision-identical (spans are connected
+      // components of the union, hierarchical merge cannot change them);
+      // shares q_merge_intervals' oracle VERBATIM
+      val (_, b) = temporalStreams(s, dir)
+      val iv = b.select(col("build_id"), col("k"), col("t").as("s_t"),
+        (col("t") + (pmod(col("build_id"), lit(7)) + 1) * lit(3600000000L)).as("e_t"))
+      Temporal.mergeIntervalsBucketed(iv, Seq("k"), "s_t", "e_t",
+          "build_id", bucketWidth = 7200000000L)
+        .select("k", "span_start", "span_end", "n_intervals")
+        .orderBy("k", "span_start")
+    }),
     "q_percentile" -> ((s, dir) => {        // per-group exact percentile
       // WITHOUT sorting raw rows: histogram + strictly-below cumulative
       // over the distinct-value frame, joined back — the cross-language
@@ -2637,6 +2650,7 @@ object SparkEntry {
       // one oracle proves each pair agrees
       ("q_asof_join_bucketed" -> base("q_asof_join")) +
       ("q_sessionize_bucketed" -> base("q_sessionize")) +
+      ("q_merge_intervals_bucketed" -> base("q_merge_intervals")) +
       // Bloom prefilter has no false negatives and the exact join kills
       // the false positives — decision-identical to the unfiltered path
       ("q_decontaminate_bloom" -> base("q_decontaminate"))

@@ -388,4 +388,58 @@ object Temporal {
         count(lit(1)).as("n_intervals"))
       .drop("_span")
   }
+
+  /**
+   * Skew-safe [[mergeIntervals]]: decision-identical by contract (spans
+   * are the connected components of a union of closed intervals — a
+   * set-theoretic notion, so hierarchical merging cannot change them).
+   *
+   * The raw rows window ONLY on (key, start-bucket): each bucket merges
+   * its own intervals locally, then the cross-bucket pass windows over
+   * the LOCAL-SPAN frame — a hot key whose intervals pile up (the skew
+   * case: dense coverage) collapses each bucket to few spans, so its
+   * raw rows never serialize through one reducer. Worst case (every
+   * interval isolated) degrades to the local-span count, never below
+   * the windowed formulation.
+   *
+   * Local spans in different buckets have starts in disjoint bucket
+   * ranges, and within a bucket they are disjoint — so the cross-bucket
+   * order by span start is total without an id tiebreak.
+   */
+  def mergeIntervalsBucketed(df: DataFrame, keys: Seq[String], start: String,
+                             end: String, id: String,
+                             bucketWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    reserved(df, "mergeIntervalsBucketed")
+    val kc = keys.map(col)
+    val localOrd = Window.partitionBy(kc :+ col("_bkt"): _*)
+      .orderBy(col(start), col(end), col(id))
+    val localPrevMax = max(col(end)).over(
+      localOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val locals = df.where(col(start).isNotNull && col(end).isNotNull)
+      .where(col(start) <= col(end))
+      .withColumn("_bkt", bucketCol(col(start), bucketWidth))
+      .withColumn("_new",
+        when(localPrevMax.isNull || col(start) > localPrevMax, 1L)
+          .otherwise(0L))
+      .withColumn("_ls", sum("_new").over(
+        localOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(kc ++ Seq(col("_bkt"), col("_ls")): _*)
+      .agg(min(start).as("_s"), max(end).as("_e"), count(lit(1)).as("_n"))
+    val spanOrd = Window.partitionBy(kc: _*)
+      .orderBy(col("_s"), col("_e"), col("_bkt"))
+    val globalPrevMax = max(col("_e")).over(
+      spanOrd.rowsBetween(Window.unboundedPreceding, -1))
+    locals
+      .withColumn("_gnew",
+        when(globalPrevMax.isNull || col("_s") > globalPrevMax, 1L)
+          .otherwise(0L))
+      .withColumn("_gs", sum("_gnew").over(
+        spanOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(kc :+ col("_gs"): _*)
+      .agg(min("_s").as("span_start"), max("_e").as("span_end"),
+        sum("_n").as("n_intervals"))
+      .drop("_gs")
+  }
 }

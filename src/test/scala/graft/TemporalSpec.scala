@@ -281,5 +281,18 @@ class TemporalSpec extends SparkFunSuite {
         .toDF("id", "k", "s", "e")))
     assert(Temporal.mergeIntervals(dirty, Seq("k"), "s", "e", "id")
       .count() === 0L)
+    // bucketed twin: identical spans at widths from degenerate (every
+    // interval its own bucket) to one-bucket-fits-all
+    val df = iv.toDF("id", "k", "s", "e").repartition(7)
+    for (w <- Seq(1L, 7L, 100L, 100000L)) {
+      val got2 = Temporal.mergeIntervalsBucketed(df, Seq("k"), "s", "e",
+          "id", bucketWidth = w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got2 === expected, s"bucketWidth=$w")
+    }
+    assert(Temporal.mergeIntervalsBucketed(dirty, Seq("k"), "s", "e",
+      "id", 10L).count() === 0L)
   }
 }
