@@ -606,6 +606,12 @@ object SparkEntry {
           col("n_chars"), windowLen = 2048L, salt = "pk")
         .select("doc_id", "tok_off", "win_start", "win_end", "win_off",
           "n_wins").orderBy("doc_id")),
+    "q_neg_pairs" -> ((s, dir) =>           // contrastive negative mining:
+      // md5-derived strides around the exact shuffled rank ring —
+      // deterministic, self-pair-free, one rank equi-join, no cross join
+      Sampling.negativePairs(tbl(s, dir, "documents"), "doc_id",
+          nNeg = 3, salt = "neg")
+        .orderBy("doc_id", "neg_idx")),
     "q_budget_mix" -> ((s, dir) => {        // budget-capped mixing: per
       // source keep docs in hash order until the source's n_chars budget
       // is spent (mixing by absolute volume; src1 unlimited, src2 zero,
@@ -1882,6 +1888,27 @@ object SparkEntry {
           |  tok_off % 2048 AS win_off,
           |  (tok_off + n_chars - 1) // 2048 - tok_off // 2048 + 1 AS n_wins
           |FROM o ORDER BY doc_id""".stripMargin,
+      // negative pairs: the naive replay — one global row_number for the
+      // rank ring, stride = md5(id,salt,j) mod (n-1) + 1, partner joined
+      // by rank (both % operands non-negative, so % == pmod)
+      "q_neg_pairs" ->
+        """WITH b AS (SELECT doc_id,
+          |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'neg'),
+          |    1, 15) AS BIGINT) % 10000 AS bkt,
+          |  md5(CAST(doc_id AS VARCHAR) || 'neg') AS h FROM documents),
+          |r AS (SELECT doc_id, CAST(row_number()
+          |    OVER (ORDER BY bkt, h, doc_id) AS BIGINT) AS rnk FROM b),
+          |n AS (SELECT count(*) AS n FROM r),
+          |a AS (SELECT doc_id, rnk, unnest(range(1, 4)) AS neg_idx FROM r),
+          |s AS (SELECT a.doc_id, CAST(a.neg_idx AS BIGINT) AS neg_idx,
+          |        (a.rnk - 1 + CAST('0x' || substr(md5(
+          |           CAST(a.doc_id AS VARCHAR) || 'neg' || '#' ||
+          |           CAST(a.neg_idx AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % (n.n - 1) + 1) % n.n + 1 AS pr
+          |      FROM a, n)
+          |SELECT s.doc_id, s.neg_idx, r2.doc_id AS neg_id
+          |FROM s JOIN r r2 ON r2.rnk = s.pr
+          |ORDER BY s.doc_id, s.neg_idx""".stripMargin,
       // budget-capped mixing: the naive formulation of the same selection
       // — global per-source running sum in hash order, keep while <= budget
       "q_budget_mix" ->

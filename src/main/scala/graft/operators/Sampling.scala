@@ -209,6 +209,46 @@ object Sampling {
       .drop("_bkt", "_base", "_wrn")
   }
 
+  /**
+   * Deterministic pseudo-random NEGATIVE pairs for contrastive training:
+   * each anchor pairs with `nNeg` partners chosen by md5-derived strides
+   * around the exact md5-shuffled global rank ring — reproducible (no
+   * random(), so retries and re-runs emit the same pairs), uniform, and
+   * self-pair-free by construction: stride_j = md5(id, salt, j) mod
+   * (n-1) + 1 lies in [1, n-1], so (rnk-1 + stride) mod n never lands on
+   * the anchor.
+   *
+   * Scale: ranks come from the [[shardAssign]] two-pass scaffold (no
+   * global window); partners resolve through ONE equi-join on the rank
+   * ring (shuffle on a long key). n is one driver count. Never a cross
+   * join — the naive "sample negatives by self-joining on random()" is
+   * both nondeterministic and quadratic.
+   *
+   * Returns (idCol, neg_idx in [1, nNeg], neg_id).
+   */
+  def negativePairs(docs: DataFrame, idCol: String, nNeg: Int,
+                    salt: String = ""): DataFrame = {
+    require(nNeg >= 1 && nNeg <= 1000, "nNeg must be in [1, 1000]")
+    require(!docs.columns.exists(Seq("neg_idx", "neg_id", "_pr").contains),
+      "input must not contain neg_idx/neg_id/_pr")
+    val ranked = shardAssign(docs, idCol, shardSize = Long.MaxValue,
+        salt = salt)
+      .select(col(idCol), col("rnk"))
+    val n = ranked.count()
+    require(n >= 2, s"need at least 2 rows to draw negatives, got $n")
+    val strideHash = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(salt), lit("#"), col("neg_idx").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    ranked
+      .withColumn("neg_idx", explode(sequence(lit(1), lit(nNeg))))
+      .withColumn("_pr",
+        pmod(col("rnk") - 1 + pmod(strideHash, lit(n - 1)) + 1, lit(n)) + 1)
+      .join(ranked.select(col(idCol).as("neg_id"), col("rnk").as("_pr")),
+        "_pr")
+      .select(col(idCol), col("neg_idx").cast("long").as("neg_idx"),
+        col("neg_id"))
+  }
+
   /** The shared two-pass exact-global-order scaffold ([[shardAssign]],
     * [[packSequences]]): aggregate `metric` per hash bucket (the ONLY
     * frame a full-width window ever sorts — <= 10k rows), cumulative-sum

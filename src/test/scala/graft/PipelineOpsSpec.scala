@@ -376,6 +376,38 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(outH.forall { case (id, r) => expectH(id) == r })
   }
 
+  test("negativePairs: deterministic, self-pair-free, exactly nNeg per " +
+       "anchor, == the naive rank-ring oracle; tiny-corpus refusal") {
+    val n = 700L
+    val docs = (0L until n).map(Tuple1(_)).toDF("id")
+    def run() = Sampling.negativePairs(docs, "id", nNeg = 3, salt = "ng")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run()
+    assert(out.length === (n * 3).toInt)
+    assert(out.forall { case (a, _, b) => a != b }, "self pair")
+    assert(out.toSet === run().toSet, "nondeterministic")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = (0L until n).sortBy { i =>
+      val h = md5hex(i.toString + "ng")
+      (java.lang.Long.parseLong(h.take(15), 16) % 10000, h, i)
+    }
+    val rankOf = ordered.zipWithIndex.map { case (id, ix) => id -> (ix + 1L) }.toMap
+    val idAt = rankOf.map(_.swap)
+    val expected = (0L until n).flatMap { id =>
+      (1 to 3).map { j =>
+        val stride = java.lang.Long.parseLong(
+          md5hex(s"${id}ng#$j").take(15), 16) % (n - 1) + 1
+        (id, j.toLong, idAt((rankOf(id) - 1 + stride) % n + 1))
+      }
+    }.toSet
+    assert(out.toSet === expected)
+    intercept[IllegalArgumentException] {
+      Sampling.negativePairs(docs.limit(1), "id", nNeg = 2)
+    }
+  }
+
   test("packSequences: offsets are the exact global running sum in the " +
        "md5-shuffle order; window arithmetic; drops and collisions refused") {
     val docs = (0L until 5000L).map(i => (i, 1L + i % 37)).toDF("id", "tk")
