@@ -336,6 +336,38 @@ object Plans {
             "i -> concat('w', pmod(id * i, 211)))) AS text")
         fmt(Dedup.crossContaminationBloom(corpus, bench, nGram = 2,
           minContainment = 0.3, maxDocFreq = 0))
+      },
+      "portable k-means centroid update round (expect: partial " +
+        "HashAggregate on (cluster, d) BEFORE the exchange — map-side " +
+        "combine ships at most k x 64 rows per task — and the argmin " +
+        "assignment is ONE codegen projection over the scan: centroids " +
+        "are broadcast literals, no join, no second pass)" -> {
+        val embs = spark.range(200000).selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
+        val cents = Array.tabulate(8)(c => Array.tabulate(64)(d =>
+          1500L + c * 100L + d))
+        val q = embs.select(col("vec_id"),
+          graft.operators.Similarity.quantized.as("_q"))
+        fmt(graft.operators.Similarity.kmeansAssign(q, cents)
+          .select(col("cluster"), posexplode(col("_q")).as(Seq("d", "v")))
+          .groupBy("cluster", "d")
+          .agg(sum("v").as("s"), count(lit(1)).as("n")))
+      },
+      "semantic dedup candidate pass (expect: pair generation is an " +
+        "EQUI-join exchange keyed on the cluster id — never all-pairs — " +
+        "with the <= k-row eligible-cluster list BROADCAST onto both " +
+        "sides, and the zip_with pair distance evaluated inside WSCG " +
+        "after the join)" -> {
+        val embs = spark.range(200000).selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
+        fmt(Similarity.semanticDedup(embs, k = 8, iters = 0, d2Max = 1000L))
+      },
+      "cluster-balanced coreset (expect: Window PARTITIONED BY the " +
+        "cluster id — never a global sort; the caller sizes k so every " +
+        "partition is bounded — over the one-projection assignment scan)" -> {
+        val embs = spark.range(200000).selectExpr("id AS vec_id",
+          "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
+        fmt(Similarity.clusterCoreset(embs, k = 8, iters = 0, m = 10))
       })
 
     val md = new StringBuilder("# PLANS — physical-plan evidence\n\n")

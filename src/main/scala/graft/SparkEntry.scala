@@ -796,6 +796,26 @@ object SparkEntry {
           .over(Window.orderBy(col("adc"), col("vec_id"))).cast("long"))
         .select("vec_id", "rnk").orderBy("rnk")
     }),
+    "q_embed_kmeans" -> ((s, dir) => {      // distributed Lloyd k-means in
+      // EXACT integer arithmetic (quantize -> md5-seeded -> 2 full
+      // assignment/update rounds) — the WHOLE iteration is recomputed by
+      // the DuckDB oracle, not just a fixed-seed assignment
+      val (assigned, _) = Similarity.kmeansFitPortable(
+        tbl(s, dir, "embeddings"), k = 4, iters = 2)
+      assigned.orderBy("vec_id")
+    }),
+    "q_embed_semantic_dedup" -> ((s, dir) =>  // SemDeDup: cluster (k=8) then
+      // drop rows with a smaller-id co-cluster member within quantized
+      // L2^2 1.4e6 (~cos 0.3 on unit vectors) — pairs never cross
+      // clusters; the oracle replays clustering AND the pair pass
+      Similarity.semanticDedup(tbl(s, dir, "embeddings"), k = 8, iters = 2,
+          d2Max = 1400000L)
+        .orderBy("vec_id")),
+    "q_embed_coreset" -> ((s, dir) =>       // cluster-balanced coreset:
+      // the 25 most-central vectors per k-means cluster
+      Similarity.clusterCoreset(tbl(s, dir, "embeddings"), k = 4, iters = 2,
+          m = 25)
+        .orderBy("cluster", "rnk")),
     "q_embed_neardup" -> ((s, dir) =>       // rows-only (random hyperplanes not
       // SQL-able; the oracle-checked banded variant is q_embed_ann_join).
       // threshold sized to the testdata: its embeddings have no true
@@ -1302,6 +1322,52 @@ object SparkEntry {
          |    SELECT vec_id, s, code,
          |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
          |    FROM dists) WHERE rn = 1)""".stripMargin
+    // portable-k-means CTEs (q_embed_kmeans / q_embed_semantic_dedup /
+    // q_embed_coreset): the FULL iterated Lloyd pipeline recomputed from
+    // the embeddings table — quantize (TRUNC spelled out: DuckDB's
+    // double->BIGINT cast ROUNDS where Spark's truncates), md5-ordered
+    // seeds, exact BIGINT squared-L2 argmin (first-min ties via
+    // row_number (d2, cl)), truncating integer mean (`//` == Spark's Long
+    // division on these all-positive values), empty clusters keeping the
+    // previous centroid via LEFT JOIN COALESCE. Ends at `af`
+    // (vec_id, cl, d2) = the final assignment.
+    def kmeansCtes(k: Int, iters: Int): String = {
+      def round(i: Int, prev: String): String =
+        s"""d$i AS (SELECT qd.vec_id, c.cl,
+           |  CAST(sum((qd.v - c.v) * (qd.v - c.v)) AS BIGINT) AS d2
+           |  FROM qd JOIN $prev c ON qd.d = c.d GROUP BY 1, 2),
+           |a$i AS (SELECT vec_id, cl FROM (
+           |  SELECT vec_id, cl, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d$i)
+           |  WHERE rn = 1),
+           |n$i AS (SELECT a.cl, qd.d,
+           |  CAST(sum(qd.v) AS BIGINT) // count(*) AS v
+           |  FROM a$i a JOIN qd ON a.vec_id = qd.vec_id GROUP BY 1, 2),
+           |c$i AS (SELECT c.cl, c.d, COALESCE(n.v, c.v) AS v
+           |  FROM $prev c LEFT JOIN n$i n ON n.cl = c.cl AND n.d = c.d)"""
+          .stripMargin
+      val rounds = (1 to iters).map(i => round(i, s"c${i - 1}")).mkString(",\n")
+      s"""q AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(TRUNC(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) + 2000)
+         |    AS qv FROM embeddings),
+         |qd AS (SELECT vec_id, d, qv[d] AS v FROM
+         |  (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS d FROM q)),
+         |sord AS (SELECT vec_id FROM q
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+         |seeds AS (SELECT row_number() OVER
+         |    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl,
+         |    vec_id FROM sord),
+         |c0 AS (SELECT s.cl, qd.d, qd.v
+         |  FROM seeds s JOIN qd ON qd.vec_id = s.vec_id),
+         |$rounds,
+         |afd AS (SELECT qd.vec_id, c.cl,
+         |  CAST(sum((qd.v - c.v) * (qd.v - c.v)) AS BIGINT) AS d2
+         |  FROM qd JOIN c$iters c ON qd.d = c.d GROUP BY 1, 2),
+         |af AS (SELECT vec_id, cl, d2 FROM (
+         |  SELECT vec_id, cl, d2, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM afd)
+         |  WHERE rn = 1)""".stripMargin
+    }
     // morton ranges at res 9 are equivalent to the res-9 bin rectangle
     val xb9 = "CAST(TRUNC(lon * 2147483647.0 / 180.0) AS BIGINT) // 8388608"
     val yb9 = "CAST(TRUNC(lat * 2147483647.0 / 90.0) AS BIGINT) // 8388608"
@@ -1717,6 +1783,39 @@ object SparkEntry {
            |SELECT vec_id, rnk FROM ranked WHERE rnk <= 20
            |ORDER BY rnk""".stripMargin
       },
+      // portable k-means family: the shared kmeansCtes block ends at the
+      // final assignment `af` (vec_id, cl, d2)
+      "q_embed_kmeans" ->
+        s"""WITH ${kmeansCtes(k = 4, iters = 2)}
+           |SELECT vec_id, cl AS cluster, d2 FROM af
+           |ORDER BY vec_id""".stripMargin,
+      // SemDeDup greedy min-id survivor over the k=8 clustering: pairs
+      // only WITHIN a cluster (the engine's equi-join on cluster id),
+      // clusters over the cap opted out via the HAVING filter, exact
+      // BIGINT pair distances
+      "q_embed_semantic_dedup" ->
+        s"""WITH ${kmeansCtes(k = 8, iters = 2)},
+           |sz AS (SELECT cl FROM af GROUP BY cl HAVING count(*) <= 100000),
+           |el AS (SELECT af.vec_id, af.cl FROM af JOIN sz USING (cl)),
+           |pd AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+           |    CAST(sum((qa.v - qb.v) * (qa.v - qb.v)) AS BIGINT) AS pd2
+           |  FROM el x JOIN el y ON x.cl = y.cl AND x.vec_id < y.vec_id
+           |  JOIN qd qa ON qa.vec_id = x.vec_id
+           |  JOIN qd qb ON qb.vec_id = y.vec_id AND qb.d = qa.d
+           |  GROUP BY 1, 2),
+           |dr AS (SELECT DISTINCT b_id FROM pd WHERE pd2 <= 1400000)
+           |SELECT af.vec_id, af.cl AS cluster,
+           |  CAST(CASE WHEN dr.b_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS kept
+           |FROM af LEFT JOIN dr ON dr.b_id = af.vec_id
+           |ORDER BY vec_id""".stripMargin,
+      // cluster-balanced coreset: 25 most-central rows per cluster
+      "q_embed_coreset" ->
+        s"""WITH ${kmeansCtes(k = 4, iters = 2)},
+           |r AS (SELECT vec_id, cl, d2, row_number() OVER
+           |    (PARTITION BY cl ORDER BY d2, vec_id) AS rnk FROM af)
+           |SELECT vec_id, cl AS cluster, d2, rnk FROM r WHERE rnk <= 25
+           |ORDER BY cluster, rnk""".stripMargin,
       "q_embed_ann_recall" ->
         s"""WITH sigs AS ($annSigsSql),
            |$annCandSql,

@@ -445,4 +445,168 @@ object Similarity {
       .where(col("rank") <= k)
       .select("a_id", "b_id", "cos", "rank")
   }
+
+  // ---- distributed k-means (exact integer Lloyd) -----------------------------
+
+  /** Quantized embedding: trunc(x * 1000) + 2000, positive for the
+    * normalized-range vectors this engine stores ([-1, 1] comfortably
+    * clears the -2 bound), so every later division is of positive
+    * integers — Spark DIV == DuckDB // by construction. The double cast
+    * comes FIRST (a float*int product would round differently across
+    * engines). Spark's CAST to BIGINT truncates toward zero; the DuckDB
+    * twin must spell TRUNC() out (its double->BIGINT cast ROUNDS). */
+  private[graft] def quantized: Column = expr(
+    "transform(embedding, x -> " +
+      "CAST(CAST(x AS DOUBLE) * 1000.0D AS BIGINT) + 2000L)")
+
+  /** Squared-L2 argmin assignment of quantized vectors to integer
+    * centroids: BIGINT distances (exact — no float-sum ordering hazard),
+    * linear array_min/array_position (the [[assign]] family), ties to
+    * the lowest cluster id. Adds `cluster` and `d2`. */
+  private[graft] def kmeansAssign(q: DataFrame,
+                                  cents: Array[Array[Long]]): DataFrame = {
+    val dists = array(cents.map { c =>
+      c.indices.map { j =>
+        val d = element_at(col("_q"), j + 1) - lit(c(j))
+        d * d
+      }.reduce(_ + _)
+    }: _*)
+    q.withColumn("_d", dists)
+      .withColumn("cluster", (array_position(col("_d"), array_min(col("_d"))) - 1)
+        .cast("long"))
+      .withColumn("d2", array_min(col("_d")))
+      .drop("_d")
+  }
+
+  /**
+   * Distributed Lloyd k-means in EXACT integer arithmetic — every step
+   * bit-reproducible across engines and partitionings, so the WHOLE
+   * iteration (not just an assignment against fixed seeds, which is what
+   * [[ivfBuildPortable]] does) is oracle-checkable:
+   *
+   *  - vectors quantize to positive integers ([[quantized]]);
+   *  - seeds = the first k quantized vectors in (md5(vec_id), vec_id)
+   *    order (the shared portable-seed recipe);
+   *  - each of `iters` rounds runs a DISTRIBUTED argmin assignment
+   *    (broadcast centroid literals inside one codegen projection) and a
+   *    DISTRIBUTED centroid update (posexplode -> per-(cluster, dim)
+   *    sum/count with map-side combine -> truncating integer mean);
+   *    only the k x dim integer centroid table ever reaches the driver.
+   *    Empty clusters keep their previous centroid.
+   *
+   * The quantized frame is materialized ONCE via persistedCopy for the
+   * seed collect + iteration passes and released deterministically
+   * before returning (zero pinned blocks — the clustering-gate
+   * contract); the RETURNED assignment re-derives its lineage from the
+   * source frame, so consuming it costs one extra quantize projection
+   * but never touches the released blocks. Returns the final assignment
+   * (vec_id, cluster, d2) and the final centroids.
+   */
+  def kmeansFitPortable(embs: DataFrame, k: Int, iters: Int, dim: Int = 64)
+      : (DataFrame, Array[Array[Long]]) = {
+    val cents = lloyd(embs, k, iters, dim)
+    // the returned frame is built over the SOURCE lineage — the iteration
+    // blocks are already released (localCheckpoint would pin a block only
+    // the GC-driven ContextCleaner can free)
+    val out = kmeansAssign(
+        embs.select(col("vec_id"), quantized.as("_q")), cents)
+      .select("vec_id", "cluster", "d2")
+    (out, cents)
+  }
+
+  /** The seed + iteration core of [[kmeansFitPortable]]: quantizes ONCE
+    * into persisted storage, runs `iters` assignment/update rounds, and
+    * releases the blocks deterministically before returning the final
+    * integer centroids (zero pinned blocks — the clustering-gate
+    * contract). */
+  private def lloyd(embs: DataFrame, k: Int, iters: Int,
+                    dim: Int): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val (q, handle) = org.apache.spark.sql.classic.GraftBridge.persistedCopy(
+      embs.select(col("vec_id"), quantized.as("_q")))
+    try {
+      var cents: Array[Array[Long]] = q
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(k).select("_q").collect()
+        .map(_.getSeq[Long](0).toArray)
+      require(cents.length == k, s"need >= $k vectors, got ${cents.length}")
+      require(cents.forall(_.length == dim), "dim mismatch")
+      for (_ <- 0 until iters) {
+        val sums = kmeansAssign(q, cents)
+          .select(col("cluster"), posexplode(col("_q")).as(Seq("d", "v")))
+          .groupBy("cluster", "d").agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect()                      // k x dim rows — driver-small
+        val next = cents.map(_.clone())   // empty cluster: keep previous
+        sums.foreach { r =>
+          next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+        }
+        cents = next
+      }
+      cents
+    } finally { handle.unpersist(true); () }
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication: cluster with the portable
+   * integer k-means, then drop every vector that has a SMALLER-id
+   * co-cluster member within quantized squared-L2 `d2Max` (greedy min-id
+   * survivor — the exactSurvivors convention; deterministic, and exact
+   * integer arithmetic end-to-end, so a DuckDB oracle replays the whole
+   * pipeline including the clustering). Returns (vec_id, cluster,
+   * kept 1|0).
+   *
+   * Scale shape: the candidate join is an equi-join ON the cluster id —
+   * never all-pairs. The quadratic term is n^2/k in expectation, so at
+   * 100 TB the caller sizes k ~ n / desired-cluster-size; clusters that
+   * still exceed `maxCluster` rows opt OUT of pair generation entirely
+   * (all rows kept — the capBuckets discipline: a degenerate cluster is
+   * quadratic and a cluster that big carries no near-dup signal worth
+   * n^2 work), which the oracle replicates as a HAVING count filter.
+   */
+  def semanticDedup(embs: DataFrame, k: Int, iters: Int, d2Max: Long,
+                    maxCluster: Long = 100000L, dim: Int = 64): DataFrame = {
+    require(d2Max >= 0L, "d2Max must be >= 0")
+    val cents = lloyd(embs, k, iters, dim)
+    val qa = kmeansAssign(embs.select(col("vec_id"), quantized.as("_q")), cents)
+      .select(col("vec_id"), col("cluster"), col("_q"))
+    val small = qa.groupBy("cluster").agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= lit(maxCluster)).select("cluster")
+    val eligible = qa.join(broadcast(small), Seq("cluster"))   // <= k rows
+    val a = eligible.select(col("cluster"), col("vec_id").as("a_id"),
+      col("_q").as("_qa"))
+    val b = eligible.select(col("cluster"), col("vec_id").as("b_id"),
+      col("_q").as("_qb"))
+    val pairD2 = aggregate(
+      zip_with(col("_qa"), col("_qb"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .where(pairD2 <= lit(d2Max))
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("_drop", lit(1L))
+    qa.select("vec_id", "cluster")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("_drop").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+  }
+
+  /**
+   * Cluster-balanced coreset: the `m` most-central vectors of every
+   * k-means cluster (smallest quantized d2 to the centroid, ties to the
+   * lowest vec_id) — diversity-preserving downsampling for training-data
+   * curation (uniform sampling over-represents dense regions; per-cluster
+   * quotas keep the tails). Exact integer ranking — fully oracle-
+   * checkable. The window partitions on the cluster id: at 100 TB the
+   * caller sizes k ~ n / desired-cluster-size, so every window partition
+   * is bounded (never a global sort).
+   */
+  def clusterCoreset(embs: DataFrame, k: Int, iters: Int, m: Int,
+                     dim: Int = 64): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val (assigned, _) = kmeansFitPortable(embs, k, iters, dim)
+    val w = Window.partitionBy("cluster").orderBy(col("d2"), col("vec_id"))
+    assigned.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= lit(m))
+      .select("vec_id", "cluster", "d2", "rnk")
+  }
 }

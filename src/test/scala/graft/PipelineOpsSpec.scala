@@ -268,6 +268,144 @@ class PipelineOpsSpec extends SparkFunSuite {
       "query vector / planted near-dup missing from ADC top-20")
   }
 
+  // ---- portable k-means -------------------------------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-side twin of kmeansFitPortable: pure integer Lloyd, the same
+    * quantization / md5 seeding / truncating mean / first-min ties. */
+  private def refKmeans(rows: Seq[(Long, Array[Float])], k: Int, iters: Int)
+      : (Map[Long, (Long, Long)], Seq[Array[Long]]) = {
+    val q = rows.map { case (id, v) =>
+      id -> v.map(x => (x.toDouble * 1000.0).toLong + 2000L)
+    }
+    var cents: Seq[Array[Long]] = q
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(k).map(_._2)
+    def assign(v: Array[Long]): (Int, Long) = {
+      val d = cents.map(c => c.indices.map { j =>
+        val t = v(j) - c(j); t * t
+      }.sum)
+      val m = d.min
+      (d.indexOf(m), m)
+    }
+    (0 until iters).foreach { _ =>
+      val byCl = q.map { case (_, v) => (assign(v)._1, v) }.groupBy(_._1)
+      cents = cents.indices.map { cl =>
+        byCl.get(cl) match {
+          case Some(vs) => Array.tabulate(cents(cl).length)(j =>
+            vs.map(_._2(j)).sum / vs.size)   // positive: / == truncation
+          case None => cents(cl)             // empty cluster keeps previous
+        }
+      }
+    }
+    val out = q.map { case (id, v) =>
+      val (cl, d2) = assign(v); id -> (cl.toLong, d2)
+    }.toMap
+    (out, cents)
+  }
+
+  test("kmeansFitPortable matches the integer-exact driver reference " +
+       "bit-for-bit and pins no blocks") {
+    embs.count()   // register the fixture's own cache before the baseline
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (assigned, cents) = Similarity.kmeansFitPortable(embs, k = 5, iters = 3)
+    val got = assigned.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"pinned blocks leaked: $leaked")
+    val (expected, expCents) = refKmeans(vecRows, k = 5, iters = 3)
+    assert(got.size == expected.size)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"vec $id") }
+    cents.zip(expCents).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g.toSeq == e.toSeq, s"centroid $i")
+    }
+    // every planted near-dup pair co-clusters (d ~0.005 perturbation)
+    (0L until 15L).foreach { i =>
+      assert(got(i)._1 == got(1000L + i)._1, s"near-dup pair $i split")
+    }
+  }
+
+  test("kmeansFitPortable: duplicate seeds leave a cluster empty and its " +
+       "centroid is retained verbatim") {
+    // two distinct points, each duplicated; k=3 seeds must contain a
+    // duplicate pair, so at least one cluster ends every round empty
+    val pts = Seq(
+      0L -> Array.fill(4)(0.5f), 1L -> Array.fill(4)(0.5f),
+      2L -> Array.fill(4)(-0.5f), 3L -> Array.fill(4)(-0.5f))
+    val df = pts.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val (assigned, cents) = Similarity.kmeansFitPortable(df, k = 3, iters = 2, dim = 4)
+    val (expected, expCents) = refKmeans(pts, k = 3, iters = 2)
+    val got = assigned.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    expected.foreach { case (id, e) => assert(got(id) == e, s"vec $id") }
+    cents.zip(expCents).foreach { case (g, e) => assert(g.toSeq == e.toSeq) }
+    // the empty cluster kept a seed vector verbatim: quantized +/-0.5
+    // coords are 1500/2500, and some cluster attracted zero members
+    val used = got.values.map(_._1).toSet
+    assert(used.size < 3, "expected at least one empty cluster")
+    // members sit exactly on their centroid (duplicates): d2 == 0
+    got.values.foreach { case (_, d2) => assert(d2 == 0L) }
+  }
+
+  test("semanticDedup drops exactly the smaller-id-neighbor rows the " +
+       "driver reference computes; planted near-dup partners all drop") {
+    val k = 5; val iters = 2; val d2Max = 10000L   // ~cos 0.995 on unit vecs
+    val got = Similarity.semanticDedup(embs, k, iters, d2Max).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver reference: refKmeans assignment, then greedy min-id survivor
+    // over exact integer pair distances within each cluster
+    val (asg, _) = refKmeans(vecRows, k, iters)
+    val quant = vecRows.map { case (id, v) =>
+      id -> v.map(x => (x.toDouble * 1000.0).toLong + 2000L)
+    }.toMap
+    def pairD2(a: Long, b: Long): Long =
+      quant(a).indices.map { j =>
+        val t = quant(a)(j) - quant(b)(j); t * t
+      }.sum
+    val dropped = asg.toSeq.groupBy(_._2._1).values.flatMap { members =>
+      val ids = members.map(_._1).toSeq.sorted
+      ids.filter(j => ids.exists(i => i < j && pairD2(i, j) <= d2Max))
+    }.toSet
+    assert(got.size == vecRows.size)
+    vecRows.foreach { case (id, _) =>
+      assert(got(id)._1 == asg(id)._1, s"cluster of $id")
+      assert(got(id)._2 == (if (dropped(id)) 0L else 1L), s"kept of $id")
+    }
+    // every planted near-dup partner (cos ~0.999 to a smaller id) drops
+    (0L until 15L).foreach { i =>
+      assert(got(1000L + i)._2 == 0L, s"planted partner ${1000 + i} kept")
+    }
+    // and the fixture's base vectors at cluster spread (cos ~0.94) survive
+    assert(got.count(_._2._2 == 1L) >= 290,
+      "cluster-mates at cos ~0.94 must not drop at this threshold")
+  }
+
+  test("semanticDedup: clusters over maxCluster opt out of pair generation") {
+    val out = Similarity.semanticDedup(embs, k = 1, iters = 1,
+      d2Max = Long.MaxValue / 128, maxCluster = 10L).collect()
+    // one giant cluster over the cap: nothing may drop even at a huge
+    // threshold
+    assert(out.forall(_.getLong(2) == 1L))
+  }
+
+  test("clusterCoreset keeps the m most-central rows per cluster, exactly " +
+       "the driver reference ranking") {
+    val k = 5; val iters = 2; val m = 12
+    val got = Similarity.clusterCoreset(embs, k, iters, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (asg, _) = refKmeans(vecRows, k, iters)
+    val expected = asg.toSeq.groupBy(_._2._1).toSeq.flatMap { case (cl, ms) =>
+      ms.toSeq.map { case (id, (_, d2)) => (id, cl, d2) }
+        .sortBy { case (id, _, d2) => (d2, id) }.take(m).zipWithIndex
+        .map { case ((id, c, d2), i) => (id, c, d2, (i + 1).toLong) }
+    }.toSet
+    assert(got.length == expected.size)
+    got.foreach(r => assert(expected(r), s"unexpected row $r"))
+  }
+
   test("connectedComponents: chains, triangles and isolated pairs label " +
        "with their component minimum (canonical survivor)") {
     // components: chain 5-3-9-1 (min 1), triangle 20-21-22 (min 20),
