@@ -804,6 +804,36 @@ object SparkEntry {
         tbl(s, dir, "embeddings"), k = 4, iters = 2)
       assigned.orderBy("vec_id")
     }),
+    "q_embed_kmeans_predict" -> ((s, dir) => {  // fit-once / apply-many:
+      // fit on the 1/3 sample, round-trip the centroids through the
+      // stored model sidecar, predict EVERY row — one codegen argmin
+      // projection, no join, no shuffle
+      val e = tbl(s, dir, "embeddings")
+      val (_, cents) = Similarity.kmeansFitPortable(
+        e.where(col("vec_id") % 3 === 0), k = 4, iters = 2)
+      val mdir = java.nio.file.Files
+        .createTempDirectory("graft_kmmodel_").toString
+      Similarity.writeKmeansModel(s, mdir, cents)
+      Similarity.kmeansPredict(e, Similarity.readKmeansModel(s, mdir))
+        .orderBy("vec_id")
+    }),
+    "q_knn_classify" -> ((s, dir) =>        // exact kNN majority-label vote
+      // for 20 probe rows (label-noise QA; probes broadcast by contract)
+      Similarity.knnClassify(tbl(s, dir, "embeddings"), k = 10,
+          probePred = col("vec_id") < 20)
+        .orderBy("vec_id")),
+    "q_knn_classify_ann" -> ((s, dir) =>    // banded-ANN twin: neighbors
+      // from the axis-sig equi-join (q_embed_ann_join's exact candidates),
+      // then the same majority vote
+      Similarity.knnClassifyAnn(tbl(s, dir, "embeddings"), k = 5,
+          nTables = 8, bits = 8, probePred = col("vec_id") < 20,
+          maxBucket = 0)
+        .orderBy("vec_id")),
+    "q_cluster_purity" -> ((s, dir) =>      // per-cluster majority stored
+      // label + counts over the k=4 portable clustering
+      Similarity.clusterLabelPurity(tbl(s, dir, "embeddings"), k = 4,
+          iters = 2)
+        .orderBy("cluster")),
     "q_embed_semantic_dedup" -> ((s, dir) =>  // SemDeDup: cluster (k=8) then
       // drop rows with a smaller-id co-cluster member within quantized
       // L2^2 1.4e6 (~cos 0.3 on unit vectors) — pairs never cross
@@ -1045,6 +1075,37 @@ object SparkEntry {
           bucketWidth = 7200000000L, maxSpanBuckets = 4)
         .select("probe_id", "interval_id", "k", "t", "s_t", "e_t")
         .orderBy("probe_id", "interval_id")
+    }),
+    "q_grid_smooth" -> ((s, dir) =>         // 3x3 box-kernel density over
+      // the 1-degree grid: binning agg over points + offset explode over
+      // the COUNTS table + cell-keyed join — never a spatial window
+      SpatialJoin.gridSmooth(eventPoints(s, dir), col("lon"), col("lat"),
+          radius = 1)
+        .orderBy("ix", "iy")),
+    "q_vocab_overlap" -> ((s, dir) =>       // exact 3-gram vocabulary
+      // overlap between source pairs (postings self-join on the shingle,
+      // pair rows bounded by the GROUP count) — contamination diagnostics
+      TextOps.groupVocabOverlap(tbl(s, dir, "documents"), col("source"),
+          nGram = 3)
+        .orderBy("a_g", "b_g")),
+    "q_cohort_retention" -> ((s, dir) => {  // weekly retention triangle:
+      // cohort = bucket of the user's FIRST event; rows count distinct
+      // users active `age` buckets later — two user-keyed hash aggs +
+      // one join, no window
+      val ev = tbl(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      Temporal.cohortRetention(ev, "user_id", col("t"), 604800000000L)
+        .orderBy("cohort", "age")
+    }),
+    "q_funnel" -> ((s, dir) => {            // ordered 4-step funnel
+      // (signup -> view -> click -> purchase), each step strictly after
+      // the previous one's earliest completion and within 7 days of
+      // step 1 — a chain of filtered per-user min aggregates
+      val ev = tbl(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"), col("event_type"))
+      Temporal.funnel(ev, "user_id", col("t"), col("event_type"),
+          Seq("signup", "view", "click", "purchase"), 604800000000L)
+        .orderBy("step")
     }),
     "q_sessionize" -> ((s, dir) => {        // gap-based sessionization: a
       // 1-day silence opens a new session, labeled by its first event's ts
@@ -1330,8 +1391,10 @@ object SparkEntry {
     // row_number (d2, cl)), truncating integer mean (`//` == Spark's Long
     // division on these all-positive values), empty clusters keeping the
     // previous centroid via LEFT JOIN COALESCE. Ends at `af`
-    // (vec_id, cl, d2) = the final assignment.
-    def kmeansCtes(k: Int, iters: Int): String = {
+    // (vec_id, cl, d2) = the final assignment. `fitWhere` restricts the
+    // rows that SEED and ITERATE (the fit sample); the final assignment
+    // always covers every row (fit-on-sample / predict-everything).
+    def kmeansCtes(k: Int, iters: Int, fitWhere: String = "TRUE"): String = {
       def round(i: Int, prev: String): String =
         s"""d$i AS (SELECT qd.vec_id, c.cl,
            |  CAST(sum((qd.v - c.v) * (qd.v - c.v)) AS BIGINT) AS d2
@@ -1347,11 +1410,14 @@ object SparkEntry {
            |  FROM $prev c LEFT JOIN n$i n ON n.cl = c.cl AND n.d = c.d)"""
           .stripMargin
       val rounds = (1 to iters).map(i => round(i, s"c${i - 1}")).mkString(",\n")
-      s"""q AS (SELECT vec_id, list_transform(embedding,
+      s"""qall AS (SELECT vec_id, list_transform(embedding,
          |    x -> CAST(TRUNC(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) + 2000)
          |    AS qv FROM embeddings),
-         |qd AS (SELECT vec_id, d, qv[d] AS v FROM
-         |  (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS d FROM q)),
+         |q AS (SELECT * FROM qall WHERE $fitWhere),
+         |qdall AS (SELECT vec_id, d, qv[d] AS v FROM
+         |  (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS d
+         |   FROM qall)),
+         |qd AS (SELECT qdall.* FROM qdall JOIN q USING (vec_id)),
          |sord AS (SELECT vec_id FROM q
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
          |seeds AS (SELECT row_number() OVER
@@ -1360,9 +1426,9 @@ object SparkEntry {
          |c0 AS (SELECT s.cl, qd.d, qd.v
          |  FROM seeds s JOIN qd ON qd.vec_id = s.vec_id),
          |$rounds,
-         |afd AS (SELECT qd.vec_id, c.cl,
-         |  CAST(sum((qd.v - c.v) * (qd.v - c.v)) AS BIGINT) AS d2
-         |  FROM qd JOIN c$iters c ON qd.d = c.d GROUP BY 1, 2),
+         |afd AS (SELECT qdall.vec_id, c.cl,
+         |  CAST(sum((qdall.v - c.v) * (qdall.v - c.v)) AS BIGINT) AS d2
+         |  FROM qdall JOIN c$iters c ON qdall.d = c.d GROUP BY 1, 2),
          |af AS (SELECT vec_id, cl, d2 FROM (
          |  SELECT vec_id, cl, d2, row_number() OVER
          |    (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM afd)
@@ -1783,10 +1849,64 @@ object SparkEntry {
            |SELECT vec_id, rnk FROM ranked WHERE rnk <= 20
            |ORDER BY rnk""".stripMargin
       },
+      // exact kNN classification: per-probe cosine ranking (the
+      // cross-engine ranking agreement the q_embed_* gates prove), then
+      // majority label with vote ties to the lowest label
+      "q_knn_classify" ->
+        s"""WITH p AS (SELECT vec_id AS a_id, embedding AS ea
+           |  FROM embeddings WHERE vec_id < 20),
+           |tk AS (SELECT a_id, lb FROM (
+           |  SELECT p.a_id, e.label AS lb, row_number() OVER
+           |    (PARTITION BY p.a_id ORDER BY
+           |      list_cosine_similarity(e.embedding, p.ea) DESC, e.vec_id)
+           |    AS rnk
+           |  FROM embeddings e, p WHERE e.vec_id <> p.a_id) WHERE rnk <= 10),
+           |v AS (SELECT a_id, lb, count(*) AS n FROM tk GROUP BY 1, 2)
+           |SELECT a_id AS vec_id, CAST(lb AS BIGINT) AS label_pred,
+           |  n AS votes
+           |FROM (SELECT a_id, lb, n, row_number() OVER
+           |    (PARTITION BY a_id ORDER BY n DESC, lb) AS r FROM v)
+           |WHERE r = 1 ORDER BY vec_id""".stripMargin,
+      // banded-ANN classification: q_embed_ann_join's candidate CTEs
+      // verbatim, then the same majority vote
+      "q_knn_classify_ann" ->
+        s"""WITH sigs AS ($annSigsSql),
+           |$annCandSql,
+           |tk AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+           |  row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id)
+           |    AS rnk FROM scored) WHERE rnk <= 5),
+           |v AS (SELECT tk.a_id, e.label AS lb, count(*) AS n
+           |  FROM tk JOIN embeddings e ON e.vec_id = tk.b_id GROUP BY 1, 2)
+           |SELECT a_id AS vec_id, CAST(lb AS BIGINT) AS label_pred,
+           |  n AS votes
+           |FROM (SELECT a_id, lb, n, row_number() OVER
+           |    (PARTITION BY a_id ORDER BY n DESC, lb) AS r FROM v)
+           |WHERE r = 1 ORDER BY vec_id""".stripMargin,
+      // cluster label purity over the k=4 portable clustering
+      "q_cluster_purity" ->
+        s"""WITH ${kmeansCtes(k = 4, iters = 2)},
+           |lv AS (SELECT af.cl, e.label, count(*) AS n
+           |  FROM af JOIN embeddings e ON e.vec_id = af.vec_id GROUP BY 1, 2),
+           |tot AS (SELECT cl, CAST(sum(n) AS BIGINT) AS n_rows
+           |  FROM lv GROUP BY 1),
+           |mj AS (SELECT cl, label, n FROM (
+           |  SELECT cl, label, n, row_number() OVER
+           |    (PARTITION BY cl ORDER BY n DESC, label) AS r FROM lv)
+           |  WHERE r = 1)
+           |SELECT mj.cl AS cluster, tot.n_rows,
+           |  CAST(mj.label AS BIGINT) AS label_major, mj.n AS n_major
+           |FROM mj JOIN tot ON tot.cl = mj.cl
+           |ORDER BY cluster""".stripMargin,
       // portable k-means family: the shared kmeansCtes block ends at the
       // final assignment `af` (vec_id, cl, d2)
       "q_embed_kmeans" ->
         s"""WITH ${kmeansCtes(k = 4, iters = 2)}
+           |SELECT vec_id, cl AS cluster, d2 FROM af
+           |ORDER BY vec_id""".stripMargin,
+      // fit on the 1/3 sample (fitWhere restricts seeding + iteration),
+      // final assignment covers every row
+      "q_embed_kmeans_predict" ->
+        s"""WITH ${kmeansCtes(k = 4, iters = 2, fitWhere = "vec_id % 3 = 0")}
            |SELECT vec_id, cl AS cluster, d2 FROM af
            |ORDER BY vec_id""".stripMargin,
       // SemDeDup greedy min-id survivor over the k=8 clustering: pairs
@@ -2524,6 +2644,71 @@ object SparkEntry {
            |ORDER BY probe_id, interval_id""".stripMargin,
       // gap-based sessionization: identical lag-flag + running-last window
       // formulation; session label = first event's ts
+      // 3x3 grid smoothing (positive-quadrant trunc bins)
+      "q_grid_smooth" ->
+        s"""WITH pts AS ($eventPointsSql),
+           |c AS (SELECT CAST(TRUNC(lon) AS BIGINT) AS ix,
+           |    CAST(TRUNC(lat) AS BIGINT) AS iy,
+           |    CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+           |o AS (SELECT dx, dy
+           |  FROM (SELECT unnest(generate_series(-1, 1)) AS dx),
+           |       (SELECT unnest(generate_series(-1, 1)) AS dy)),
+           |s AS (SELECT c.ix + o.dx AS ix, c.iy + o.dy AS iy,
+           |    CAST(sum(n) AS BIGINT) AS smooth_n FROM c, o GROUP BY 1, 2)
+           |SELECT c.ix, c.iy, c.n, s.smooth_n
+           |FROM c JOIN s USING (ix, iy) ORDER BY ix, iy""".stripMargin,
+      // 3-gram source-vocabulary overlap (the q_minhash_sig shingle
+      // construction, grouped by source)
+      "q_vocab_overlap" ->
+        """WITH ws AS (SELECT source AS g, list_filter(string_split(text, ' '),
+          |    t -> length(t) > 0) AS w FROM documents),
+          |sh AS (SELECT g, s FROM (SELECT g, unnest(list_transform(
+          |    range(1, greatest(len(w) - 2, 1) + 1),
+          |    i -> array_to_string(w[i:i+2], ' '))) AS s FROM ws)
+          |  WHERE length(s) > 0),
+          |w AS (SELECT DISTINCT g, s FROM sh),
+          |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS sz FROM w GROUP BY 1),
+          |i AS (SELECT a.g AS a_g, b.g AS b_g,
+          |    CAST(count(*) AS BIGINT) AS n_common
+          |  FROM w a JOIN w b ON a.s = b.s AND a.g < b.g GROUP BY 1, 2)
+          |SELECT i.a_g, i.b_g, i.n_common,
+          |  sa.sz + sb.sz - i.n_common AS n_union
+          |FROM i JOIN sz sa ON sa.g = i.a_g JOIN sz sb ON sb.g = i.b_g
+          |ORDER BY a_g, b_g""".stripMargin,
+      // weekly cohort retention (positive epoch micros: // == bucketCol's
+      // floor-pmod arithmetic)
+      "q_cohort_retention" ->
+        """WITH e AS (SELECT user_id AS u,
+          |    epoch_us(ts) // 604800000000 AS bkt FROM events),
+          |c AS (SELECT u, min(bkt) AS cohort FROM e GROUP BY 1),
+          |a AS (SELECT DISTINCT u, bkt FROM e)
+          |SELECT c.cohort, a.bkt - c.cohort AS age,
+          |  CAST(count(*) AS BIGINT) AS n_users
+          |FROM a JOIN c ON c.u = a.u GROUP BY 1, 2
+          |ORDER BY cohort, age""".stripMargin,
+      // ordered funnel: the same chain of per-user min aggregates
+      "q_funnel" ->
+        """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+          |    event_type AS et FROM events),
+          |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'signup'
+          |  GROUP BY 1),
+          |s2 AS (SELECT e.u, min(s1.t1) AS t1, min(e.t) AS t2
+          |  FROM e JOIN s1 ON s1.u = e.u
+          |  WHERE e.et = 'view' AND e.t > s1.t1
+          |    AND e.t <= s1.t1 + 604800000000 GROUP BY 1),
+          |s3 AS (SELECT e.u, min(s2.t1) AS t1, min(e.t) AS t3
+          |  FROM e JOIN s2 ON s2.u = e.u
+          |  WHERE e.et = 'click' AND e.t > s2.t2
+          |    AND e.t <= s2.t1 + 604800000000 GROUP BY 1),
+          |s4 AS (SELECT e.u, min(e.t) AS t4
+          |  FROM e JOIN s3 ON s3.u = e.u
+          |  WHERE e.et = 'purchase' AND e.t > s3.t3
+          |    AND e.t <= s3.t1 + 604800000000 GROUP BY 1)
+          |SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS users FROM s1
+          |UNION ALL SELECT 2, count(*) FROM s2
+          |UNION ALL SELECT 3, count(*) FROM s3
+          |UNION ALL SELECT 4, count(*) FROM s4
+          |ORDER BY step""".stripMargin,
       "q_sessionize" ->
         s"""WITH $temporalCtes,
            |x AS (SELECT probe_id, k, t,

@@ -590,6 +590,124 @@ object Similarity {
         when(col("_drop").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
   }
 
+  /** Assign rows to STORED integer centroids (no fitting): the apply-many
+    * half of the fit-once/apply-many pipeline — at 100 TB the model is
+    * fit on a sample ([[kmeansFitPortable]]) and this one codegen
+    * projection (centroid literals broadcast inside the expression, no
+    * join, no shuffle) labels the full corpus. */
+  def kmeansPredict(embs: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    kmeansAssign(embs.select(col("vec_id"), quantized.as("_q")), cents)
+      .select("vec_id", "cluster", "d2")
+
+  /** Persist fitted integer centroids as a JSON sidecar (k x dim longs,
+    * driver-small — the IndexMeta convention: apply-side reads the
+    * writer's own parameters, divergence impossible). */
+  def writeKmeansModel(spark: org.apache.spark.sql.SparkSession, path: String,
+                       cents: Array[Array[Long]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_kmeans_model.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(cents.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]").getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** Read back a stored k-means model ([[writeKmeansModel]]). */
+  def readKmeansModel(spark: org.apache.spark.sql.SparkSession, path: String)
+      : Array[Array[Long]] = {
+    import org.json4s._
+    val json = readSidecar(spark, path, "_kmeans_model.json", "writeKmeansModel")
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JArray(rows) => rows.map {
+        case JArray(vs) => vs.map {
+          case JInt(i) => i.toLong
+          case x => throw new IllegalArgumentException(s"bad centroid value $x")
+        }.toArray
+        case x => throw new IllegalArgumentException(s"bad centroid row $x")
+      }.toArray
+      case x => throw new IllegalArgumentException(s"bad model json $x")
+    }
+  }
+
+  // ---- embedding-label evaluation ---------------------------------------------
+
+  /**
+   * Exact kNN majority-label classification of the probe rows: each row
+   * satisfying `probePred` is ranked against every OTHER row by exact
+   * cosine (desc, ties to the lowest candidate id); its top `k`
+   * neighbors vote with their stored `label`; majority wins, vote ties
+   * to the lowest label. Returns (vec_id, label_pred, votes) — the
+   * training-data QA surface: probes whose predicted label disagrees
+   * with their stored one are mislabel suspects.
+   *
+   * Scale shape: the probe set is BROADCAST against one scan of the
+   * table (exact by construction), so the probe count must stay
+   * bounded — eval sets are small by contract. Unbounded probe sets use
+   * [[knnClassifyAnn]], the banded equi-join twin with no broadcast.
+   */
+  def knnClassify(embs: DataFrame, k: Int, probePred: Column): DataFrame = {
+    val probes = embs.where(probePred)
+      .select(col("vec_id").as("a_id"), col("embedding").as("_ea"))
+    val cands = embs.select(col("vec_id").as("b_id"),
+      col("embedding").as("_eb"), col("label").as("_lb"))
+    val wTop = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    val topk = cands.crossJoin(broadcast(probes))
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("cos", vec.cosine(col("_ea"), col("_eb")))
+      .withColumn("_r", row_number().over(wTop))
+      .where(col("_r") <= lit(k))
+    vote(topk)
+  }
+
+  /** ANN twin of [[knnClassify]]: the neighbors come from
+    * [[axisKnnJoin]]'s banded equi-join (single scan, never all-pairs,
+    * no broadcast), then vote by label — the 100 TB classification
+    * shape, oracle-checkable through the axis-sign signature family. */
+  def knnClassifyAnn(embs: DataFrame, k: Int, nTables: Int, bits: Int,
+                     probePred: Column, maxBucket: Int = 1000,
+                     dim: Int = 64): DataFrame = {
+    val nn = axisKnnJoin(embs, k, nTables, bits, probePred, maxBucket, dim)
+    val labels = embs.select(col("vec_id").as("b_id"), col("label").as("_lb"))
+    vote(nn.join(labels, Seq("b_id")))
+  }
+
+  /** Majority vote over a neighbor frame carrying (a_id, _lb): returns
+    * (vec_id, label_pred, votes); vote ties to the lowest label. The
+    * window runs over the per-probe label-vote table (<= k rows per
+    * probe), never the raw neighbor rows. */
+  private def vote(nbrs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("a_id").orderBy(col("votes").desc, col("_lb"))
+    nbrs.groupBy(col("a_id"), col("_lb"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("_rv", row_number().over(w))
+      .where(col("_rv") === 1)
+      .select(col("a_id").as("vec_id"),
+        col("_lb").cast("long").as("label_pred"), col("votes"))
+  }
+
+  /**
+   * Cluster label purity: for every portable-k-means cluster, the member
+   * count, the majority stored label (vote ties to the lowest label)
+   * and its vote count — label-noise / cluster-quality QA. ONE
+   * partial+final hash agg on (cluster, label) over the assignment
+   * projection; every later step (majority window, totals, join) runs
+   * on the k x |labels| vote table, which is tiny by construction.
+   */
+  def clusterLabelPurity(embs: DataFrame, k: Int, iters: Int,
+                         dim: Int = 64): DataFrame = {
+    val cents = lloyd(embs, k, iters, dim)
+    val a = kmeansAssign(
+      embs.select(col("vec_id"), col("label"), quantized.as("_q")), cents)
+    val votes = a.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = votes.groupBy("cluster").agg(sum("n").as("n_rows"))
+    val w = Window.partitionBy("cluster").orderBy(col("n").desc, col("label"))
+    votes.withColumn("_r", row_number().over(w)).where(col("_r") === 1)
+      .join(tot, Seq("cluster"))
+      .select(col("cluster"), col("n_rows"),
+        col("label").cast("long").as("label_major"), col("n").as("n_major"))
+  }
+
   /**
    * Cluster-balanced coreset: the `m` most-central vectors of every
    * k-means cluster (smallest quantized d2 to the centroid, ties to the

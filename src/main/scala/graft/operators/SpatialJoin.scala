@@ -209,4 +209,34 @@ object SpatialJoin {
       broadcast(polys.where(cells > maxCellsPerPoly)), inside)
     main.unionByName(g)
   }
+
+  /**
+   * Box-kernel density smoothing on an integer grid: bin points to
+   * (ix, iy) cells, then each OCCUPIED cell's `smooth_n` sums the raw
+   * counts of the (2r+1)^2 cells around it — the neighborhood-density
+   * surface a heatmap / hot-spot detector reads.
+   *
+   * Scale shape: the only pass over the points is the binning hash agg
+   * (map-side combinable); the offset explode and re-aggregate run over
+   * the COUNTS table (already |cells|, not |points|), and the final join
+   * is cell-keyed. Never a window over space, never a range join.
+   * Coordinates must be in the positive quadrant (trunc == floor, the
+   * cross-engine bin convention).
+   */
+  def gridSmooth(pts: DataFrame, x: Column, y: Column,
+                 radius: Int = 1): DataFrame = {
+    require(radius >= 0 && radius <= 8, "radius in [0, 8]")
+    val counts = pts
+      .groupBy(x.cast("long").as("ix"), y.cast("long").as("iy"))
+      .agg(count(lit(1)).as("n"))
+    val offs = (-radius to radius)
+      .flatMap(dx => (-radius to radius).map(dy => (dx.toLong, dy.toLong)))
+    val contrib = counts
+      .select(col("ix"), col("iy"), col("n"), explode(typedLit(offs)).as("_o"))
+      .select((col("ix") + col("_o._1")).as("ix"),
+        (col("iy") + col("_o._2")).as("iy"), col("n"))
+    val sm = contrib.groupBy("ix", "iy").agg(sum("n").as("smooth_n"))
+    counts.join(sm, Seq("ix", "iy"))
+      .select(col("ix"), col("iy"), col("n"), col("smooth_n"))
+  }
 }

@@ -442,4 +442,66 @@ object Temporal {
         sum("_n").as("n_intervals"))
       .drop("_gs")
   }
+
+  /**
+   * Cohort retention: every user is assigned to the time bucket of their
+   * FIRST event (the cohort); each output row counts the cohort's
+   * distinct users still active `age` buckets later — the classic
+   * growth-analytics retention triangle.
+   *
+   * Scale shape: two hash aggs keyed on the user id (first-event bucket;
+   * distinct (user, bucket) activity) that co-partition, one join on the
+   * user id, and a final agg on the tiny (cohort, age) pair. No window,
+   * no sort — reducer load is one user's rows at worst, and a user's
+   * event count is humanly bounded. Timestamps must be non-negative
+   * (epoch micros convention).
+   */
+  def cohortRetention(events: DataFrame, user: String, tsMicros: Column,
+                      width: Long): DataFrame = {
+    require(width > 0, "width must be > 0")
+    reserved(events, "events")
+    val e = events.select(col(user).as("_u"), tsMicros.cast("long").as("_t"))
+      .withColumn("_bkt", bucketCol(col("_t"), width))
+    val cohorts = e.groupBy("_u").agg(min("_bkt").as("_cohort"))
+    val activity = e.select("_u", "_bkt").distinct()
+    activity.join(cohorts, Seq("_u"))
+      .groupBy(col("_cohort").as("cohort"),
+        (col("_bkt") - col("_cohort")).as("age"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /**
+   * Ordered funnel: how many users complete each prefix of `steps`, where
+   * step i must happen STRICTLY after the user's earliest completion of
+   * step i-1 and within `horizon` of their step-1 time. Returns
+   * (step 1-based, users).
+   *
+   * Scale shape: a chain of filtered aggregates — stage i is one hash agg
+   * of the step-i events keyed on the user joined to the (shrinking)
+   * stage i-1 user frame; no window, no collect_list of a user's whole
+   * history. The per-stage frames are one row per surviving user, so
+   * every join after stage 1 is against a frame no larger than the
+   * step-1 user count.
+   */
+  def funnel(events: DataFrame, user: String, tsMicros: Column,
+             typeCol: Column, steps: Seq[String], horizon: Long): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(horizon > 0, "horizon must be > 0")
+    reserved(events, "events")
+    val e = events.select(col(user).as("_u"), tsMicros.cast("long").as("_t"),
+      typeCol.as("_et"))
+    val s1 = e.where(col("_et") === steps.head)
+      .groupBy("_u").agg(min("_t").as("_t1"))
+    val stages = steps.indices.drop(1).scanLeft(s1) { (prev, i) =>
+      e.where(col("_et") === steps(i))
+        .join(prev, Seq("_u"))
+        .where(col("_t") > col(s"_t${i}") &&
+          col("_t") <= col("_t1") + lit(horizon))
+        .groupBy("_u").agg(min("_t1").as("_t1"), min("_t").as(s"_t${i + 1}"))
+    }
+    stages.zipWithIndex.map { case (st, i) =>
+      st.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1L).as("step"), col("users"))
+    }.reduce(_.unionByName(_))
+  }
 }

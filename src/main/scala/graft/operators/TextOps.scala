@@ -284,4 +284,40 @@ object TextOps {
   def withFingerprints(docs: DataFrame): DataFrame =
     docs.withColumn("fp", fingerprint(col("text")))
       .withColumn("fp_sketch", winnowedFingerprints(col("text")))
+
+  /**
+   * Exact vocabulary overlap between every pair of document GROUPS
+   * (sources, languages, shards): returns (a_g, b_g, n_common, n_union)
+   * — Jaccard = n_common / n_union downstream (kept as exact integers so
+   * the result is hash-stable cross-engine). Corpus diagnostics: which
+   * sources duplicate each other's vocabulary / are candidates for
+   * contamination checks.
+   *
+   * Scale shape: a postings join — the distinct (group, word) frame is
+   * built once (hash agg, map-side combinable) and self-joined ON the
+   * word, so a word shared by g groups costs g^2 pair rows, bounded by
+   * the GROUP count (modest by contract: sources, not documents), never
+   * by corpus size. Tokenization is [[Dedup.wsWords]] for nGram=1 and
+   * [[Dedup.shingles]] above (oracle parity — the q_minhash_sig SQL
+   * construction); on a small-vocabulary corpus use nGram >= 2, or every
+   * pair trivially shares the whole vocabulary.
+   */
+  def groupVocabOverlap(docs: DataFrame, group: Column,
+                        nGram: Int = 1): DataFrame = {
+    require(nGram >= 1, "nGram must be >= 1")
+    val toks = if (nGram == 1) Dedup.wsWords(col("text"))
+               else Dedup.shingles(col("text"), nGram)
+    val words = docs
+      .select(group.as("g"), explode(toks).as("w"))
+      .distinct()
+    val sizes = words.groupBy("g").agg(count(lit(1)).as("_sz"))
+    val a = words.select(col("g").as("a_g"), col("w"))
+    val b = words.select(col("g").as("b_g"), col("w"))
+    a.join(b, Seq("w")).where(col("a_g") < col("b_g"))
+      .groupBy("a_g", "b_g").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("g").as("a_g"), col("_sz").as("_sa")), Seq("a_g"))
+      .join(sizes.select(col("g").as("b_g"), col("_sz").as("_sb")), Seq("b_g"))
+      .select(col("a_g"), col("b_g"), col("n_common"),
+        (col("_sa") + col("_sb") - col("n_common")).as("n_union"))
+  }
 }

@@ -406,6 +406,88 @@ class PipelineOpsSpec extends SparkFunSuite {
     got.foreach(r => assert(expected(r), s"unexpected row $r"))
   }
 
+  test("kmeansPredict over a stored-model round trip labels every row " +
+       "exactly as the driver reference (fit on a 1/3 sample)") {
+    val sample = vecRows.filter(_._1 % 3 == 0)
+    val (_, refCents) = refKmeans(sample, k = 4, iters = 2)
+    val (_, cents) = Similarity.kmeansFitPortable(
+      embs.where(col("vec_id") % 3 === 0), k = 4, iters = 2)
+    cents.zip(refCents).foreach { case (g, e) => assert(g.toSeq == e.toSeq) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_km_").toString
+    Similarity.writeKmeansModel(spark, dir, cents)
+    val rt = Similarity.readKmeansModel(spark, dir)
+    assert(rt.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq,
+      "model sidecar round trip")
+    val got = Similarity.kmeansPredict(embs, rt).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == vecRows.size)
+    vecRows.foreach { case (id, v) =>
+      val q = v.map(x => (x.toDouble * 1000.0).toLong + 2000L)
+      val d = refCents.map(c => c.indices.map { j =>
+        val t = q(j) - c(j); t * t
+      }.sum)
+      val m = d.min
+      assert(got(id) == (d.indexOf(m).toLong, m), s"vec $id")
+    }
+  }
+
+  // labels for the embedding fixture: the generating center index (the
+  // planted partner of base vector i shares i's label)
+  private def labelOf(id: Long): Int =
+    (if (id >= 1000L) (id - 1000L) % 20 else id % 20).toInt
+  private lazy val labeledEmbs = vecRows.map { case (id, v) =>
+    (id, v.toSeq, labelOf(id))
+  }.toDF("vec_id", "embedding", "label").cache()
+
+  test("knnClassify matches the brute-force vote exactly and recovers the " +
+       "generating labels on the clustered fixture") {
+    val k = 10
+    val got = Similarity.knnClassify(labeledEmbs, k, col("vec_id") < 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == 20)
+    var correct = 0
+    vecRows.filter(_._1 < 20).foreach { case (a, va) =>
+      val nbrs = vecRows.filter(_._1 != a)
+        .map { case (b, vb) => (b, cosine(va, vb)) }
+        .sortBy { case (b, c) => (-c, b) }.take(k)
+      val votes = nbrs.groupBy(n => labelOf(n._1)).view.mapValues(_.size)
+      val (pl, pv) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(got(a) == (pl.toLong, pv.toLong), s"probe $a")
+      if (pl == labelOf(a)) correct += 1
+    }
+    assert(correct >= 15, s"label recovery $correct/20")
+  }
+
+  test("knnClassifyAnn votes exactly over axisKnnJoin's neighbor set") {
+    val nn = Similarity.axisKnnJoin(labeledEmbs, k = 5, nTables = 8, bits = 8,
+      probePred = col("vec_id") < 20, maxBucket = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = nn.groupBy(_._1).map { case (a, rows) =>
+      val votes = rows.groupBy(r => labelOf(r._2)).view.mapValues(_.size)
+      val (pl, pv) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      a -> (pl.toLong, pv.toLong)
+    }
+    val got = Similarity.knnClassifyAnn(labeledEmbs, k = 5, nTables = 8,
+      bits = 8, probePred = col("vec_id") < 20, maxBucket = 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("clusterLabelPurity matches the driver reference per-cluster " +
+       "majority exactly") {
+    val k = 5; val iters = 2
+    val got = Similarity.clusterLabelPurity(labeledEmbs, k, iters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (asg, _) = refKmeans(vecRows, k, iters)
+    val expected = asg.toSeq.groupBy(_._2._1).map { case (cl, ms) =>
+      val votes = ms.groupBy(m => labelOf(m._1)).view.mapValues(_.size)
+      val (pl, pv) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      cl -> (ms.size.toLong, pl.toLong, pv.toLong)
+    }
+    assert(got == expected)
+  }
+
   test("connectedComponents: chains, triangles and isolated pairs label " +
        "with their component minimum (canonical survivor)") {
     // components: chain 5-3-9-1 (min 1), triangle 20-21-22 (min 20),
@@ -1139,5 +1221,30 @@ class PipelineOpsSpec extends SparkFunSuite {
     val re = TextOps.withPii(TextOps.withPii(df)
       .select(col("doc_id"), col("text_redacted").as("text")))
     assert(re.where(col("n_emails") + col("n_phones") + col("n_ipv4") > 0).count() == 0)
+  }
+
+  test("groupVocabOverlap equals brute-force set overlap for unigrams " +
+       "and 3-gram shingles") {
+    val grouped = docs.withColumn("g", pmod(col("doc_id"), lit(4L)).cast("string"))
+    Seq(1, 3).foreach { n =>
+      val got = TextOps.groupVocabOverlap(grouped, col("g"), n).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      def toks(t: String): Set[String] = {
+        val w = t.split(" +").filter(_.nonEmpty)
+        if (n == 1) w.toSet
+        else if (w.isEmpty) Set.empty
+        else (0 to math.max(w.length - n, 0))
+          .map(i => w.slice(i, i + n).mkString(" ")).filter(_.nonEmpty).toSet
+      }
+      val sets = docRows.groupBy(d => (d._1 % 4).toString)
+        .view.mapValues(_.map(d => toks(d._2)).reduce(_ ++ _)).toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = sets(a).intersect(sets(b)).size if inter > 0
+      } yield (a, b) ->
+        (inter.toLong, (sets(a).size + sets(b).size - inter).toLong)).toMap
+      assert(got == expected, s"nGram $n")
+    }
   }
 }

@@ -180,4 +180,26 @@ class SpatialJoinSpec extends SparkFunSuite {
     assert(n == expected)
     assert(n > 0)
   }
+
+  test("gridSmooth box-kernel sums equal brute force at radii 0, 1, 2 " +
+       "and cover exactly the occupied cells") {
+    val r = new scala.util.Random(9)
+    val rawPts = Seq.fill(3000)(
+      (r.nextDouble() * 40 + 1, r.nextDouble() * 25 + 1))
+    val pts = rawPts.toDF("lon", "lat")
+    val cnt = rawPts.groupBy { case (x, y) => (x.toLong, y.toLong) }
+      .view.mapValues(_.size.toLong).toMap
+    Seq(0, 1, 2).foreach { rad =>
+      val got = SpatialJoin.gridSmooth(pts, col("lon"), col("lat"), rad)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3)))
+        .toMap
+      val expected = cnt.map { case ((ix, iy), n) =>
+        val sm = (for { dx <- -rad to rad; dy <- -rad to rad }
+          yield cnt.getOrElse((ix + dx.toLong, iy + dy.toLong), 0L)).sum
+        (ix, iy) -> (n, sm)
+      }
+      assert(got == expected, s"radius $rad")
+    }
+  }
 }

@@ -14,6 +14,7 @@ object TemporalSpec {
   case class Probe(probe_id: Long, k: Long, t: Long)
   case class Build(build_id: Long, k: Long, t: Long, v: Long)
   case class Interval(interval_id: Long, k: Long, s_t: Long, e_t: Long)
+  case class Ev(u: Long, t: Long, et: String)
 }
 
 class TemporalSpec extends SparkFunSuite {
@@ -294,5 +295,63 @@ class TemporalSpec extends SparkFunSuite {
     }
     assert(Temporal.mergeIntervalsBucketed(dirty, Seq("k"), "s", "e",
       "id", 10L).count() === 0L)
+  }
+
+  // ---- cohort retention + funnel ---------------------------------------------
+
+  private lazy val funnelEvents: Seq[Ev] = {
+    val r = new scala.util.Random(77)
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    (0 until 3000).map { _ =>
+      Ev(r.nextInt(40).toLong, r.nextInt(2000).toLong * 7L,
+        types(r.nextInt(types.size)))
+    }
+  }
+
+  test("cohortRetention equals the brute-force retention triangle") {
+    val width = 700L
+    val df = funnelEvents.toDF("u", "t", "et")
+    val got = Temporal.cohortRetention(df, "u", col("t"), width).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def bkt(t: Long) = t / width    // non-negative fixture: / == floor
+    val cohorts = funnelEvents.groupBy(_.u).view.mapValues(es => bkt(es.map(_.t).min))
+    val expected = funnelEvents.map(e => (e.u, bkt(e.t))).distinct
+      .groupBy { case (u, b) => (cohorts(u), b - cohorts(u)) }
+      .view.mapValues(_.size.toLong).toMap
+    assert(got == expected)
+    // every user contributes an age-0 row
+    assert(got.filter(_._1._2 == 0L).values.sum ==
+      funnelEvents.map(_.u).distinct.size)
+  }
+
+  test("funnel counts equal the brute-force ordered-prefix chase, " +
+       "monotonically non-increasing") {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val horizon = 3000L
+    val df = funnelEvents.toDF("u", "t", "et")
+    val got = Temporal.funnel(df, "u", col("t"), col("et"), steps, horizon)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: per user, chase the earliest strictly-later step times
+    val byUser = funnelEvents.groupBy(_.u)
+    def reach(es: Seq[Ev]): Int = {
+      val t1s = es.filter(_.et == steps.head).map(_.t)
+      if (t1s.isEmpty) return 0
+      var cur = t1s.min
+      val dead = t1s.min + horizon
+      var depth = 1
+      steps.drop(1).foreach { st =>
+        val nxt = es.filter(e => e.et == st && e.t > cur && e.t <= dead).map(_.t)
+        if (nxt.nonEmpty && depth == steps.indexOf(st)) {
+          cur = nxt.min; depth += 1
+        }
+      }
+      depth
+    }
+    val depths = byUser.values.map(reach(_)).toSeq
+    val expected = steps.indices.map(i =>
+      (i + 1).toLong -> depths.count(_ >= i + 1).toLong).toMap
+    assert(got == expected)
+    assert(got(1L) >= got(2L) && got(2L) >= got(3L) && got(3L) >= got(4L))
+    assert(got(1L) > 0L && got(4L) > 0L, "fixture must exercise every step")
   }
 }
