@@ -1076,6 +1076,19 @@ object SparkEntry {
         .select("probe_id", "interval_id", "k", "t", "s_t", "e_t")
         .orderBy("probe_id", "interval_id")
     }),
+    "q_weighted_sample" -> ((s, dir) =>     // length-proportional document
+      // sampling: P(keep) = min(1, n_chars/600), a pure hash of doc_id
+      Sampling.weightedSample(tbl(s, dir, "documents"), "doc_id",
+          col("n_chars"), num = 1L, den = 600L, salt = "w")
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+    "q_distinct_sketch" -> ((s, dir) =>     // linear-counting state: per
+      // source, filled md5 buckets (m=64) over the word stream — the
+      // bounded-memory distinct-count sketch, exact integer gate
+      Frequency.distinctFilled(
+          tbl(s, dir, "documents").select(col("source"),
+            explode(graft.operators.Dedup.wsWords(col("text"))).as("w")),
+          Seq("source"), col("w"), m = 64, salt = "lc")
+        .orderBy("source")),
     "q_grid_smooth" -> ((s, dir) =>         // 3x3 box-kernel density over
       // the 1-degree grid: binning agg over points + offset explode over
       // the COUNTS table + cell-keyed join — never a spatial window
@@ -2644,6 +2657,22 @@ object SparkEntry {
            |ORDER BY probe_id, interval_id""".stripMargin,
       // gap-based sessionization: identical lag-flag + running-last window
       // formulation; session label = first event's ts
+      // weighted sampling: the hashBucket md5 recipe with a per-row rate
+      "q_weighted_sample" ->
+        """SELECT doc_id, n_chars FROM documents
+          |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w'),
+          |         1, 15) AS BIGINT) % 10000) * 600 < n_chars * 10000
+          |ORDER BY doc_id""".stripMargin,
+      // linear-counting sketch state: filled md5 buckets per source
+      "q_distinct_sketch" ->
+        """WITH w0 AS (SELECT source, unnest(list_filter(
+          |    string_split(text, ' '), t -> length(t) > 0)) AS w
+          |  FROM documents),
+          |b AS (SELECT DISTINCT source,
+          |    CAST('0x' || substr(md5(w || 'lc'), 1, 15) AS BIGINT) % 64
+          |      AS bkt FROM w0)
+          |SELECT source, CAST(count(*) AS BIGINT) AS filled
+          |FROM b GROUP BY 1 ORDER BY source""".stripMargin,
       // 3x3 grid smoothing (positive-quadrant trunc bins)
       "q_grid_smooth" ->
         s"""WITH pts AS ($eventPointsSql),

@@ -73,7 +73,7 @@ object Dedup {
     * — so every operator that tokenizes words MUST use this one helper
     * (shingles, simhash, passages, token counts, repetition, chunking);
     * changing the separator class here means changing every oracle too. */
-  private[operators] def wsWords(text: Column): Column =
+  private[graft] def wsWords(text: Column): Column =
     filter(split(text, " +"), w => length(w) > 0)
 
   /** Word n-gram shingles of `text`, as a deduplicated array column.

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -272,5 +272,33 @@ object Frequency {
       .select(groupCols.map(col) ++ Seq(
         col("col.id").as(idCol), col("col.v").as(valueCol),
         (col("pos") + 1).cast("long").as("rnk")): _*)
+  }
+
+  /**
+   * Bounded-memory per-group distinct counting (linear-counting sketch):
+   * every value hashes into one of `m` md5 buckets and the op returns the
+   * exact number of FILLED buckets per group — the aggregation state is
+   * at most m entries per group no matter how many distinct values flow
+   * through, which is the whole point at 100 TB (an exact count-distinct
+   * must hold every value). The standard linear-counting estimate is the
+   * downstream formula  -m * ln((m - filled) / m)  over the integer this
+   * returns (kept integer so the gate is hash-stable cross-engine;
+   * filled == true distinct while distinct << m).
+   *
+   * Scale shape: one distinct on (group, bucket) — partial hash agg
+   * before the exchange, and the exchanged set is <= m rows per group —
+   * then a tiny per-group count. The md5-bucket recipe is the portable
+   * [[Sampling.hashBucket]] family, so a DuckDB oracle replays it.
+   */
+  def distinctFilled(df: DataFrame, keys: Seq[String], value: Column,
+                     m: Int, salt: String = ""): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val bkt = pmod(conv(substring(
+      md5(concat(value.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long"), lit(m.toLong))
+    df.select(keys.map(col) :+ bkt.as("_bkt"): _*)
+      .distinct()
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("filled"))
   }
 }

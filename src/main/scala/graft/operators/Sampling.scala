@@ -33,6 +33,22 @@ object Sampling {
     df.where(hashBucket(col(idCol), salt) < math.round(rate * Buckets))
   }
 
+  /** Deterministic WEIGHTED sampling: a row is kept iff
+    * hashBucket(id, salt) * den < weight * num * 10000 — i.e. with
+    * probability min(1, weight * num / den) at the 1e-4 bucket
+    * resolution, as a pure hash function of the id (idempotent retries,
+    * growth-insensitive, oracle-checkable: the [[hashSample]] contract
+    * with a PER-ROW rate). Length-proportional document sampling,
+    * importance sampling by a quality score, etc. One scan, no shuffle.
+    * Weights must be non-negative; weight * num * 10000 must fit a long
+    * (ANSI arithmetic throws loudly otherwise). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     num: Long, den: Long, salt: String = ""): DataFrame = {
+    require(num >= 0 && den > 0, "need num >= 0 and den > 0")
+    df.where(hashBucket(col(idCol), salt) * lit(den) <
+      weight.cast("long") * lit(num * Buckets))
+  }
+
   /** FAST-path twin of [[hashSample]]: xxhash64 membership (codegen, no
     * string md5 per row) — same determinism/growth-insensitivity contract,
     * not oracle-checkable cross-engine (DuckDB lacks xxhash64; the md5

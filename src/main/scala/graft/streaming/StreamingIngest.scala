@@ -47,6 +47,37 @@ object StreamingIngest {
   }
 
   /**
+   * Streaming model application: classify an embedding stream against a
+   * STORED k-means model ([[graft.operators.Similarity.writeKmeansModel]])
+   * — the serving shape of fit-once/apply-many. The model sidecar is read
+   * ONCE at stream start (driver-small centroid literals baked into the
+   * plan); each micro-batch is one STATELESS codegen argmin projection —
+   * no state store, no shuffle — and the parquet sink is Hive-partitioned
+   * on `cluster`, so downstream consumers directory-prune by cluster.
+   * Exactly-once via the file source's tracked offsets + the sink's
+   * _spark_metadata commit log. Trigger.AvailableNow: drains what is
+   * present and stops (the ingestOnce convention).
+   */
+  def classifyStream(spark: SparkSession, srcDir: String, destDir: String,
+                     checkpointDir: String, modelDir: String): StreamingQuery = {
+    val cents = graft.operators.Similarity.readKmeansModel(spark, modelDir)
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = graft.operators.Similarity
+      .kmeansPredict(spark.readStream.schema(embSchema).parquet(srcDir), cents)
+      .writeStream
+      .format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("cluster")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /**
    * Continuous diff sync — the reference's unimplemented "minutely OSM
    * update" roadmap item (README.md:95-98), as a Structured Streaming
    * micro-batch merge into the partitioned image store.

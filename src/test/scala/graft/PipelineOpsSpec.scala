@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Frequency, Sampling, Similarity, TextOps}
 
 /** Dedup / similarity / text-analysis operators vs brute-force oracles on
   * fixtures with planted duplicates and near-duplicates. */
@@ -1245,6 +1245,66 @@ class PipelineOpsSpec extends SparkFunSuite {
       } yield (a, b) ->
         (inter.toLong, (sets(a).size + sets(b).size - inter).toLong)).toMap
       assert(got == expected, s"nGram $n")
+    }
+  }
+
+  test("weightedSample keeps exactly the brute-force md5-bucket rows, " +
+       "rate tracks the weight, 0-weight drops, cap-weight keeps all") {
+    val rows = (0L until 4000L).map(i => (i, (i % 700).toLong))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", col("w"), 1L, 600L, "s7")
+      .collect().map(_.getLong(0)).toSet
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest((id.toString + "s7").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 10000L
+    }
+    val expected = rows.filter { case (id, w) =>
+      bucket(id) * 600L < w * 10000L
+    }.map(_._1).toSet
+    assert(got == expected)
+    // weight 0 never kept; weight >= 600 always kept
+    assert(rows.filter(_._2 == 0L).forall(r => !got(r._1)))
+    assert(rows.filter(_._2 >= 600L).forall(r => got(r._1)))
+    // the kept fraction of a mid stratum tracks its rate (w=300 -> 0.5)
+    val mid = rows.filter(r => r._2 == 300L).map(_._1)
+    val rate = mid.count(got).toDouble / mid.size
+    assert(math.abs(rate - 0.5) < 0.25, s"w=300 rate $rate")
+  }
+
+  test("distinctFilled equals the brute-force filled-bucket count and " +
+       "is bounded by m") {
+    val rows = (0L until 5000L).map(i =>
+      (s"g${i % 3}", s"v${i % (200 + 100 * (i % 3))}"))
+    val df = rows.toDF("g", "v")
+    Seq(16, 64, 1024).foreach { m =>
+      val got = Frequency.distinctFilled(df, Seq("g"), col("v"), m, "lc")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def bucket(v: String): Long = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest((v + "lc").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(h.substring(0, 15), 16) % m.toLong
+      }
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(_._2).distinct.map(bucket).distinct.size.toLong
+      }
+      assert(got == expected, s"m=$m")
+      got.values.foreach(f => assert(f <= m.toLong))
+      // at m >> distinct the sketch is exact
+      if (m == 1024) {
+        val truth = rows.groupBy(_._1)
+          .map { case (g, rs) => g -> rs.map(_._2).distinct.size.toLong }
+        // filled <= distinct always; loss is only genuine bucket
+        // collisions, expected ~ d^2/2m (e.g. 400 distinct into 1024
+        // buckets -> ~78) — allow 2x the expectation
+        truth.foreach { case (g, t) =>
+          val slack = t.toDouble * t / m
+          assert(got(g) <= t && got(g) >= t - slack,
+            s"group $g: ${got(g)} vs $t")
+        }
+      }
     }
   }
 }

@@ -497,4 +497,38 @@ class StreamingSpec extends SparkFunSuite {
       .exists(_.startsWith(s"p_cell=$cornerCell/")),
       "emptied cell still in the committed lineage")
   }
+
+  test("classifyStream labels drained embeddings exactly like batch " +
+       "kmeansPredict and never re-emits across restarts") {
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("graft_cls_").toString
+    val (src, dest, chk, model) =
+      (s"$base/src", s"$base/dest", s"$base/chk", s"$base/model")
+    def vecs(ids: Range): Seq[(Long, Seq[Float])] = ids.map { i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * (d + 1.0)).toFloat))
+    }
+    val w1 = vecs(0 until 60)
+    w1.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(src)
+    val (_, cents) = Similarity.kmeansFitPortable(
+      w1.toDF("vec_id", "embedding"), k = 3, iters = 2, dim = 8)
+    Similarity.writeKmeansModel(spark, model, cents)
+    StreamingIngest.classifyStream(spark, src, dest, chk, model)
+    def readBack(): Map[Long, (Long, Long)] =
+      spark.read.parquet(dest).collect().map { r =>
+        r.getAs[Long]("vec_id") ->
+          (r.getAs[Number]("cluster").longValue, r.getAs[Long]("d2"))
+      }.toMap
+    def expect(rows: Seq[(Long, Seq[Float])]): Map[Long, (Long, Long)] =
+      Similarity.kmeansPredict(rows.toDF("vec_id", "embedding"), cents)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(readBack() == expect(w1))
+    // wave 2 arrives; restart from the same checkpoint — only the new
+    // file drains (no duplicate vec_ids), same model
+    val w2 = vecs(100 until 140)
+    w2.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(src)
+    StreamingIngest.classifyStream(spark, src, dest, chk, model)
+    val all = readBack()
+    assert(all.size == 100)
+    assert(all == expect(w1 ++ w2))
+  }
 }
