@@ -353,14 +353,33 @@ object Plans {
           .groupBy("cluster", "d")
           .agg(sum("v").as("s"), count(lit(1)).as("n")))
       },
-      "semantic dedup candidate pass (expect: pair generation is an " +
-        "EQUI-join exchange keyed on the cluster id — never all-pairs — " +
-        "with the <= k-row eligible-cluster list BROADCAST onto both " +
-        "sides, and the zip_with pair distance evaluated inside WSCG " +
-        "after the join)" -> {
+      "semantic dedup candidate pass (the operator itself materializes " +
+        "its result to scratch, so this shows the INTERNAL pair pipeline " +
+        "it executes; expect: pair generation is an EQUI-join exchange " +
+        "keyed on the cluster id — never all-pairs — with the <= k-row " +
+        "eligible-cluster list BROADCAST onto both sides, and the " +
+        "zip_with pair distance evaluated inside WSCG after the join)" -> {
         val embs = spark.range(200000).selectExpr("id AS vec_id",
           "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
-        fmt(Similarity.semanticDedup(embs, k = 8, iters = 0, d2Max = 1000L))
+        val cents = Array.tabulate(8)(c => Array.tabulate(64)(d =>
+          1500L + c * 100L + d))
+        val qa = graft.operators.Similarity.kmeansAssign(
+          embs.select(col("vec_id"),
+            graft.operators.Similarity.quantized.as("_q")), cents)
+          .select(col("vec_id"), col("cluster"), col("_q"))
+        val small = qa.groupBy("cluster").agg(count(lit(1)).as("_n"))
+          .where(col("_n") <= 100000L).select("cluster")
+        val eligible = qa.join(broadcast(small), Seq("cluster"))
+        val a = eligible.select(col("cluster"), col("vec_id").as("a_id"),
+          col("_q").as("_qa"))
+        val b = eligible.select(col("cluster"), col("vec_id").as("b_id"),
+          col("_q").as("_qb"))
+        val pairD2 = aggregate(
+          zip_with(col("_qa"), col("_qb"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+        fmt(a.join(b, Seq("cluster"))
+          .where(col("a_id") < col("b_id")).where(pairD2 <= lit(1000L))
+          .select(col("b_id")).distinct())
       },
       "cluster-balanced coreset (expect: Window PARTITIONED BY the " +
         "cluster id — never a global sort; the caller sizes k so every " +

@@ -1422,7 +1422,12 @@ object SparkEntry {
            |c$i AS (SELECT c.cl, c.d, COALESCE(n.v, c.v) AS v
            |  FROM $prev c LEFT JOIN n$i n ON n.cl = c.cl AND n.d = c.d)"""
           .stripMargin
-      val rounds = (1 to iters).map(i => round(i, s"c${i - 1}")).mkString(",\n")
+      // iters = 0: no round CTEs at all (afd reads c0 directly) — an
+      // empty segment must not leave a dangling comma
+      val rounds =
+        if (iters == 0) ""
+        else (1 to iters).map(i => round(i, s"c${i - 1}"))
+          .mkString("", ",\n", ",")
       s"""qall AS (SELECT vec_id, list_transform(embedding,
          |    x -> CAST(TRUNC(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) + 2000)
          |    AS qv FROM embeddings),
@@ -1438,7 +1443,7 @@ object SparkEntry {
          |    vec_id FROM sord),
          |c0 AS (SELECT s.cl, qd.d, qd.v
          |  FROM seeds s JOIN qd ON qd.vec_id = s.vec_id),
-         |$rounds,
+         |$rounds
          |afd AS (SELECT qdall.vec_id, c.cl,
          |  CAST(sum((qdall.v - c.v) * (qdall.v - c.v)) AS BIGINT) AS d2
          |  FROM qdall JOIN c$iters c ON qdall.d = c.d GROUP BY 1, 2),

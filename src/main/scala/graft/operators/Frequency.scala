@@ -287,16 +287,18 @@ object Frequency {
    *
    * Scale shape: one distinct on (group, bucket) — partial hash agg
    * before the exchange, and the exchanged set is <= m rows per group —
-   * then a tiny per-group count. The md5-bucket recipe is the portable
-   * [[Sampling.hashBucket]] family, so a DuckDB oracle replays it.
+   * then a tiny per-group count. The md5 bucket IS
+   * [[Sampling.hashBucket]] (the one parity-critical recipe every DuckDB
+   * oracle restates — never re-implemented). NULL values are excluded:
+   * they carry no identity, and a NULL bucket would count as a phantom
+   * (m+1)-th bucket, driving the ln estimate to NaN at saturation.
    */
   def distinctFilled(df: DataFrame, keys: Seq[String], value: Column,
                      m: Int, salt: String = ""): DataFrame = {
     require(m >= 1, "m must be >= 1")
-    val bkt = pmod(conv(substring(
-      md5(concat(value.cast("string"), lit(salt))), 1, 15), 16, 10)
-      .cast("long"), lit(m.toLong))
-    df.select(keys.map(col) :+ bkt.as("_bkt"): _*)
+    df.where(value.isNotNull)
+      .select(keys.map(col) :+
+        Sampling.hashBucket(value, salt, m.toLong).as("_bkt"): _*)
       .distinct()
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("filled"))

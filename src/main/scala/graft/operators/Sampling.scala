@@ -21,9 +21,10 @@ object Sampling {
 
   /** Hash bucket in [0, 10000) from the row id (+ salt): the first 15 hex
     * digits of md5 parsed as an integer (exact in both engines), mod 1e4. */
-  def hashBucket(id: Column, salt: String = ""): Column =
+  def hashBucket(id: Column, salt: String = "",
+                 buckets: Long = Buckets): Column =
     pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15),
-      16, 10).cast("long"), lit(Buckets))
+      16, 10).cast("long"), lit(buckets))
 
   /** Keep each row iff its hash bucket < rate * 10000 (rate resolution
     * 1e-4). `salt` decorrelates independent samples of the same table. */
@@ -39,14 +40,22 @@ object Sampling {
     * resolution, as a pure hash function of the id (idempotent retries,
     * growth-insensitive, oracle-checkable: the [[hashSample]] contract
     * with a PER-ROW rate). Length-proportional document sampling,
-    * importance sampling by a quality score, etc. One scan, no shuffle.
-    * Weights must be non-negative; weight * num * 10000 must fit a long
-    * (ANSI arithmetic throws loudly otherwise). */
+    * importance sampling by a score, etc. One scan, no shuffle.
+    * Weights must be a non-negative INTEGRAL column (enforced — a
+    * fractional score silently truncated would bias every rate; scale
+    * scores to integers first, e.g. round(score * 1000) with den scaled
+    * by 1000); weight * num * 10000 must fit a long (the driver factor
+    * is multiplyExact, the row side is ANSI — both throw loudly). */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
                      num: Long, den: Long, salt: String = ""): DataFrame = {
     require(num >= 0 && den > 0, "need num >= 0 and den > 0")
+    val wType = df.select(weight).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
+      s"weight must be an integral column, got $wType — scale fractional " +
+        "scores to integers (and den) first; a silent truncation would " +
+        "bias every rate")
     df.where(hashBucket(col(idCol), salt) * lit(den) <
-      weight.cast("long") * lit(num * Buckets))
+      weight.cast("long") * lit(Math.multiplyExact(num, Buckets)))
   }
 
   /** FAST-path twin of [[hashSample]]: xxhash64 membership (codegen, no

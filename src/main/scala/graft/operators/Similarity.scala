@@ -465,6 +465,13 @@ object Similarity {
     * the lowest cluster id. Adds `cluster` and `d2`. */
   private[graft] def kmeansAssign(q: DataFrame,
                                   cents: Array[Array[Long]]): DataFrame = {
+    require(cents.length.toLong *
+        cents.headOption.map(_.length).getOrElse(0) <= 65536,
+      s"k x dim = ${cents.length} x ${cents.headOption.map(_.length)
+        .getOrElse(0)} exceeds the literal-codegen assignment cap (65536 " +
+        "expression terms — Janino method limits force interpreted " +
+        "fallback beyond it); very large k needs an exploded-join " +
+        "assignment against a centroid TABLE instead")
     val dists = array(cents.map { c =>
       c.indices.map { j =>
         val d = element_at(col("_q"), j + 1) - lit(c(j))
@@ -556,38 +563,52 @@ object Similarity {
    * kept 1|0).
    *
    * Scale shape: the candidate join is an equi-join ON the cluster id —
-   * never all-pairs. The quadratic term is n^2/k in expectation, so at
-   * 100 TB the caller sizes k ~ n / desired-cluster-size; clusters that
-   * still exceed `maxCluster` rows opt OUT of pair generation entirely
-   * (all rows kept — the capBuckets discipline: a degenerate cluster is
-   * quadratic and a cluster that big carries no near-dup signal worth
-   * n^2 work), which the oracle replicates as a HAVING count filter.
+   * never all-pairs. The quadratic term is n^2/k in expectation, so the
+   * caller sizes k toward the kmeansAssign codegen cap (~1000 clusters
+   * at dim 64; beyond that the assignment needs the exploded-join form);
+   * clusters that still exceed `maxCluster` rows opt OUT of pair
+   * generation entirely (all rows kept — the capBuckets discipline: a
+   * degenerate cluster is quadratic and a cluster that big carries no
+   * near-dup signal worth n^2 work), which the oracle replicates as a
+   * HAVING count filter. The assignment frame is materialized ONCE via
+   * persistedCopy and serves the size census, both pair sides, and the
+   * output join; the result lands in `cc_sem_*` scratch
+   * (`spark.graft.scratchDir`, purge via [[Dedup.purgeClusterScratch]])
+   * so the returned frame is self-contained and zero blocks stay pinned.
    */
   def semanticDedup(embs: DataFrame, k: Int, iters: Int, d2Max: Long,
                     maxCluster: Long = 100000L, dim: Int = 64): DataFrame = {
     require(d2Max >= 0L, "d2Max must be >= 0")
+    val spark = embs.sparkSession
     val cents = lloyd(embs, k, iters, dim)
-    val qa = kmeansAssign(embs.select(col("vec_id"), quantized.as("_q")), cents)
-      .select(col("vec_id"), col("cluster"), col("_q"))
-    val small = qa.groupBy("cluster").agg(count(lit(1)).as("_n"))
-      .where(col("_n") <= lit(maxCluster)).select("cluster")
-    val eligible = qa.join(broadcast(small), Seq("cluster"))   // <= k rows
-    val a = eligible.select(col("cluster"), col("vec_id").as("a_id"),
-      col("_q").as("_qa"))
-    val b = eligible.select(col("cluster"), col("vec_id").as("b_id"),
-      col("_q").as("_qb"))
-    val pairD2 = aggregate(
-      zip_with(col("_qa"), col("_qb"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-    val dropped = a.join(b, Seq("cluster"))
-      .where(col("a_id") < col("b_id"))
-      .where(pairD2 <= lit(d2Max))
-      .select(col("b_id").as("vec_id")).distinct()
-      .withColumn("_drop", lit(1L))
-    qa.select("vec_id", "cluster")
-      .join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"),
-        when(col("_drop").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+    val (qa, qaHandle) = org.apache.spark.sql.classic.GraftBridge.persistedCopy(
+      kmeansAssign(embs.select(col("vec_id"), quantized.as("_q")), cents)
+        .select(col("vec_id"), col("cluster"), col("_q")))
+    try {
+      val small = qa.groupBy("cluster").agg(count(lit(1)).as("_n"))
+        .where(col("_n") <= lit(maxCluster)).select("cluster")
+      val eligible = qa.join(broadcast(small), Seq("cluster"))   // <= k rows
+      val a = eligible.select(col("cluster"), col("vec_id").as("a_id"),
+        col("_q").as("_qa"))
+      val b = eligible.select(col("cluster"), col("vec_id").as("b_id"),
+        col("_q").as("_qb"))
+      val pairD2 = aggregate(
+        zip_with(col("_qa"), col("_qb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+      val dropped = a.join(b, Seq("cluster"))
+        .where(col("a_id") < col("b_id"))
+        .where(pairD2 <= lit(d2Max))
+        .select(col("b_id").as("vec_id")).distinct()
+        .withColumn("_drop", lit(1L))
+      val out = qa.select("vec_id", "cluster")
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          when(col("_drop").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+      val scratch = Dedup.scratchDir(spark) +
+        s"/cc_sem_${java.util.UUID.randomUUID()}"
+      out.write.parquet(scratch)
+      spark.read.parquet(scratch)
+    } finally { qaHandle.unpersist(true); () }
   }
 
   /** Assign rows to STORED integer centroids (no fitting): the apply-many
@@ -674,10 +695,13 @@ object Similarity {
   /** Majority vote over a neighbor frame carrying (a_id, _lb): returns
     * (vec_id, label_pred, votes); vote ties to the lowest label. The
     * window runs over the per-probe label-vote table (<= k rows per
-    * probe), never the raw neighbor rows. */
+    * probe), never the raw neighbor rows. NULL-labeled neighbors are
+    * excluded — they carry no vote, and a NULL in the tie-break order
+    * diverges cross-engine (Spark NULLS FIRST vs DuckDB NULLS LAST). */
   private def vote(nbrs: DataFrame): DataFrame = {
     val w = Window.partitionBy("a_id").orderBy(col("votes").desc, col("_lb"))
-    nbrs.groupBy(col("a_id"), col("_lb"))
+    nbrs.where(col("_lb").isNotNull)
+      .groupBy(col("a_id"), col("_lb"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("_rv", row_number().over(w))
       .where(col("_rv") === 1)
@@ -692,12 +716,15 @@ object Similarity {
    * partial+final hash agg on (cluster, label) over the assignment
    * projection; every later step (majority window, totals, join) runs
    * on the k x |labels| vote table, which is tiny by construction.
+   * NULL-labeled members are excluded (no vote; and a NULL tie-break
+   * diverges cross-engine), so `n_rows` counts LABELED members.
    */
   def clusterLabelPurity(embs: DataFrame, k: Int, iters: Int,
                          dim: Int = 64): DataFrame = {
     val cents = lloyd(embs, k, iters, dim)
     val a = kmeansAssign(
       embs.select(col("vec_id"), col("label"), quantized.as("_q")), cents)
+      .where(col("label").isNotNull)
     val votes = a.groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("n"))
     val tot = votes.groupBy("cluster").agg(sum("n").as("n_rows"))
@@ -714,9 +741,10 @@ object Similarity {
    * lowest vec_id) — diversity-preserving downsampling for training-data
    * curation (uniform sampling over-represents dense regions; per-cluster
    * quotas keep the tails). Exact integer ranking — fully oracle-
-   * checkable. The window partitions on the cluster id: at 100 TB the
-   * caller sizes k ~ n / desired-cluster-size, so every window partition
-   * is bounded (never a global sort).
+   * checkable. The window partitions on the cluster id, never a global
+   * sort; k is bounded by the kmeansAssign codegen cap (~1000 at
+   * dim 64), so per-partition load is n/k — for larger k the assignment
+   * itself needs the exploded-join form first.
    */
   def clusterCoreset(embs: DataFrame, k: Int, iters: Int, m: Int,
                      dim: Int = 64): DataFrame = {

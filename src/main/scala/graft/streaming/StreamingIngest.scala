@@ -53,10 +53,14 @@ object StreamingIngest {
    * ONCE at stream start (driver-small centroid literals baked into the
    * plan); each micro-batch is one STATELESS codegen argmin projection —
    * no state store, no shuffle — and the parquet sink is Hive-partitioned
-   * on `cluster`, so downstream consumers directory-prune by cluster.
-   * Exactly-once via the file source's tracked offsets + the sink's
-   * _spark_metadata commit log. Trigger.AvailableNow: drains what is
-   * present and stops (the ingestOnce convention).
+   * on `p_cluster` (a COPY of the cluster id — the p_cell convention:
+   * the directory key is a separate column, so `cluster` itself stays a
+   * typed BIGINT data column in the parquet instead of degrading to a
+   * partition-inferred INT on read-back), so downstream consumers
+   * directory-prune by cluster. Exactly-once via the file source's
+   * tracked offsets + the sink's _spark_metadata commit log.
+   * Trigger.AvailableNow: drains what is present and stops (the
+   * ingestOnce convention).
    */
   def classifyStream(spark: SparkSession, srcDir: String, destDir: String,
                      checkpointDir: String, modelDir: String): StreamingQuery = {
@@ -66,11 +70,12 @@ object StreamingIngest {
       StructField("embedding", ArrayType(FloatType))))
     val q = graft.operators.Similarity
       .kmeansPredict(spark.readStream.schema(embSchema).parquet(srcDir), cents)
+      .withColumn("p_cluster", col("cluster"))
       .writeStream
       .format("parquet")
       .option("path", destDir)
       .option("checkpointLocation", checkpointDir)
-      .partitionBy("cluster")
+      .partitionBy("p_cluster")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -473,6 +473,32 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(got == expected)
   }
 
+  test("knnClassify ignores NULL-labeled neighbors (no NULL vote, no " +
+       "cross-engine NULL ordering hazard)") {
+    // null out the labels of all even candidate ids; predictions must
+    // equal the brute-force vote over the REMAINING labeled neighbors
+    val nulled = labeledEmbs.withColumn("label",
+      when(pmod(col("vec_id"), lit(2L)) === 0L && col("vec_id") >= 20,
+        lit(null)).otherwise(col("label")))
+    val k = 10
+    val got = Similarity.knnClassify(nulled, k, col("vec_id") < 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    vecRows.filter(_._1 < 20).foreach { case (a, va) =>
+      val nbrs = vecRows.filter(_._1 != a)
+        .map { case (b, vb) => (b, cosine(va, vb)) }
+        .sortBy { case (b, c) => (-c, b) }.take(k)
+        .filterNot(n => n._1 % 2 == 0 && n._1 >= 20)   // labeled only
+      if (nbrs.isEmpty) {
+        // a probe whose entire top-k is unlabeled yields NO row
+        assert(!got.contains(a), s"probe $a should have no prediction")
+      } else {
+        val votes = nbrs.groupBy(n => labelOf(n._1)).view.mapValues(_.size)
+        val (pl, pv) = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head
+        assert(got(a) == (pl.toLong, pv.toLong), s"probe $a")
+      }
+    }
+  }
+
   test("clusterLabelPurity matches the driver reference per-cluster " +
        "majority exactly") {
     val k = 5; val iters = 2
@@ -1271,13 +1297,22 @@ class PipelineOpsSpec extends SparkFunSuite {
     val mid = rows.filter(r => r._2 == 300L).map(_._1)
     val rate = mid.count(got).toDouble / mid.size
     assert(math.abs(rate - 0.5) < 0.25, s"w=300 rate $rate")
+    // a fractional weight column is refused loudly (silent truncation
+    // would zero every sub-1.0 score)
+    val frac = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df.withColumn("wf", col("w") / 1000.0),
+        "id", col("wf"), 1L, 1L)
+    }
+    assert(frac.getMessage.contains("integral"))
   }
 
   test("distinctFilled equals the brute-force filled-bucket count and " +
        "is bounded by m") {
     val rows = (0L until 5000L).map(i =>
       (s"g${i % 3}", s"v${i % (200 + 100 * (i % 3))}"))
+    // NULL values are excluded — no phantom (m+1)-th bucket
     val df = rows.toDF("g", "v")
+      .unionByName(Seq(("g0", null.asInstanceOf[String])).toDF("g", "v"))
     Seq(16, 64, 1024).foreach { m =>
       val got = Frequency.distinctFilled(df, Seq("g"), col("v"), m, "lc")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

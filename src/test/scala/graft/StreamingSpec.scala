@@ -515,8 +515,12 @@ class StreamingSpec extends SparkFunSuite {
     StreamingIngest.classifyStream(spark, src, dest, chk, model)
     def readBack(): Map[Long, (Long, Long)] =
       spark.read.parquet(dest).collect().map { r =>
+        // cluster is a TYPED BIGINT data column (p_cluster carries the
+        // directory key), and the two must agree on every row
+        assert(r.getAs[Number]("p_cluster").longValue ==
+          r.getAs[Long]("cluster"))
         r.getAs[Long]("vec_id") ->
-          (r.getAs[Number]("cluster").longValue, r.getAs[Long]("d2"))
+          (r.getAs[Long]("cluster"), r.getAs[Long]("d2"))
       }.toMap
     def expect(rows: Seq[(Long, Seq[Float])]): Map[Long, (Long, Long)] =
       Similarity.kmeansPredict(rows.toDF("vec_id", "embedding"), cents)
