@@ -804,6 +804,14 @@ object SparkEntry {
         tbl(s, dir, "embeddings"), k = 4, iters = 2)
       assigned.orderBy("vec_id")
     }),
+    "q_embed_kmeans_join" -> ((s, dir) => {  // the LARGE-k assignment twin
+      // (broadcast centroid TABLE + posexplode + min-struct argmin,
+      // unbounded k) — decision-identical to the literal-codegen path:
+      // shares q_embed_kmeans's oracle VERBATIM
+      val e = tbl(s, dir, "embeddings")
+      val (_, cents) = Similarity.kmeansFitPortable(e, k = 4, iters = 2)
+      Similarity.kmeansPredictJoin(e, cents).orderBy("vec_id")
+    }),
     "q_embed_kmeans_predict" -> ((s, dir) => {  // fit-once / apply-many:
       // fit on the 1/3 sample, round-trip the centroids through the
       // stored model sidecar, predict EVERY row — one codegen argmin
@@ -1918,6 +1926,12 @@ object SparkEntry {
       // portable k-means family: the shared kmeansCtes block ends at the
       // final assignment `af` (vec_id, cl, d2)
       "q_embed_kmeans" ->
+        s"""WITH ${kmeansCtes(k = 4, iters = 2)}
+           |SELECT vec_id, cl AS cluster, d2 FROM af
+           |ORDER BY vec_id""".stripMargin,
+      // the join-assignment twin is decision-identical by construction:
+      // same oracle VERBATIM
+      "q_embed_kmeans_join" ->
         s"""WITH ${kmeansCtes(k = 4, iters = 2)}
            |SELECT vec_id, cl AS cluster, d2 FROM af
            |ORDER BY vec_id""".stripMargin,

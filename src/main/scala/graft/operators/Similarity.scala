@@ -620,6 +620,34 @@ object Similarity {
     kmeansAssign(embs.select(col("vec_id"), quantized.as("_q")), cents)
       .select("vec_id", "cluster", "d2")
 
+  /** Exploded-join assignment twin of [[kmeansPredict]] for VERY LARGE k
+    * (beyond kmeansAssign's 65536-literal-term codegen cap): the
+    * centroids become a broadcast TABLE (cl, d, v) instead of plan
+    * literals, each vector posexplodes ONCE, the per-(vec_id, cl)
+    * squared-L2 aggregates with map-side combine, and the argmin is a
+    * lexicographic min over (d2, cl) structs — first-min ties to the
+    * lowest cluster id, bit-identical to the literal path (spec-proven;
+    * the gate shares q_embed_kmeans's oracle VERBATIM). Costs a
+    * dim-fold explode + two hash aggs where the literal path is one
+    * projection — the price of unbounded k. */
+  def kmeansPredictJoin(embs: DataFrame,
+                        cents: Array[Array[Long]]): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val centRows = cents.zipWithIndex.flatMap { case (c, cl) =>
+      c.zipWithIndex.map { case (v, d) => (cl.toLong, d, v) }
+    }.toSeq.toDF("_cl", "_d", "_cv")
+    val qd = embs.select(col("vec_id"), quantized.as("_q"))
+      .select(col("vec_id"), posexplode(col("_q")).as(Seq("_d", "_v")))
+    qd.join(broadcast(centRows), Seq("_d"))
+      .groupBy(col("vec_id"), col("_cl"))
+      .agg(sum((col("_v") - col("_cv")) * (col("_v") - col("_cv"))).as("_d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("_d2"), col("_cl"))).as("_m"))
+      .select(col("vec_id"), col("_m._cl").as("cluster"),
+        col("_m._d2").as("d2"))
+  }
+
   /** Persist fitted integer centroids as a JSON sidecar (k x dim longs,
     * driver-small — the IndexMeta convention: apply-side reads the
     * writer's own parameters, divergence impossible). */

@@ -431,6 +431,29 @@ class PipelineOpsSpec extends SparkFunSuite {
     }
   }
 
+  test("kmeansPredictJoin is bit-identical to the literal-codegen " +
+       "predict, including argmin ties") {
+    Seq(3, 7).foreach { k =>
+      val (_, cents) = Similarity.kmeansFitPortable(embs, k, iters = 2)
+      val lit = Similarity.kmeansPredict(embs, cents).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val join = Similarity.kmeansPredictJoin(embs, cents).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(join == lit, s"k=$k")
+    }
+    // tie case: duplicated centroids (duplicate points) — both paths
+    // must pick the LOWEST cluster id
+    val pts = Seq(0L -> Array.fill(4)(0.5f), 1L -> Array.fill(4)(0.5f),
+      2L -> Array.fill(4)(-0.5f), 3L -> Array.fill(4)(-0.5f))
+    val df = pts.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val (_, cents) = Similarity.kmeansFitPortable(df, k = 3, iters = 0, dim = 4)
+    val lit = Similarity.kmeansPredict(df, cents).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val join = Similarity.kmeansPredictJoin(df, cents).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(join == lit)
+  }
+
   // labels for the embedding fixture: the generating center index (the
   // planted partner of base vector i shares i's label)
   private def labelOf(id: Long): Int =
