@@ -367,19 +367,10 @@ object Plans {
           embs.select(col("vec_id"),
             graft.operators.Similarity.quantized.as("_q")), cents)
           .select(col("vec_id"), col("cluster"), col("_q"))
-        val small = qa.groupBy("cluster").agg(count(lit(1)).as("_n"))
-          .where(col("_n") <= 100000L).select("cluster")
-        val eligible = qa.join(broadcast(small), Seq("cluster"))
-        val a = eligible.select(col("cluster"), col("vec_id").as("a_id"),
-          col("_q").as("_qa"))
-        val b = eligible.select(col("cluster"), col("vec_id").as("b_id"),
-          col("_q").as("_qb"))
-        val pairD2 = aggregate(
-          zip_with(col("_qa"), col("_qb"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
-        fmt(a.join(b, Seq("cluster"))
-          .where(col("a_id") < col("b_id")).where(pairD2 <= lit(1000L))
-          .select(col("b_id")).distinct())
+        // the SHARED candidate pass (the operator calls the same method
+        // on its persisted assignment — the plan cannot drift)
+        fmt(graft.operators.Similarity.semanticDedupDropped(
+          qa, maxCluster = 100000L, d2Max = 1000L))
       },
       "cluster-balanced coreset (expect: Window PARTITIONED BY the " +
         "cluster id — never a global sort; the caller sizes k so every " +

@@ -804,13 +804,14 @@ object SparkEntry {
         tbl(s, dir, "embeddings"), k = 4, iters = 2)
       assigned.orderBy("vec_id")
     }),
-    "q_embed_kmeans_join" -> ((s, dir) => {  // the LARGE-k assignment twin
-      // (broadcast centroid TABLE + posexplode + min-struct argmin,
-      // unbounded k) — decision-identical to the literal-codegen path:
+    "q_embed_kmeans_large" -> ((s, dir) => {  // the LARGE-k assignment
+      // twin (centroids as ONE array-of-arrays data literal + higher-
+      // order transform/zip_with distances — plan size independent of
+      // k) — bit-identical to the literal-codegen path by construction:
       // shares q_embed_kmeans's oracle VERBATIM
       val e = tbl(s, dir, "embeddings")
       val (_, cents) = Similarity.kmeansFitPortable(e, k = 4, iters = 2)
-      Similarity.kmeansPredictJoin(e, cents).orderBy("vec_id")
+      Similarity.kmeansPredictLarge(e, cents).orderBy("vec_id")
     }),
     "q_embed_kmeans_predict" -> ((s, dir) => {  // fit-once / apply-many:
       // fit on the 1/3 sample, round-trip the centroids through the
@@ -1929,9 +1930,9 @@ object SparkEntry {
         s"""WITH ${kmeansCtes(k = 4, iters = 2)}
            |SELECT vec_id, cl AS cluster, d2 FROM af
            |ORDER BY vec_id""".stripMargin,
-      // the join-assignment twin is decision-identical by construction:
+      // the large-k assignment twin is bit-identical by construction:
       // same oracle VERBATIM
-      "q_embed_kmeans_join" ->
+      "q_embed_kmeans_large" ->
         s"""WITH ${kmeansCtes(k = 4, iters = 2)}
            |SELECT vec_id, cl AS cluster, d2 FROM af
            |ORDER BY vec_id""".stripMargin,

@@ -585,21 +585,7 @@ object Similarity {
       kmeansAssign(embs.select(col("vec_id"), quantized.as("_q")), cents)
         .select(col("vec_id"), col("cluster"), col("_q")))
     try {
-      val small = qa.groupBy("cluster").agg(count(lit(1)).as("_n"))
-        .where(col("_n") <= lit(maxCluster)).select("cluster")
-      val eligible = qa.join(broadcast(small), Seq("cluster"))   // <= k rows
-      val a = eligible.select(col("cluster"), col("vec_id").as("a_id"),
-        col("_q").as("_qa"))
-      val b = eligible.select(col("cluster"), col("vec_id").as("b_id"),
-        col("_q").as("_qb"))
-      val pairD2 = aggregate(
-        zip_with(col("_qa"), col("_qb"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
-      val dropped = a.join(b, Seq("cluster"))
-        .where(col("a_id") < col("b_id"))
-        .where(pairD2 <= lit(d2Max))
-        .select(col("b_id").as("vec_id")).distinct()
-        .withColumn("_drop", lit(1L))
+      val dropped = semanticDedupDropped(qa, maxCluster, d2Max)
       val out = qa.select("vec_id", "cluster")
         .join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster"),
@@ -611,6 +597,33 @@ object Similarity {
     } finally { qaHandle.unpersist(true); () }
   }
 
+  /** The candidate pass shared by [[semanticDedup]] and the PLANS.md
+    * evidence generator (graft.Plans) — factored so the recorded plan
+    * can never drift from the shipped pipeline. Input is the assignment
+    * frame (vec_id, cluster, _q); output is the distinct dropped-id
+    * frame (vec_id, _drop=1): cluster-size census, maxCluster opt-out
+    * via the broadcast eligible list, within-cluster pair explode by
+    * equi-join on the cluster id, zip_with exact integer distance,
+    * greedy min-id drop. */
+  private[graft] def semanticDedupDropped(qa: DataFrame, maxCluster: Long,
+                                          d2Max: Long): DataFrame = {
+    val small = qa.groupBy("cluster").agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= lit(maxCluster)).select("cluster")
+    val eligible = qa.join(broadcast(small), Seq("cluster"))     // <= k rows
+    val a = eligible.select(col("cluster"), col("vec_id").as("a_id"),
+      col("_q").as("_qa"))
+    val b = eligible.select(col("cluster"), col("vec_id").as("b_id"),
+      col("_q").as("_qb"))
+    val pairD2 = aggregate(
+      zip_with(col("_qa"), col("_qb"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .where(pairD2 <= lit(d2Max))
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("_drop", lit(1L))
+  }
+
   /** Assign rows to STORED integer centroids (no fitting): the apply-many
     * half of the fit-once/apply-many pipeline — at 100 TB the model is
     * fit on a sample ([[kmeansFitPortable]]) and this one codegen
@@ -620,32 +633,28 @@ object Similarity {
     kmeansAssign(embs.select(col("vec_id"), quantized.as("_q")), cents)
       .select("vec_id", "cluster", "d2")
 
-  /** Exploded-join assignment twin of [[kmeansPredict]] for VERY LARGE k
-    * (beyond kmeansAssign's 65536-literal-term codegen cap): the
-    * centroids become a broadcast TABLE (cl, d, v) instead of plan
-    * literals, each vector posexplodes ONCE, the per-(vec_id, cl)
-    * squared-L2 aggregates with map-side combine, and the argmin is a
-    * lexicographic min over (d2, cl) structs — first-min ties to the
-    * lowest cluster id, bit-identical to the literal path (spec-proven;
-    * the gate shares q_embed_kmeans's oracle VERBATIM). Costs a
-    * dim-fold explode + two hash aggs where the literal path is one
-    * projection — the price of unbounded k. */
-  def kmeansPredictJoin(embs: DataFrame,
-                        cents: Array[Array[Long]]): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
-    val centRows = cents.zipWithIndex.flatMap { case (c, cl) =>
-      c.zipWithIndex.map { case (v, d) => (cl.toLong, d, v) }
-    }.toSeq.toDF("_cl", "_d", "_cv")
-    val qd = embs.select(col("vec_id"), quantized.as("_q"))
-      .select(col("vec_id"), posexplode(col("_q")).as(Seq("_d", "_v")))
-    qd.join(broadcast(centRows), Seq("_d"))
-      .groupBy(col("vec_id"), col("_cl"))
-      .agg(sum((col("_v") - col("_cv")) * (col("_v") - col("_cv"))).as("_d2"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("_d2"), col("_cl"))).as("_m"))
-      .select(col("vec_id"), col("_m._cl").as("cluster"),
-        col("_m._d2").as("d2"))
+  /** Large-k assignment twin of [[kmeansPredict]], for k beyond
+    * kmeansAssign's 65536-literal-TERM codegen cap: the centroids ride
+    * as ONE array<array<long>> data literal (plan size is the DATA, not
+    * k x dim expression nodes) and the distances are a higher-order
+    * `transform` + `zip_with`/`aggregate` over it — still a single
+    * row-preserving projection, so it is bit-identical to the literal
+    * path BY CONSTRUCTION on every input, including duplicate vec_ids
+    * (both copies emitted) and NULL embeddings (NULL cluster/d2), which
+    * an explode+groupBy formulation would silently collapse or drop.
+    * Bound: the k x dim long literal ships with the task binary (~8
+    * bytes per entry — k=100k at dim 64 is ~50 MB); past THAT a
+    * broadcast centroid TABLE join with an explicit row key is the next
+    * tier. The gate shares q_embed_kmeans's oracle VERBATIM. */
+  def kmeansPredictLarge(embs: DataFrame,
+                         cents: Array[Array[Long]]): DataFrame = {
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val dists = transform(centsLit, c =>
+      aggregate(zip_with(quantized, c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+    embs.select(col("vec_id"),
+      (array_position(dists, array_min(dists)) - 1).cast("long").as("cluster"),
+      array_min(dists).as("d2"))
   }
 
   /** Persist fitted integer centroids as a JSON sidecar (k x dim longs,

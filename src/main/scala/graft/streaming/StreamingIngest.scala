@@ -64,6 +64,20 @@ object StreamingIngest {
    */
   def classifyStream(spark: SparkSession, srcDir: String, destDir: String,
                      checkpointDir: String, modelDir: String): StreamingQuery = {
+    // layout guard: a dest written by a pre-p_cluster build holds
+    // cluster=N/ partition dirs with NO cluster column in the files —
+    // appending the new layout into the same sink log would make
+    // partition discovery fail (conflicting keys) or yield NULL
+    // clusters for old rows. Fail loudly instead of corrupting.
+    val destPath = new org.apache.hadoop.fs.Path(destDir)
+    val destFs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (destFs.exists(destPath)) {
+      val legacy = destFs.listStatus(destPath)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+      require(!legacy, s"$destDir holds a legacy cluster=-partitioned " +
+        "layout; classifyStream now partitions on p_cluster — use a " +
+        "fresh destination (and checkpoint), or migrate the old store")
+    }
     val cents = graft.operators.Similarity.readKmeansModel(spark, modelDir)
     val embSchema = StructType(Seq(
       StructField("vec_id", LongType),

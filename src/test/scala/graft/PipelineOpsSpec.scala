@@ -431,27 +431,40 @@ class PipelineOpsSpec extends SparkFunSuite {
     }
   }
 
-  test("kmeansPredictJoin is bit-identical to the literal-codegen " +
-       "predict, including argmin ties") {
+  test("kmeansPredictLarge is bit-identical to the literal-codegen " +
+       "predict: ties, duplicate vec_ids, NULL embeddings") {
     Seq(3, 7).foreach { k =>
       val (_, cents) = Similarity.kmeansFitPortable(embs, k, iters = 2)
       val lit = Similarity.kmeansPredict(embs, cents).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val join = Similarity.kmeansPredictJoin(embs, cents).collect()
+      val large = Similarity.kmeansPredictLarge(embs, cents).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-      assert(join == lit, s"k=$k")
+      assert(large == lit, s"k=$k")
     }
-    // tie case: duplicated centroids (duplicate points) — both paths
-    // must pick the LOWEST cluster id
+    // tie case (duplicated centroids), a DUPLICATE vec_id (both copies
+    // must survive), and a NULL embedding (row kept, NULL cluster/d2)
     val pts = Seq(0L -> Array.fill(4)(0.5f), 1L -> Array.fill(4)(0.5f),
       2L -> Array.fill(4)(-0.5f), 3L -> Array.fill(4)(-0.5f))
-    val df = pts.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val df = pts.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
     val (_, cents) = Similarity.kmeansFitPortable(df, k = 3, iters = 0, dim = 4)
-    val lit = Similarity.kmeansPredict(df, cents).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val join = Similarity.kmeansPredictJoin(df, cents).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(join == lit)
+    val dirty = df
+      .unionByName(df.where(col("vec_id") === 2L))      // duplicate id 2
+      .unionByName(Seq((9L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))                   // NULL embedding
+    def dump(got: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Option[Long], Option[Long])] =
+      got.collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }.toSeq.sorted
+    val lit = dump(Similarity.kmeansPredict(dirty, cents))
+    val large = dump(Similarity.kmeansPredictLarge(dirty, cents))
+    assert(large == lit)
+    assert(lit.count(_._1 == 2L) == 2, "duplicate id must emit twice")
+    assert(lit.filter(_._1 == 9L) == Seq((9L, None, None)),
+      "NULL embedding row kept with NULL cluster/d2")
   }
 
   // labels for the embedding fixture: the generating center index (the
