@@ -459,10 +459,49 @@ object Similarity {
     "transform(embedding, x -> " +
       "CAST(CAST(x AS DOUBLE) * 1000.0D AS BIGINT) + 2000L)")
 
+  /** The squared-L2 distance array to integer centroids as ONE
+    * array<array<bigint>> DATA literal + higher-order zip_with/aggregate —
+    * plan size is the data (one Literal node), not k x dim expression
+    * nodes, so analysis/optimizer/codegen cost is independent of k. Input
+    * is the PRE-PROJECTED quantized column `_q` (projected once — the
+    * producing Project is not collapsed into multi-reference consumers, so
+    * each row quantizes exactly once). Measured on this host the
+    * evaluation is also FASTER per row than the unrolled-literal codegen
+    * ([[kmeansAssign]]) at 400k rows x k=4 (2.0 vs 2.8 s noop) — the
+    * giant unrolled expression defeats JIT/codegen, the primitive-long
+    * lambda loop does not. */
+  private def largeDists(q: Column, cents: Array[Array[Long]]): Column = {
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    transform(centsLit, c =>
+      aggregate(zip_with(q, c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+  }
+
+  /** Squared-L2 argmin assignment over a frame carrying the quantized
+    * `_q` column — the ONE assignment implementation every shipping
+    * k-means path uses (fit rounds, fit output, predict, purity, coreset,
+    * SemDeDup). Distances via [[largeDists]]; argmin ties to the lowest
+    * cluster id (array_position finds the FIRST minimum); adds `cluster`
+    * and `d2`. Bit-identical to the unrolled-literal [[kmeansAssign]] by
+    * construction (spec-enforced; q_embed_kmeans_large shares
+    * q_embed_kmeans's oracle verbatim). The `_d` projection is a real
+    * column (referenced 3x, non-cheap, so CollapseProject keeps it):
+    * one distance-array evaluation per row. */
+  private[graft] def assignLarge(q: DataFrame,
+                                 cents: Array[Array[Long]]): DataFrame =
+    q.withColumn("_d", largeDists(col("_q"), cents))
+      .withColumn("cluster", (array_position(col("_d"), array_min(col("_d"))) - 1)
+        .cast("long"))
+      .withColumn("d2", array_min(col("_d")))
+      .drop("_d")
+
   /** Squared-L2 argmin assignment of quantized vectors to integer
-    * centroids: BIGINT distances (exact — no float-sum ordering hazard),
-    * linear array_min/array_position (the [[assign]] family), ties to
-    * the lowest cluster id. Adds `cluster` and `d2`. */
+    * centroids as UNROLLED broadcast literals: BIGINT distances (exact —
+    * no float-sum ordering hazard), linear array_min/array_position, ties
+    * to the lowest cluster id. Adds `cluster` and `d2`. Kept as the
+    * spec-parity reference implementation for [[assignLarge]] (the
+    * round-6 shipping path, whose plan cost is k-independent and whose
+    * evaluation measured faster); both produce bit-identical output. */
   private[graft] def kmeansAssign(q: DataFrame,
                                   cents: Array[Array[Long]]): DataFrame = {
     require(cents.length.toLong *
@@ -515,7 +554,7 @@ object Similarity {
     // the returned frame is built over the SOURCE lineage — the iteration
     // blocks are already released (localCheckpoint would pin a block only
     // the GC-driven ContextCleaner can free)
-    val out = kmeansAssign(
+    val out = assignLarge(
         embs.select(col("vec_id"), quantized.as("_q")), cents)
       .select("vec_id", "cluster", "d2")
     (out, cents)
@@ -539,7 +578,7 @@ object Similarity {
       require(cents.length == k, s"need >= $k vectors, got ${cents.length}")
       require(cents.forall(_.length == dim), "dim mismatch")
       for (_ <- 0 until iters) {
-        val sums = kmeansAssign(q, cents)
+        val sums = assignLarge(q, cents)
           .select(col("cluster"), posexplode(col("_q")).as(Seq("d", "v")))
           .groupBy("cluster", "d").agg(sum("v").as("s"), count(lit(1)).as("n"))
           .collect()                      // k x dim rows — driver-small
@@ -564,9 +603,10 @@ object Similarity {
    *
    * Scale shape: the candidate join is an equi-join ON the cluster id —
    * never all-pairs. The quadratic term is n^2/k in expectation, so the
-   * caller sizes k toward the kmeansAssign codegen cap (~1000 clusters
-   * at dim 64; beyond that the assignment needs the exploded-join form);
-   * clusters that still exceed `maxCluster` rows opt OUT of pair
+   * caller sizes k large (the [[assignLarge]] data-literal assignment is
+   * k-independent in plan cost; the bound is the centroid literal's
+   * broadcast size, see [[kmeansPredictLarge]]); clusters that still
+   * exceed `maxCluster` rows opt OUT of pair
    * generation entirely (all rows kept — the capBuckets discipline: a
    * degenerate cluster is quadratic and a cluster that big carries no
    * near-dup signal worth n^2 work), which the oracle replicates as a
@@ -582,7 +622,7 @@ object Similarity {
     val spark = embs.sparkSession
     val cents = lloyd(embs, k, iters, dim)
     val (qa, qaHandle) = org.apache.spark.sql.classic.GraftBridge.persistedCopy(
-      kmeansAssign(embs.select(col("vec_id"), quantized.as("_q")), cents)
+      assignLarge(embs.select(col("vec_id"), quantized.as("_q")), cents)
         .select(col("vec_id"), col("cluster"), col("_q")))
     try {
       val dropped = semanticDedupDropped(qa, maxCluster, d2Max)
@@ -630,15 +670,15 @@ object Similarity {
     * projection (centroid literals broadcast inside the expression, no
     * join, no shuffle) labels the full corpus. */
   def kmeansPredict(embs: DataFrame, cents: Array[Array[Long]]): DataFrame =
-    kmeansAssign(embs.select(col("vec_id"), quantized.as("_q")), cents)
+    assignLarge(embs.select(col("vec_id"), quantized.as("_q")), cents)
       .select("vec_id", "cluster", "d2")
 
-  /** Large-k assignment twin of [[kmeansPredict]], for k beyond
-    * kmeansAssign's 65536-literal-TERM codegen cap: the centroids ride
-    * as ONE array<array<long>> data literal (plan size is the DATA, not
-    * k x dim expression nodes) and the distances are a higher-order
-    * `transform` + `zip_with`/`aggregate` over it — still a single
-    * row-preserving projection, so it is bit-identical to the literal
+  /** Large-k assignment twin of [[kmeansPredict]] — since round 6 BOTH
+    * ride [[assignLarge]] (centroids as ONE array<array<long>> data
+    * literal + higher-order zip_with/aggregate distances: plan size is
+    * the DATA, not k x dim expression nodes, and `_q` is projected once
+    * so each row quantizes once, not k times). Still a single
+    * row-preserving projection: bit-identical to the unrolled-literal
     * path BY CONSTRUCTION on every input, including duplicate vec_ids
     * (both copies emitted) and NULL embeddings (NULL cluster/d2), which
     * an explode+groupBy formulation would silently collapse or drop.
@@ -647,15 +687,9 @@ object Similarity {
     * broadcast centroid TABLE join with an explicit row key is the next
     * tier. The gate shares q_embed_kmeans's oracle VERBATIM. */
   def kmeansPredictLarge(embs: DataFrame,
-                         cents: Array[Array[Long]]): DataFrame = {
-    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-    val dists = transform(centsLit, c =>
-      aggregate(zip_with(quantized, c, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v))
-    embs.select(col("vec_id"),
-      (array_position(dists, array_min(dists)) - 1).cast("long").as("cluster"),
-      array_min(dists).as("d2"))
-  }
+                         cents: Array[Array[Long]]): DataFrame =
+    assignLarge(embs.select(col("vec_id"), quantized.as("_q")), cents)
+      .select("vec_id", "cluster", "d2")
 
   /** Persist fitted integer centroids as a JSON sidecar (k x dim longs,
     * driver-small — the IndexMeta convention: apply-side reads the
@@ -759,15 +793,20 @@ object Similarity {
   def clusterLabelPurity(embs: DataFrame, k: Int, iters: Int,
                          dim: Int = 64): DataFrame = {
     val cents = lloyd(embs, k, iters, dim)
-    val a = kmeansAssign(
+    val a = assignLarge(
       embs.select(col("vec_id"), col("label"), quantized.as("_q")), cents)
       .where(col("label").isNotNull)
     val votes = a.groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("n"))
-    val tot = votes.groupBy("cluster").agg(sum("n").as("n_rows"))
+    // totals as a window-sum over the SAME tiny vote table (one subtree,
+    // one exchange) — a second aggregate + join would duplicate the whole
+    // assignment lineage in the plan and re-aggregate it at runtime
+    // (round-6: the duplicated subtree alone cost ~2 s per call at toy
+    // scale, and one corpus aggregation instead of two at any scale)
+    val wS = Window.partitionBy("cluster")
     val w = Window.partitionBy("cluster").orderBy(col("n").desc, col("label"))
-    votes.withColumn("_r", row_number().over(w)).where(col("_r") === 1)
-      .join(tot, Seq("cluster"))
+    votes.withColumn("n_rows", sum("n").over(wS))
+      .withColumn("_r", row_number().over(w)).where(col("_r") === 1)
       .select(col("cluster"), col("n_rows"),
         col("label").cast("long").as("label_major"), col("n").as("n_major"))
   }
@@ -779,9 +818,9 @@ object Similarity {
    * curation (uniform sampling over-represents dense regions; per-cluster
    * quotas keep the tails). Exact integer ranking — fully oracle-
    * checkable. The window partitions on the cluster id, never a global
-   * sort; k is bounded by the kmeansAssign codegen cap (~1000 at
-   * dim 64), so per-partition load is n/k — for larger k the assignment
-   * itself needs the exploded-join form first.
+   * sort; per-partition load is n/k, and the [[assignLarge]] assignment
+   * keeps plan cost k-independent (bound: the centroid literal's
+   * broadcast size, see [[kmeansPredictLarge]]).
    */
   def clusterCoreset(embs: DataFrame, k: Int, iters: Int, m: Int,
                      dim: Int = 64): DataFrame = {

@@ -431,11 +431,20 @@ class PipelineOpsSpec extends SparkFunSuite {
     }
   }
 
+  // the literal-codegen reference path: kmeansAssign over the one-shot
+  // quantized projection (kmeansPredict itself ships assignLarge since
+  // round 6, so the reference must call the unrolled path explicitly)
+  private def predictLiteral(df: org.apache.spark.sql.DataFrame,
+                             cents: Array[Array[Long]]) =
+    Similarity.kmeansAssign(
+        df.select(col("vec_id"), Similarity.quantized.as("_q")), cents)
+      .select("vec_id", "cluster", "d2")
+
   test("kmeansPredictLarge is bit-identical to the literal-codegen " +
        "predict: ties, duplicate vec_ids, NULL embeddings") {
     Seq(3, 7).foreach { k =>
       val (_, cents) = Similarity.kmeansFitPortable(embs, k, iters = 2)
-      val lit = Similarity.kmeansPredict(embs, cents).collect()
+      val lit = predictLiteral(embs, cents).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       val large = Similarity.kmeansPredictLarge(embs, cents).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -459,7 +468,7 @@ class PipelineOpsSpec extends SparkFunSuite {
           if (r.isNullAt(1)) None else Some(r.getLong(1)),
           if (r.isNullAt(2)) None else Some(r.getLong(2)))
       }.toSeq.sorted
-    val lit = dump(Similarity.kmeansPredict(dirty, cents))
+    val lit = dump(predictLiteral(dirty, cents))
     val large = dump(Similarity.kmeansPredictLarge(dirty, cents))
     assert(large == lit)
     assert(lit.count(_._1 == 2L) == 2, "duplicate id must emit twice")
