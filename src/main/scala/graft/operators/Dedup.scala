@@ -327,14 +327,21 @@ object Dedup {
    * [[purgeClusterScratch]] once returned frames are consumed.
    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    import org.apache.spark.sql.classic.GraftBridge.persistedCopy
+    import org.apache.spark.sql.classic.GraftBridge.{persistedCopy, persistedCopyFlagCount}
     val (edges, edgesRdd) = persistedCopy(      // the pair list may be
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))   // expensive;
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
         .distinct())                            // compute once
+    // seed labels with the FIRST neighbor-min round for free: label0 =
+    // min(id, direct neighbors) is one aggregation over the symmetrized
+    // edges — the same single exchange the plain id-distinct seed pays,
+    // but star/pair components (the common near-dup shape) arrive at
+    // their fixpoint immediately and the loop's first round is the
+    // convergence CONFIRMATION instead of real work (round 6: one full
+    // join+aggregate round removed from every shallow clustering call)
     var (labels, labelsRdd) = persistedCopy(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+      edges.groupBy("src").agg(min("dst").as("_nmin"))
+        .select(col("src").as("id"), least(col("src"), col("_nmin")).as("label")))
     var changed = 1L
     var i = 0
     val spark = pairs.sparkSession
@@ -346,24 +353,37 @@ object Dedup {
     // holding on EVERY exit path, not just success and non-convergence
     try {
       while (changed > 0 && i < maxIters) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("label").as("_dl")), "dst")
-          .groupBy("src").agg(min("_dl").as("_nmin"))
-          .select(col("src").as("id"), col("_nmin"))
-        val stepped = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), col("label"),
-            least(col("label"), coalesce(col("_nmin"), col("label"))).as("_m"))
+        // neighbor-min and the self label in ONE aggregation: neighbor
+        // label messages union the self rows (flagged), then a grouped
+        // min + the flagged max (each id has exactly one self row)
+        // recover (_m, old label) — one join + one aggregate, not the
+        // join + aggregate + left-join chain
+        val msgs = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("_v")), "dst")
+          .select(col("src").as("id"), col("_v"), lit(false).as("_self"))
+          .unionByName(labels.select(col("id"), col("label").as("_v"),
+            lit(true).as("_self")))
+        val cand = msgs.groupBy("id")
+          .agg(min("_v").as("_m"), max(when(col("_self"), col("_v"))).as("label"))
         // pointer jumping (path compression): also adopt the CURRENT label of
         // one's label — convergence drops from O(diameter) to O(log diameter)
-        // rounds, so maxIters=20 covers any real component (2^20 diameter)
-        val (updated, updatedRdd) = persistedCopy(stepped
+        // rounds, so maxIters=20 covers any real component (2^20 diameter).
+        // The changed census rides the materialization pass itself (an
+        // accumulator counting the projected `_chg` flag — no separate
+        // count job per round). Task retries can only inflate a genuinely
+        // nonzero count (a converged round has no flagged rows to
+        // double-count), so the loop can never terminate early or throw
+        // spuriously on a converged round.
+        val jumped = least(col("_m"), coalesce(col("_llab"), col("_m")))
+        val (updated, updatedRdd, nChanged) = persistedCopyFlagCount(cand
           .join(labels.select(col("id").as("_lid"), col("label").as("_llab")),
-            stepped("_m") === col("_lid"), "left")
-          .select(col("id"), col("label"),
-            least(col("_m"), coalesce(col("_llab"), col("_m"))).as("_new")))
+            cand("_m") === col("_lid"), "left")
+          .select(col("id"), jumped.as("_new"),
+            (jumped < col("label")).as("_chg")),
+          flagIdx = 2)
         labelsRdd.unpersist(false)   // superseded; successor is materialized
         labelsRdd = updatedRdd
-        changed = updated.where(col("_new") < col("label")).count()
+        changed = nChanged
         labels = updated.select(col("id"), col("_new").as("label"))
         i += 1
       }
@@ -519,20 +539,21 @@ object Dedup {
   def dedupBatchAgainstIndex(batch: DataFrame, indexPath: String,
                              threshold: Double = 0.5,
                              maxBucket: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.classic.GraftBridge.persistedCopy
-    if (batch.isEmpty) return batch   // nothing to probe or drop
+    import org.apache.spark.sql.classic.GraftBridge.persistedCopyCounted
     val spark = batch.sparkSession
     val (nGram, nHashes, bands, buckets) = readDedupIndexMeta(spark, indexPath)
     // band the batch ONCE: the bucket-list collect, the index probe and
     // the within-batch self-join all read the persisted copy, so the
     // batch text is md5-minhashed exactly once per call (this path runs
     // per incoming batch — recompute here multiplies the very cost the
-    // stored index exists to avoid)
-    val (batchBanded, bandedRdd) = persistedCopy(
+    // stored index exists to avoid). The emptiness short-circuit rides
+    // the materialization count — no separate isEmpty job (round 6).
+    val (batchBanded, bandedRdd, nBanded) = persistedCopyCounted(
       portableBanded(batch, nGram, nHashes, bands, maxBucket, carry = Nil)
         .select(col("doc_id"), col("_sh"), col("_b"), col("_k")))
     val dropScratch = scratchDir(spark) + s"/cc_drop_${java.util.UUID.randomUUID()}"
     try {
+      if (nBanded == 0) return batch   // nothing to probe or drop
       val ba = batchBanded.select(col("_b"), col("_k"),
         col("doc_id").as("a_id"), col("_sh").as("_sha"))
       val bb = batchBanded.select(col("_b"), col("_k"),
@@ -542,7 +563,7 @@ object Dedup {
       // ONE persisted pair frame carries the orientation flag: the
       // closure's edge union and the corpus-membership test both read it
       // without re-probing the index or re-verifying Jaccard.
-      val (pairsAll, pairsRdd) = persistedCopy(
+      val (pairsAll, pairsRdd, nPairs) = persistedCopyCounted(
         verifyJaccard(crossCandidates(batchBanded, indexPath, buckets), threshold)
           .select("a_id", "b_id").withColumn("_cross", lit(true))
           .unionByName(verifyJaccard(
@@ -552,7 +573,7 @@ object Dedup {
       try {
         // the common online case is a CLEAN batch (zero verified pairs):
         // skip the clustering machinery and both scratch files entirely
-        if (pairsAll.isEmpty) return batch
+        if (nPairs == 0) return batch
         val labels = connectedComponents(pairsAll.select("a_id", "b_id"))
         // corpus ids occur in pairs ONLY as the a side of cross pairs, so
         // the infected-component membership test needs no corpus table

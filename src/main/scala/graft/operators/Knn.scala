@@ -218,7 +218,7 @@ object Knn {
   def knnJoinTable(points: DataFrame, queries: DataFrame, k: Int,
                    pRes: Int = 5,
                    maxBroadcastQueries: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.classic.GraftBridge.persistedCopy
+    import org.apache.spark.sql.classic.GraftBridge.{persistedCopy, persistedCopyCounted}
     require(k >= 1)
     val spark = points.sparkSession
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
@@ -228,9 +228,11 @@ object Knn {
         col("dist").cast("double"), col("rank").cast("int"))
       .write.mode("append").parquet(scratch)
 
-    var (un, unRdd) = persistedCopy(
+    // persistedCopyCounted: the unresolved-set size rides the
+    // materialization the copy pays anyway — no separate count job per
+    // round (round 6; four jobs saved per call at any scale)
+    var (un, unRdd, unCount) = persistedCopyCounted(
       queries.select(col("qid"), col("qlon"), col("qlat")))
-    var unCount = un.count()
     try {
       for (r <- Seq(1, 4, 16, 64) if unCount > 0) {
         val (topk, topkRdd) = persistedCopy(roundTopK(points, un, r, k, pRes))
@@ -240,11 +242,10 @@ object Knn {
             .where(col("_n") === k && col("_maxd") <= boundCol(col("qlat"), r))
             .select("qid")
           out(topk.join(resolved, "qid"))
-          val (unNext, unNextRdd) = persistedCopy(
+          val (unNext, unNextRdd, unNextCount) = persistedCopyCounted(
             un.join(resolved, Seq("qid"), "left_anti"))
           unRdd.unpersist(false)
-          un = unNext; unRdd = unNextRdd
-          unCount = un.count()
+          un = unNext; unRdd = unNextRdd; unCount = unNextCount
         } finally topkRdd.unpersist(true)
       }
       if (unCount > 0) {

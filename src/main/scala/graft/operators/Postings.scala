@@ -97,18 +97,24 @@ object Postings {
                          textCol: String = "text"): Unit = {
     require(buckets >= 1, "buckets must be >= 1")
     val spark = docs.sparkSession
-    val (pf, handle) = org.apache.spark.sql.classic.GraftBridge
-      .persistedCopy(postingsFrame(docs, buckets, textCol))
-    try {
-      pf.write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("w_b").parquet(path)
-      val dl = doclenFrame(docs, pf, buckets)
-      writeDoclen(dl, path)
-      val (n, tot) = doclenStats(
-        spark.read.schema(DoclenSchema).parquet(doclenPath(path)))
-      writeMeta(spark, path, buckets, n, tot)
-    } finally { handle.unpersist(true); () }
+    // the postings write IS the materialization: the one tokenize pass
+    // lands directly in the store, and doclen derives from reading the
+    // just-written files back PRUNED to (doc_id, tf) — no persistedCopy
+    // (no second full pass + no memory copy), and the corpus counters
+    // ride the doclen write as observe() metrics instead of a separate
+    // aggregation job (round 6: build cost drops from 4 jobs to 2)
+    postingsFrame(docs, buckets, textCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("w_b").parquet(path)
+    val stored = spark.read.schema(PostingsSchema).parquet(path)
+    val obs = new org.apache.spark.sql.Observation()
+    writeDoclen(doclenFrame(docs, stored, buckets)
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum("dl"), lit(0L)).as("tot")), path)
+    val m = obs.get
+    writeMeta(spark, path, buckets, m("n").asInstanceOf[Long],
+      m("tot").asInstanceOf[Long])
   }
 
   /** Online growth: append the postings of NEW documents (doc_ids not in
@@ -134,13 +140,15 @@ object Postings {
       .persistedCopy(postingsFrame(docs, buckets.toInt, textCol))
     try {
       pf.write.mode("append").partitionBy("w_b").parquet(path)
-      val (dl, dlHandle) = org.apache.spark.sql.classic.GraftBridge
-        .persistedCopy(doclenFrame(docs, pf, buckets.toInt))
-      try {
-        writeDoclen(dl, path)
-        val (n, tot) = doclenStats(dl)
-        writeMeta(spark, path, buckets.toInt, n0 + n, tot0 + tot)
-      } finally { dlHandle.unpersist(true); () }
+      // batch counters ride the doclen write as observe() metrics — no
+      // second materialization of the doclen frame (round 6)
+      val obs = new org.apache.spark.sql.Observation()
+      writeDoclen(doclenFrame(docs, pf, buckets.toInt)
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum("dl"), lit(0L)).as("tot")), path)
+      val m = obs.get
+      writeMeta(spark, path, buckets.toInt, n0 + m("n").asInstanceOf[Long],
+        tot0 + m("tot").asInstanceOf[Long])
     } finally { handle.unpersist(true); () }
   }
 

@@ -257,18 +257,23 @@ object Similarity {
   /** PQ encode: code_s = argmin_c squaredL2(subvector_s, codebook(s)(c)).
     * The argmin is the LINEAR array_min/array_position recipe (the
     * [[assign]] family — never a nested when-fold), distances in double
-    * with ascending-dim accumulation (cross-engine exact). */
+    * with ascending-dim accumulation (cross-engine exact: the zip_with
+    * lambda promotes each float element to double exactly as the explicit
+    * cast did, and aggregate's left fold is the same ascending-dim order).
+    * Codebooks ride as per-subspace DATA literals with higher-order
+    * zip_with/aggregate distances (the [[assignLarge]] recipe) — plan and
+    * codegen cost no longer scale with m x ksub x subDim unrolled terms
+    * (round 6: the unrolled form dominated the PQ gates' time via
+    * optimizer + janino work on ~1k-term trees). */
   def pqEncode(embs: DataFrame,
                codebooks: Array[Array[Array[Float]]]): DataFrame = {
     val subDim = codebooks(0)(0).length
     codebooks.zipWithIndex.foldLeft(embs) { case (df, (cb, s)) =>
-      val dists = array(cb.map { cw =>
-        (0 until subDim).map { j =>
-          val e = element_at(col("embedding"), s * subDim + j + 1).cast("double")
-          val d = e - lit(cw(j).toDouble)
-          d * d
-        }.reduce(_ + _)
-      }: _*)
+      val cbLit = typedLit(cb.map(_.map(_.toDouble).toSeq).toSeq)
+      val sub = slice(col("embedding"), s * subDim + 1, subDim)
+      val dists = transform(cbLit, cw =>
+        aggregate(zip_with(sub, cw, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v))
       df.withColumn(s"code_$s",
         (array_position(dists, array_min(dists)) - 1).cast("int"))
     }

@@ -28,4 +28,37 @@ object GraftBridge {
     rdd.count()   // eager: materialized here, plan truncated below
     (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema), rdd)
   }
+
+  /** [[persistedCopy]] that additionally returns the materialized row
+    * count — the count is the eager-materialization action the copy pays
+    * anyway, so callers that need |df| (iterative loops deciding whether
+    * to continue) get it without a second job. */
+  def persistedCopyCounted(df: DataFrame,
+                           level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, RDD[InternalRow], Long) = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy()).persist(level)
+    val n = rdd.count()   // eager: materialized here, plan truncated below
+    (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema), rdd, n)
+  }
+
+  /** [[persistedCopy]] that additionally counts rows whose BOOLEAN column
+    * at `flagIdx` is true, via an accumulator riding the materialization
+    * pass — one job instead of persist + count. The count is
+    * AT-LEAST-ONCE under task retries (accumulators in transformations
+    * are not exactly-once): a retry can only inflate a genuinely nonzero
+    * count, never turn zero into nonzero, so it is safe exactly for
+    * "did anything change" convergence checks — not for exact censuses. */
+  def persistedCopyFlagCount(df: DataFrame, flagIdx: Int,
+                             level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, RDD[InternalRow], Long) = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    val acc = ds.sparkSession.sparkContext.longAccumulator
+    val rdd = ds.queryExecution.toRdd.map { r =>
+      if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) acc.add(1L)
+      r.copy()
+    }.persist(level)
+    rdd.count()   // eager: materialized here, plan truncated below
+    (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema), rdd, acc.value)
+  }
 }
