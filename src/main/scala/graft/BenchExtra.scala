@@ -50,6 +50,58 @@ object BenchExtra {
     dst
   }
 
+  /** The corpus >> batch evidence tier for the stored dedup index
+    * (round-5 VERDICT item 1): the sf corpus slice is replicated `r`x
+    * with disjoint remapped ids while the batch stays FIXED, so the
+    * recompute path's per-batch corpus re-minhash grows r-fold while the
+    * index probe's work does not — the crossover corpus size is the
+    * index's measured value. Index build time is excluded (it amortizes
+    * over every batch, exactly as in graft.Bench's pipeline tier); both
+    * paths run with production defaults (hot-bucket caps ON). Timing
+    * only — this main is not an oracle surface. */
+  private def dedupTier(spark: SparkSession, dir: String,
+                        reps: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // same split as graft.Bench pipelineComposites; ids remapped so every
+    // replica is disjoint from every other AND from the batch
+    val corpus0 = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") * lit(1000L)).as("doc_id"), col("text"))
+    val nBatch = batch.count().toDouble
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val rows = reps.map { r =>
+      val corpus = corpus0
+        .crossJoin(spark.range(r).select(col("id").as("_rep")))
+        .select((col("doc_id") * lit(1000L) + col("_rep") + 1L).as("doc_id"),
+          col("text"))
+      val nCorpus = corpus0.count() * r
+      val idxDir = s"/tmp/graft_benchextra_dedup_tier_r$r"
+      val buildSec = time { Dedup.writeDedupIndex(corpus, idxDir) }
+      def probe(): Unit =
+        { Dedup.dedupBatchAgainstIndex(batch, idxDir).count(); () }
+      def recompute(): Unit =
+        { Dedup.dedupBatchAgainstCorpus(corpus, batch).count(); () }
+      probe(); recompute()                        // warm (codegen + cache)
+      val idxSec = Seq(time(probe()), time(probe())).min
+      val recSec = Seq(time(recompute()), time(recompute())).min
+      System.err.println(f"[benchextra] dedup-tier r=$r%-4d corpus=$nCorpus%8d " +
+        f"build $buildSec%6.1f s  probe $idxSec%6.2f s (${nBatch / idxSec}%6.0f docs/s)  " +
+        f"recompute $recSec%6.2f s (${nBatch / recSec}%6.0f docs/s)")
+      (r, nCorpus, buildSec, idxSec, recSec)
+    }
+    val js = rows.map { case (r, n, b, i, rc) =>
+      f"""{"replication":$r,"corpus_docs":$n,"build_sec":$b%.2f,""" +
+        f""""index_probe_sec":$i%.3f,"recompute_sec":$rc%.3f,""" +
+        f""""index_docs_per_sec":${nBatch / i}%.0f,""" +
+        f""""recompute_docs_per_sec":${nBatch / rc}%.0f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"dedup_tier","batch_docs":${nBatch.toLong},"tiers":$js}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -68,6 +120,15 @@ object BenchExtra {
         case "--noop" => noop = true; i += 1
         case g => gates += g; i += 1
       }
+    }
+    if (gates.headOption.contains("dedup-tier")) {
+      val spark = session(cpus)
+      try dedupTier(spark, mirrorDir(sfDir),
+        gates.drop(1).map(_.toInt).toSeq match {
+          case Nil => Seq(1, 10, 100); case rs => rs
+        })
+      finally spark.stop()
+      return
     }
     val names =
       if (gates.isEmpty) SparkEntry.queries.keys.toSeq.sorted

@@ -72,6 +72,50 @@ object DevProbe {
         Similarity.clusterCoreset(e, k = 4, iters = 2, m = 25).count()
       }
     }
+    // ---- semanticDedup + dedup-index phase splits ---------------------
+    {
+      val e2 = spark.read.parquet(s"$dir/embeddings.parquet")
+      val docs1k = spark.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 1000)
+      val corpus = docs1k.where(col("doc_id") < 500)
+      val batch = docs1k.where(col("doc_id") >= 500)
+      for (rep <- 1 to 2) {
+        t(s"semdedup full #$rep") {
+          Similarity.semanticDedup(e2, k = 8, iters = 2, d2Max = 1400000L).count()
+        }
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_probe_idx_").toString
+        t(s"idx build #$rep") {
+          Dedup.writeDedupIndex(corpus, idxDir, nGram = 3, nHashes = 4,
+            bands = 4, buckets = 16, maxBucket = 0)
+        }
+        t(s"idx probe #$rep") {
+          Dedup.dedupBatchAgainstIndex(batch, idxDir, threshold = 0.5,
+            maxBucket = 0).count()
+        }
+        val ptmp = java.nio.file.Files
+          .createTempDirectory("graft_probe_planet_").toString
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val nodesRaw = ev
+          .select((col("event_id") + 1).as("id"),
+            (pmod(col("event_id") * 53, lit(16000L)) / 100.0 + 1.5).as("lon"),
+            (pmod(col("event_id") * 89, lit(7500L)) / 100.0 + 1.5).as("lat"))
+        val waysRaw = nodesRaw.where(pmod(col("id"), lit(5)) === 0)
+          .select((col("id") / 5).cast("long").as("id"),
+            sequence(col("id") - 4, col("id")).as("refs"))
+        val relsRaw = nodesRaw.where(pmod(col("id"), lit(7)) === 0)
+          .select((col("id") / 7).cast("long").as("id"),
+            array(struct(lit("outer").as("role"),
+                lit(0).cast("byte").as("mtype"), (col("id") - 6).as("ref")),
+              struct(lit("inner").as("role"),
+                lit(0).cast("byte").as("mtype"), (col("id") - 3).as("ref")))
+              .as("members"))
+        val pt = graft.operators.PlanetExtract.ingest(nodesRaw, waysRaw, relsRaw)
+        t(s"planet writeTables #$rep") {
+          graft.operators.PlanetExtract.writeTables(pt, ptmp, pBits = 3)
+        }
+      }
+    }
     // A/B: purity tail restructured as ONE subtree (window-sum totals
     // instead of the second aggregate + join)
     val (_, cents4) = Similarity.kmeansFitPortable(e, k = 4, iters = 2)

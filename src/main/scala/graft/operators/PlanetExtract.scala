@@ -278,9 +278,23 @@ object PlanetExtract {
         shiftright(col("xbin"), CellIndex.GridBits - pBits) * (1 << pBits) +
           shiftright(col("ybin"), CellIndex.GridBits - pBits)))
       .repartition(col("p"))
-    p(t.nodes).write.mode("overwrite").partitionBy("p").parquet(s"$path/nodes")
-    p(t.ways).write.mode("overwrite").partitionBy("p").parquet(s"$path/ways")
-    p(t.relations).write.mode("overwrite").partitionBy("p").parquet(s"$path/relations")
+    // the three writes are INDEPENDENT jobs: submit them concurrently so
+    // each job's tail (the last few partition-writer tasks) is back-filled
+    // by the next job's tasks instead of idling the executors (guide-§2.6
+    // overlap; FIFO scheduling gives exactly the back-fill behavior).
+    // Failures propagate: Await rethrows the first failed write.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writes = Seq(
+      Future(p(t.nodes).write.mode("overwrite")
+        .partitionBy("p").parquet(s"$path/nodes")),
+      Future(p(t.ways).write.mode("overwrite")
+        .partitionBy("p").parquet(s"$path/ways")),
+      Future(p(t.relations).write.mode("overwrite")
+        .partitionBy("p").parquet(s"$path/relations")))
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 
   def readTables(spark: org.apache.spark.sql.SparkSession, path: String): PlanetTables =

@@ -92,19 +92,39 @@ final class ExtractServer(t: PlanetTables, host: String = "0.0.0.0",
     if (west < -180 || west > 180 || east < -180 || east > 180)
       return bad(ex, "Longitudes must be between -180 and 180")
 
-    val (nodes, ways, rels) = extractEntities(BBox(west, south, east, north))
-    val bos = new java.io.ByteArrayOutputStream()
+    val (nodes, ways, rels) = extractEntityIters(BBox(west, south, east, north))
     val vexFormat = q.get("format").contains("vex")
+    val suffix = if (vexFormat) "vex" else "pbf"
+    val disposition =
+      s"attachment;filename=osm_export_${jsNum((north + south) / 2)}_" +
+        s"${jsNum((east + west) / 2)}.$suffix"
     if (vexFormat) {
-      val (nn, nw) = VexSink.write(bos, nodes, ways)
+      // VEX stays buffered: its entity COUNTS ride in response headers
+      // (the format itself has none), and headers must be committed
+      // before the first body byte — counting requires encoding first.
+      // Bounded-extract-by-contract covers it; the PBF path below is the
+      // reference-parity surface and streams.
+      val bos = new java.io.ByteArrayOutputStream()
+      val (nn, nw) = VexSink.write(bos, nodes.toSeq, ways.toSeq)
       ex.getResponseHeaders.set("X-Vex-Nodes", nn.toString)
       ex.getResponseHeaders.set("X-Vex-Ways", nw.toString)
-    } else PbfCodec.writePbfFile(bos, nodes, ways, rels)
-    val suffix = if (vexFormat) "vex" else "pbf"
-    ex.getResponseHeaders.set("Content-Disposition",
-      s"attachment;filename=osm_export_${jsNum((north + south) / 2)}_" +
-        s"${jsNum((east + west) / 2)}.$suffix")
-    respond(ex, 200, "application/octet-stream", bos.toByteArray)
+      ex.getResponseHeaders.set("Content-Disposition", disposition)
+      respond(ex, 200, "application/octet-stream", bos.toByteArray)
+    } else {
+      // STREAMED response (vexserver.js:65-68 pipes the child's stdout
+      // the same way): chunked transfer, the encoder pulls lazily from
+      // the per-kind toLocalIterator, so driver memory holds one result
+      // partition + one 8k entity block — never the whole extract
+      // (round 6; the buffered form materialized all three entity sets
+      // AND the full PBF byte array). A mid-stream failure can no longer
+      // become a 500 (headers are committed) — the truncated-body
+      // tradeoff every streaming server makes.
+      ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+      ex.getResponseHeaders.set("Content-Disposition", disposition)
+      ex.sendResponseHeaders(200, 0)
+      try PbfCodec.writePbfFileStreaming(ex.getResponseBody, nodes, ways, rels)
+      finally ex.close()
+    }
   }
 
   /** JS Number stringification for the attachment name: integral values
@@ -121,27 +141,35 @@ final class ExtractServer(t: PlanetTables, host: String = "0.0.0.0",
   /** Entity-level bbox extract — exactly [[PlanetExtract.bbox]]'s row set
     * (fixed mode, via the SHARED PlanetExtract.selectedEntityFrames
     * selection so the HTTP surface cannot drift from the extract
-    * semantics) with full payloads, collected for encoding. Emission order
-    * inside each kind is id-ascending (deterministic responses;
-    * byte-golden reference order is [[PlanetExtract.bboxOrdered]]'s job). */
-  private def extractEntities(b: BBox)
-      : (Seq[NodeRow], Seq[WayRow], Seq[RelationRow]) = {
+    * semantics) with full payloads, as LAZY per-kind iterators:
+    * `toLocalIterator` fetches one result partition at a time, so the
+    * driver never holds a whole entity set (round 6 — the collect() form
+    * was the one scale-unsafe driver materialization left in the repo).
+    * Emission order inside each kind is id-ascending: orderBy produces
+    * range-partitioned output, and toLocalIterator walks partitions in
+    * order, so the streamed order equals the collected order
+    * (deterministic responses; byte-golden reference order is
+    * [[PlanetExtract.bboxOrdered]]'s job). */
+  private def extractEntityIters(b: BBox)
+      : (Iterator[NodeRow], Iterator[WayRow], Iterator[RelationRow]) = {
+    import scala.jdk.CollectionConverters._
     val (selNodes, selWays, selRels) =
       PlanetExtract.selectedEntityFrames(t, b)
     val nodes = selNodes
-      .select(t.nodes.columns.map(col): _*).orderBy("id").collect()
+      .select(t.nodes.columns.map(col): _*).orderBy("id")
+      .toLocalIterator().asScala
       .map(r => NodeRow(r.getAs[Long]("id"), r.getAs[Double]("lon"),
-        r.getAs[Double]("lat"), mapOf(r, "tags"))).toSeq
-    val ways = selWays.orderBy("id").collect()
+        r.getAs[Double]("lat"), mapOf(r, "tags")))
+    val ways = selWays.orderBy("id").toLocalIterator().asScala
       .map(r => WayRow(r.getAs[Long]("id"),
         r.getAs[scala.collection.Seq[Long]]("refs").toArray,
-        mapOf(r, "tags"))).toSeq
-    val rels = selRels.orderBy("id").collect()
+        mapOf(r, "tags")))
+    val rels = selRels.orderBy("id").toLocalIterator().asScala
       .map(r => RelationRow(r.getAs[Long]("id"),
         r.getAs[scala.collection.Seq[Row]]("members").map(m =>
           RelMemberRow(m.getAs[String]("role"), m.getAs[Byte]("mtype"),
             m.getAs[Long]("ref"))).toArray,
-        mapOf(r, "tags"))).toSeq
+        mapOf(r, "tags")))
     (nodes, ways, rels)
   }
 }

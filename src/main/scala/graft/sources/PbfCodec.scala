@@ -287,7 +287,20 @@ object PbfCodec {
     * reference enforces on read, pbf-read.c:94-135). */
   def writePbfFile(os: java.io.OutputStream, nodes: Seq[NodeRow],
                    ways: Seq[WayRow], rels: Seq[RelationRow],
-                   blockSize: Int = BlockSize): Unit = {
+                   blockSize: Int = BlockSize): Unit =
+    writePbfFileStreaming(os, nodes.iterator, ways.iterator, rels.iterator,
+      blockSize)
+
+  /** [[writePbfFile]] over LAZY entity iterators: header + blocked
+    * nodes -> ways -> relations, pulling at most `blockSize` entities of
+    * one kind into memory at a time — the whole-file sibling of
+    * [[writePbfStream]], byte-identical to the Seq form (which delegates
+    * here). The shape that lets a server stream an extract without
+    * materializing it (vexserver.js pipes the child's stdout the same
+    * way). */
+  def writePbfFileStreaming(os: java.io.OutputStream, nodes: Iterator[NodeRow],
+                            ways: Iterator[WayRow], rels: Iterator[RelationRow],
+                            blockSize: Int = BlockSize): Unit = {
     frameBlob(os, "OSMHeader", encodeHeaderBlock())
     nodes.grouped(blockSize).foreach(g => frameBlob(os, "OSMData", encodeNodeBlock(g)))
     ways.grouped(blockSize).foreach(g => frameBlob(os, "OSMData", encodeWayBlock(g)))

@@ -155,6 +155,28 @@ class PbfSourceSpec extends SparkFunSuite {
         ways.map(w => (w.id, w.refs.toSeq, w.tags)), s"seed $seed ways")
       assert(d.rels.map(x => (x.id, x.members.toSeq, x.tags)) ==
         rels.map(x => (x.id, x.members.toSeq, x.tags)), s"seed $seed rels")
+      // the lazy-iterator whole-file form (the streamed-HTTP-response
+      // encoder) is byte-identical to the Seq form AND never holds more
+      // than one block of entities: a strict one-shot iterator instrumented
+      // to track the high-water mark of un-consumed pulls per block
+      val pulled = new java.util.concurrent.atomic.AtomicInteger(0)
+      var maxBetweenBlocks = 0
+      def counting[T](xs: Seq[T]): Iterator[T] = xs.iterator.map { x =>
+        maxBetweenBlocks = math.max(maxBetweenBlocks, pulled.incrementAndGet())
+        x
+      }
+      val bos2 = new java.io.ByteArrayOutputStream() {
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+          pulled.set(0)   // a framed block flushed: its entities are free
+          super.write(b, off, len)
+        }
+      }
+      PbfCodec.writePbfFileStreaming(bos2, counting(nodes), counting(ways),
+        counting(rels), blockSize = 16)
+      assert(java.util.Arrays.equals(bos2.toByteArray, bos.toByteArray),
+        s"seed $seed streaming bytes != Seq bytes")
+      assert(maxBetweenBlocks <= 16,
+        s"seed $seed streamed encoder buffered $maxBetweenBlocks > blockSize entities")
     }
   }
 

@@ -579,6 +579,28 @@ class PipelineOpsSpec extends SparkFunSuite {
     assert(labels.size == 57, "unexpected extra labeled nodes")
   }
 
+  test("connectedComponents: a planted giant star component (one hub, half " +
+       "the edge volume) and STRING ids both converge to the component min") {
+    // giant component: hub 0 with 4000 leaves; the min-label seed resolves
+    // it in the seeding aggregation and the loop's first round is pure
+    // confirmation — plus a second component whose chain still needs real
+    // propagation rounds in the same call
+    val giant = (1L to 4000L).map(l => (0L, l))
+    val chain = (5000L to 5032L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val labels = Dedup.connectedComponents((giant ++ chain).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4000L).forall(labels(_) == 0L), "giant star")
+    assert((5000L to 5032L).forall(labels(_) == 5000L), "chain beside it")
+    // string ids: the convergence flag is computed as a COLUMN (type-
+    // agnostic), so lexicographic min labels work identically
+    val spairs = Seq(("img_b", "img_a"), ("img_c", "img_b"), ("re_2", "re_1"))
+      .toDF("a_id", "b_id")
+    val slabels = Dedup.connectedComponents(spairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("img_a", "img_b", "img_c").forall(slabels(_) == "img_a"))
+    assert(Seq("re_1", "re_2").forall(slabels(_) == "re_1"))
+  }
+
   test("hash sampling is deterministic, rate-accurate, insensitive to table " +
        "growth, and decorrelated across salts") {
     val ids = (0L until 20000L).map(i => Tuple1(i)).toDF("id")
