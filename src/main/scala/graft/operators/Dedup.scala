@@ -539,18 +539,24 @@ object Dedup {
   def dedupBatchAgainstIndex(batch: DataFrame, indexPath: String,
                              threshold: Double = 0.5,
                              maxBucket: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.classic.GraftBridge.persistedCopyCounted
+    import org.apache.spark.sql.classic.GraftBridge.{persistedCopyCounted, persistedCopyCountedIntSet}
     val spark = batch.sparkSession
     val (nGram, nHashes, bands, buckets) = readDedupIndexMeta(spark, indexPath)
     // band the batch ONCE: the bucket-list collect, the index probe and
     // the within-batch self-join all read the persisted copy, so the
     // batch text is md5-minhashed exactly once per call (this path runs
     // per incoming batch — recompute here multiplies the very cost the
-    // stored index exists to avoid). The emptiness short-circuit rides
-    // the materialization count — no separate isEmpty job (round 6).
-    val (batchBanded, bandedRdd, nBanded) = persistedCopyCounted(
+    // stored index exists to avoid). The emptiness short-circuit AND the
+    // probe-bucket id set both ride the materialization pass (round 6:
+    // no separate isEmpty job, no separate distinct+collect job — the
+    // bucket ids are a <= `buckets`-element set by construction, exactly
+    // the driver-small collect the old job performed).
+    val (batchBanded, bandedRdd, nBanded, probeBuckets) = persistedCopyCountedIntSet(
       portableBanded(batch, nGram, nHashes, bands, maxBucket, carry = Nil)
-        .select(col("doc_id"), col("_sh"), col("_b"), col("_k")))
+        .select(col("doc_id"), col("_sh"), col("_b"), col("_k"),
+          pmod(xxhash64(col("_b"), col("_k")), lit(buckets.toLong))
+            .cast("int").as("_ib")),
+      intIdx = 4)
     val dropScratch = scratchDir(spark) + s"/cc_drop_${java.util.UUID.randomUUID()}"
     try {
       if (nBanded == 0) return batch   // nothing to probe or drop
@@ -564,7 +570,8 @@ object Dedup {
       // closure's edge union and the corpus-membership test both read it
       // without re-probing the index or re-verifying Jaccard.
       val (pairsAll, pairsRdd, nPairs) = persistedCopyCounted(
-        verifyJaccard(crossCandidates(batchBanded, indexPath, buckets), threshold)
+        verifyJaccard(crossCandidates(batchBanded, indexPath,
+            probeBuckets.toSeq.sorted), threshold)
           .select("a_id", "b_id").withColumn("_cross", lit(true))
           .unionByName(verifyJaccard(
               ba.join(bb, Seq("_b", "_k")).where(col("a_id") < col("b_id"))
@@ -634,13 +641,8 @@ object Dedup {
     * and BOTH vanish). With self-entries ignored, a replay reproduces
     * the original decisions exactly. */
   private def crossCandidates(batchBanded: DataFrame, indexPath: String,
-                              buckets: Int): DataFrame = {
+                              probeBuckets: Seq[Int]): DataFrame = {
     val spark = batchBanded.sparkSession
-    val bucketOf =
-      pmod(xxhash64(col("_b"), col("_k")), lit(buckets.toLong)).cast("int")
-    // <= `buckets` distinct values — driver-small by construction
-    val probeBuckets = batchBanded.select(bucketOf.as("idx_b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
     val idx = spark.read.parquet(indexPath)
       .where(if (probeBuckets.isEmpty) lit(false)
              else col("idx_b").isin(probeBuckets: _*))   // PartitionFilters
@@ -664,10 +666,17 @@ object Dedup {
                            maxBucket: Int = 1000): DataFrame = {
     val (nGram, nHashes, bands, buckets) =
       readDedupIndexMeta(batch.sparkSession, indexPath)
-    crossCandidates(
-      portableBanded(batch, nGram, nHashes, bands, maxBucket, carry = Nil)
-        .select(col("doc_id"), col("_sh"), col("_b"), col("_k")),
-      indexPath, buckets)
+    val banded = portableBanded(batch, nGram, nHashes, bands, maxBucket,
+        carry = Nil)
+      .select(col("doc_id"), col("_sh"), col("_b"), col("_k"))
+    // <= `buckets` distinct values — driver-small by construction (the
+    // operator itself rides this on its persist pass; this standalone
+    // evidence surface pays the one extra job)
+    val probeBuckets = banded
+      .select(pmod(xxhash64(col("_b"), col("_k")), lit(buckets.toLong))
+        .cast("int").as("idx_b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    crossCandidates(banded, indexPath, probeBuckets)
   }
 
   /** Delete every scratch result under the configured scratch dir.

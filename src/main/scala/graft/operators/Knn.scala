@@ -223,30 +223,34 @@ object Knn {
     val spark = points.sparkSession
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("id"))
     val scratch = Dedup.scratchDir(spark) + s"/knn_${java.util.UUID.randomUUID()}"
-    val out = (df: DataFrame) => df
+    val norm = (df: DataFrame) => df
       .select(col("qid").cast("long"), col("id").cast("long"),
         col("dist").cast("double"), col("rank").cast("int"))
-      .write.mode("append").parquet(scratch)
 
     // persistedCopyCounted: the unresolved-set size rides the
     // materialization the copy pays anyway — no separate count job per
-    // round (round 6; four jobs saved per call at any scale)
+    // round. Per-round results are NOT written per round: each round's
+    // topk stays persisted (Q x k rows, bounded) and ONE union write
+    // lands everything — rounds-1 parquet write jobs saved; every block
+    // is still released deterministically in the finally (round 6).
+    val roundResults = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val roundRdds = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
     var (un, unRdd, unCount) = persistedCopyCounted(
       queries.select(col("qid"), col("qlon"), col("qlat")))
     try {
       for (r <- Seq(1, 4, 16, 64) if unCount > 0) {
         val (topk, topkRdd) = persistedCopy(roundTopK(points, un, r, k, pRes))
-        try {
-          val resolved = topk.groupBy("qid", "qlat")
-            .agg(count(lit(1)).as("_n"), max("dist").as("_maxd"))
-            .where(col("_n") === k && col("_maxd") <= boundCol(col("qlat"), r))
-            .select("qid")
-          out(topk.join(resolved, "qid"))
-          val (unNext, unNextRdd, unNextCount) = persistedCopyCounted(
-            un.join(resolved, Seq("qid"), "left_anti"))
-          unRdd.unpersist(false)
-          un = unNext; unRdd = unNextRdd; unCount = unNextCount
-        } finally topkRdd.unpersist(true)
+        roundRdds += topkRdd
+        val resolved = topk.groupBy("qid", "qlat")
+          .agg(count(lit(1)).as("_n"), max("dist").as("_maxd"))
+          .where(col("_n") === k && col("_maxd") <= boundCol(col("qlat"), r))
+          .select("qid")
+        roundResults += norm(topk.join(resolved, "qid"))
+        val (unNext, unNextRdd, unNextCount) = persistedCopyCounted(
+          un.join(resolved, Seq("qid"), "left_anti"))
+        unRdd.unpersist(false)
+        un = unNext; unRdd = unNextRdd; unCount = unNextCount
       }
       if (unCount > 0) {
         // stragglers: exact top-k. Broadcast the query side only while it
@@ -258,13 +262,19 @@ object Knn {
         // exception, not the plan)
         val qside = un.select(col("qid"), col("qlon"), col("qlat"))
         val qb = if (unCount <= maxBroadcastQueries) broadcast(qside) else qside
-        out(points.crossJoin(qb)
+        roundResults += norm(points.crossJoin(qb)
           .withColumn("dist", distCol)
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= k)
           .select("qid", "id", "dist", "rank"))
       }
-    } finally unRdd.unpersist(true)
+      if (roundResults.nonEmpty)
+        roundResults.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(scratch)
+    } finally {
+      unRdd.unpersist(true)
+      roundRdds.foreach(_.unpersist(true))
+    }
     val p = new org.apache.hadoop.fs.Path(scratch)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))   // empty query table: nothing was ever written

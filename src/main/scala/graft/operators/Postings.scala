@@ -224,10 +224,17 @@ object Postings {
                                   terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
     val buckets = readMetaBuckets(spark, path)
-    import spark.implicits._
-    val bs = terms.toDF("word")
-      .select(pmod(xxhash64(col("word")), lit(buckets.toLong)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    // bucket ids evaluated DRIVER-SIDE through the very catalyst
+    // expressions the writer's pmod(xxhash64(word), buckets) column
+    // compiles to — bit-exact by construction (same Expression classes,
+    // eval'd over literals), and no Spark job just to hash a handful of
+    // query terms (round 6; the old tiny toDF+collect job was pure
+    // scheduling overhead at any scale)
+    val bs = terms.map { w =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val h = new XxHash64(Seq(Literal(w))).eval(null).asInstanceOf[Long]
+      (((h % buckets) + buckets) % buckets).toInt   // pmod, positive modulus
+    }.distinct
     spark.read.schema(PostingsSchema).parquet(path)
       .where(col("w_b").isin(bs: _*) && col("word").isin(terms: _*))
       .dropDuplicates("word", "doc_id")

@@ -42,6 +42,29 @@ object GraftBridge {
     (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema), rdd, n)
   }
 
+  /** [[persistedCopyCounted]] that additionally collects the DISTINCT
+    * values of the INT column at `intIdx` via a set-semantics accumulator
+    * riding the materialization pass — for driver-small id sets (partition
+    * bucket lists) that would otherwise cost a separate distinct+collect
+    * job. At-least-once duplicates from task retries are absorbed by the
+    * set; no value can be missed (every partition runs at least once).
+    * The caller guarantees the column's distinct cardinality is
+    * driver-small. */
+  def persistedCopyCountedIntSet(df: DataFrame, intIdx: Int,
+                                 level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, RDD[InternalRow], Long, Set[Int]) = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    val acc = ds.sparkSession.sparkContext.collectionAccumulator[Int]
+    val rdd = ds.queryExecution.toRdd.map { r =>
+      if (!r.isNullAt(intIdx)) acc.add(r.getInt(intIdx))
+      r.copy()
+    }.persist(level)
+    val n = rdd.count()
+    import scala.jdk.CollectionConverters._
+    (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema), rdd, n,
+      acc.value.asScala.toSet)
+  }
+
   /** [[persistedCopy]] that additionally counts rows whose BOOLEAN column
     * at `flagIdx` is true, via an accumulator riding the materialization
     * pass — one job instead of persist + count. The count is
