@@ -340,15 +340,17 @@ object Plans {
       "portable k-means centroid update round (expect: partial " +
         "HashAggregate on (cluster, d) BEFORE the exchange — map-side " +
         "combine ships at most k x 64 rows per task — and the argmin " +
-        "assignment is ONE codegen projection over the scan: centroids " +
-        "are broadcast literals, no join, no second pass)" -> {
+        "assignment is ONE row-preserving projection over the scan: " +
+        "centroids ride as ONE array<array<bigint>> DATA literal with " +
+        "higher-order zip_with/aggregate distances, so plan/codegen cost " +
+        "is independent of k — no join, no second pass)" -> {
         val embs = spark.range(200000).selectExpr("id AS vec_id",
           "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
         val cents = Array.tabulate(8)(c => Array.tabulate(64)(d =>
           1500L + c * 100L + d))
         val q = embs.select(col("vec_id"),
           graft.operators.Similarity.quantized.as("_q"))
-        fmt(graft.operators.Similarity.kmeansAssign(q, cents)
+        fmt(graft.operators.Similarity.assignLarge(q, cents)
           .select(col("cluster"), posexplode(col("_q")).as(Seq("d", "v")))
           .groupBy("cluster", "d")
           .agg(sum("v").as("s"), count(lit(1)).as("n")))
@@ -363,7 +365,7 @@ object Plans {
           "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
         val cents = Array.tabulate(8)(c => Array.tabulate(64)(d =>
           1500L + c * 100L + d))
-        val qa = graft.operators.Similarity.kmeansAssign(
+        val qa = graft.operators.Similarity.assignLarge(
           embs.select(col("vec_id"),
             graft.operators.Similarity.quantized.as("_q")), cents)
           .select(col("vec_id"), col("cluster"), col("_q"))

@@ -312,8 +312,11 @@ object Postings {
     val dfs = tp.groupBy("word").agg(count(lit(1)).as("_df"))
     val cands = tp.join(broadcast(dfs), Seq("word"))
     // candidates' doclen buckets -> literal PartitionFilters on _doclen
-    // (<= `buckets` ints; the collect is the diffSync probe convention)
-    val dbs = cands.select(pmod(xxhash64(col("doc_id")), lit(buckets))
+    // (<= `buckets` ints; the collect is the diffSync probe convention).
+    // Derived from tp ALONE: the dfs join filters nothing (every tp word
+    // has a df computed from tp itself), so the bucket job skips the
+    // aggregate + broadcast build entirely (round 6)
+    val dbs = tp.select(pmod(xxhash64(col("doc_id")), lit(buckets))
         .cast("int").as("_b")).distinct().collect().map(_.getInt(0)).toSeq
     if (dbs.isEmpty) return cands.select(col("doc_id"),
       lit(0.0).as("score")).limit(0)

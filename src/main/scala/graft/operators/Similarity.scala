@@ -565,21 +565,66 @@ object Similarity {
     (out, cents)
   }
 
+  /** Bounded top-k accumulator for the portable seed selection: keeps the
+    * k rows MINIMAL by (md5(vec_id), vec_id), exactly the
+    * `orderBy(md5(cast(vec_id AS string)), vec_id).limit(k)` order (the
+    * driver MessageDigest md5 of the decimal string is byte-identical to
+    * Spark's md5 of the same cast). Set semantics absorb at-least-once
+    * task retries (a retried row re-inserts its identical key). Bounded:
+    * every executor-side instance trims to k entries. */
+  private final class SeedAcc(k: Int)
+      extends org.apache.spark.util.AccumulatorV2[
+        (String, Long, Array[Long]),
+        List[(String, Long, Array[Long])]] {
+    private val ord =
+      Ordering.by[(String, Long, Array[Long]), (String, Long)](t => (t._1, t._2))
+    private var set =
+      scala.collection.mutable.TreeSet.empty[(String, Long, Array[Long])](ord)
+    override def isZero: Boolean = set.isEmpty
+    override def copy(): SeedAcc = {
+      val c = new SeedAcc(k); c.set = set.clone(); c
+    }
+    override def reset(): Unit = set.clear()
+    override def add(v: (String, Long, Array[Long])): Unit = {
+      set.add(v)
+      while (set.size > k) set.remove(set.last)
+    }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        (String, Long, Array[Long]), List[(String, Long, Array[Long])]]): Unit =
+      other.value.foreach(add)
+    override def value: List[(String, Long, Array[Long])] = set.toList
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** The seed + iteration core of [[kmeansFitPortable]]: quantizes ONCE
-    * into persisted storage, runs `iters` assignment/update rounds, and
-    * releases the blocks deterministically before returning the final
-    * integer centroids (zero pinned blocks — the clustering-gate
-    * contract). */
+    * into persisted storage — the SEED SELECTION rides that same
+    * materialization pass via a bounded top-k accumulator, so no
+    * separate full-corpus sort-limit job runs (round 6: one whole
+    * corpus pass per fit removed at any scale) — then runs `iters`
+    * assignment/update rounds and releases the blocks deterministically
+    * before returning the final integer centroids (zero pinned blocks —
+    * the clustering-gate contract). */
   private def lloyd(embs: DataFrame, k: Int, iters: Int,
                     dim: Int): Array[Array[Long]] = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
-    val (q, handle) = org.apache.spark.sql.classic.GraftBridge.persistedCopy(
-      embs.select(col("vec_id"), quantized.as("_q")))
+    val src = embs.select(col("vec_id"), quantized.as("_q"))
+    val acc = new SeedAcc(k)
+    src.sparkSession.sparkContext.register(acc, "kmeans-seed-topk")
+    val (q, handle) = org.apache.spark.sql.classic.GraftBridge
+      .persistedCopyTapped(src, r => {
+        // NULL ids sort FIRST under Spark's ascending nulls-first order;
+        // "" sorts before every md5 hex, replicating that placement
+        val key = if (r.isNullAt(0)) "" else md5Hex(r.getLong(0).toString)
+        val id = if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+        val vec = if (r.isNullAt(1)) null else r.getArray(1).toLongArray()
+        acc.add((key, id, vec))
+      })
     try {
-      var cents: Array[Array[Long]] = q
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(k).select("_q").collect()
-        .map(_.getSeq[Long](0).toArray)
+      var cents: Array[Array[Long]] = acc.value.sortBy(t => (t._1, t._2))
+        .take(k).map(_._3).toArray
       require(cents.length == k, s"need >= $k vectors, got ${cents.length}")
       require(cents.forall(_.length == dim), "dim mismatch")
       for (_ <- 0 until iters) {

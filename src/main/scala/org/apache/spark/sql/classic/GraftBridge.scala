@@ -65,6 +65,23 @@ object GraftBridge {
       acc.value.asScala.toSet)
   }
 
+  /** [[persistedCopy]] with a caller-supplied TAP invoked on every
+    * internal row during the materialization pass (before the defensive
+    * copy) — the generic "ride the persist job" hook behind bounded
+    * accumulator collections (e.g. the k-means seed top-k). The tap runs
+    * on executors: it must be serializable and must only talk back
+    * through registered accumulators; at-least-once semantics under task
+    * retries are the caller's contract. */
+  def persistedCopyTapped(df: DataFrame, tap: InternalRow => Unit,
+                          level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, RDD[InternalRow]) = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    val rdd = ds.queryExecution.toRdd.map { r => tap(r); r.copy() }
+      .persist(level)
+    rdd.count()
+    (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema), rdd)
+  }
+
   /** [[persistedCopy]] that additionally counts rows whose BOOLEAN column
     * at `flagIdx` is true, via an accumulator riding the materialization
     * pass — one job instead of persist + count. The count is
