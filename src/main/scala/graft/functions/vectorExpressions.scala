@@ -94,6 +94,151 @@ case class CosineCols(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact integer squared-L2 argmin of a quantized `array<long>` column
+  * against CONSTANT integer centroids (the portable-k-means assignment
+  * hot loop): returns struct(cluster, d2) with first-minimum ties —
+  * bit-identical to the higher-order
+  * `transform(centsLit, c -> aggregate(zip_with(q, c, ...), 0L, +))` +
+  * `array_position(d, array_min(d))` formulation it replaces, including
+  * the null semantics (NULL result iff the vector's length differs from
+  * the centroid dim or any element is NULL — exactly when zip_with's
+  * null-padding/propagation nulled every distance) and ANSI overflow
+  * behavior (exact arithmetic throws, never wraps). Centroids ride as a
+  * REFERENCE OBJECT, so the generated source is independent of their
+  * VALUES: plan size is O(1) in k x dim and the compiled class is
+  * reused across Lloyd iterations (no per-iteration janino compile). */
+case class QDistArgmin(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression {
+  require(cents.nonEmpty && cents.forall(_.length == cents(0).length),
+    "need >= 1 centroids of equal dim")
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "qdist_argmin"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val dim = cents(0).length
+    if (q.numElements() != dim) return null
+    var i = 0
+    while (i < dim) { if (q.isNullAt(i)) return null; i += 1 }
+    var best = Long.MaxValue; var bestC = -1L
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c); var d = 0L; var j = 0
+      while (j < dim) {
+        val t = Math.subtractExact(q.getLong(j), cv(j))
+        d = Math.addExact(d, Math.multiplyExact(t, t))
+        j += 1
+      }
+      if (d < best) { best = d; bestC = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestC, best))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, q => {
+      val cc = ctx.addReferenceObj("cents", cents, "long[][]")
+      val dim = ctx.freshName("dim"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val t = ctx.freshName("t")
+      val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $dim = $cc[0].length;
+         |boolean $bad = ($q.numElements() != $dim);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $dim; $i++)
+         |    if ($q.isNullAt($i)) { $bad = true; break; }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $best = Long.MAX_VALUE; long $bestC = -1L;
+         |  for (int $c = 0; $c < $cc.length; $c++) {
+         |    long $d = 0L;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      long $t = Math.subtractExact($q.getLong($j), $cc[$c][$j]);
+         |      $d = Math.addExact($d, Math.multiplyExact($t, $t));
+         |    }
+         |    if ($d < $best) { $best = $d; $bestC = $c; }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ java.lang.Long.valueOf($bestC), java.lang.Long.valueOf($best) });
+         |}
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def equals(o: Any): Boolean = o match {
+    case e: QDistArgmin => e.child == child &&
+      e.cents.length == cents.length &&
+      e.cents.indices.forall(i => java.util.Arrays.equals(e.cents(i), cents(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    child.hashCode() * 31 + java.util.Arrays.deepHashCode(
+      cents.asInstanceOf[Array[AnyRef]])
+}
+
+/** Exact integer squared-L2 between two `array<long>` columns (the
+  * SemDeDup pair-verification hot loop) — bit-identical to
+  * `aggregate(zip_with(a, b, (x,y)->(x-y)*(x-y)), 0L, +)` including null
+  * semantics (NULL iff lengths differ — zip_with pads the shorter side
+  * with nulls — or any element is NULL) and ANSI overflow (exact ops). */
+case class SqDistLongCols(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sqdist_long_cols"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val len = x.numElements()
+    if (y.numElements() != len) return null
+    var i = 0
+    while (i < len) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      i += 1
+    }
+    var d = 0L; i = 0
+    while (i < len) {
+      val t = Math.subtractExact(x.getLong(i), y.getLong(i))
+      d = Math.addExact(d, Math.multiplyExact(t, t))
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val len = ctx.freshName("len"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val t = ctx.freshName("t")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $len = $x.numElements();
+         |boolean $bad = ($y.numElements() != $len);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $len; $i++)
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $d = 0L;
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    long $t = Math.subtractExact($x.getLong($i), $y.getLong($i));
+         |    $d = Math.addExact($d, Math.multiplyExact($t, $t));
+         |  }
+         |  ${ev.value} = $d;
+         |}
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH signature: bit i = sign(dot(v, plane_i)), packed
   * into a long (up to 64 planes). Planes ride along as a reference object. */
 case class HyperplaneSig(child: Expression, planes: Array[Array[Float]])
@@ -147,6 +292,10 @@ object vec {
 
   def cosine_to(c: Column, q: Array[Float]): Column = col(CosineToVec(ex(c), q))
   def cosine(a: Column, b: Column): Column = col(CosineCols(ex(a), ex(b)))
+  def qdist_argmin(c: Column, cents: Array[Array[Long]]): Column =
+    col(QDistArgmin(ex(c), cents))
+  def sqdist_long(a: Column, b: Column): Column =
+    col(SqDistLongCols(ex(a), ex(b)))
   def hyperplane_sig(c: Column, planes: Array[Array[Float]]): Column =
     col(HyperplaneSig(ex(c), planes))
 

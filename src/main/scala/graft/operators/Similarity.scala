@@ -464,18 +464,16 @@ object Similarity {
     "transform(embedding, x -> " +
       "CAST(CAST(x AS DOUBLE) * 1000.0D AS BIGINT) + 2000L)")
 
-  /** The squared-L2 distance array to integer centroids as ONE
-    * array<array<bigint>> DATA literal + higher-order zip_with/aggregate —
-    * plan size is the data (one Literal node), not k x dim expression
-    * nodes, so analysis/optimizer/codegen cost is independent of k. Input
-    * is the PRE-PROJECTED quantized column `_q` (projected once — the
-    * producing Project is not collapsed into multi-reference consumers, so
-    * each row quantizes exactly once). Measured on this host the
-    * evaluation is also FASTER per row than the unrolled-literal codegen
-    * ([[kmeansAssign]]) at 400k rows x k=4 (2.0 vs 2.8 s noop) — the
-    * giant unrolled expression defeats JIT/codegen, the primitive-long
-    * lambda loop does not. */
-  private def largeDists(q: Column, cents: Array[Array[Long]]): Column = {
+  /** Higher-order reference form of the assignment distances (the
+    * round-6 intermediate: centroids as ONE array<array<bigint>> DATA
+    * literal + zip_with/aggregate lambdas — plan size independent of k,
+    * measured faster than the unrolled-literal codegen at 400k rows x
+    * k=4: 2.0 vs 2.8 s noop). Superseded in the shipping path by the
+    * [[graft.functions.QDistArgmin]] codegen expression (same plan-size
+    * property, tight JIT loop instead of per-element lambda dispatch);
+    * kept PUBLIC-to-graft as the spec cross-check of the null/length
+    * semantics all three forms share. */
+  private[graft] def largeDists(q: Column, cents: Array[Array[Long]]): Column = {
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     transform(centsLit, c =>
       aggregate(zip_with(q, c, (x, y) => (x - y) * (x - y)),
@@ -485,20 +483,22 @@ object Similarity {
   /** Squared-L2 argmin assignment over a frame carrying the quantized
     * `_q` column — the ONE assignment implementation every shipping
     * k-means path uses (fit rounds, fit output, predict, purity, coreset,
-    * SemDeDup). Distances via [[largeDists]]; argmin ties to the lowest
-    * cluster id (array_position finds the FIRST minimum); adds `cluster`
-    * and `d2`. Bit-identical to the unrolled-literal [[kmeansAssign]] by
-    * construction (spec-enforced; q_embed_kmeans_large shares
-    * q_embed_kmeans's oracle verbatim). The `_d` projection is a real
-    * column (referenced 3x, non-cheap, so CollapseProject keeps it):
-    * one distance-array evaluation per row. */
+    * SemDeDup): the codegen [[graft.functions.QDistArgmin]] expression
+    * (constant centroids as a reference object — plan size AND generated
+    * source independent of k x dim, so the compiled class is reused
+    * across Lloyd iterations; tight JIT'd long loop instead of
+    * per-element lambda dispatch). First-minimum ties; adds `cluster`
+    * and `d2`. Bit-identical to the unrolled-literal [[kmeansAssign]]
+    * AND to the higher-order [[largeDists]] form by construction
+    * (spec-enforced; q_embed_kmeans_large shares q_embed_kmeans's oracle
+    * verbatim). The `_ba` struct projection is a real column (referenced
+    * twice, non-cheap): one argmin evaluation per row. */
   private[graft] def assignLarge(q: DataFrame,
                                  cents: Array[Array[Long]]): DataFrame =
-    q.withColumn("_d", largeDists(col("_q"), cents))
-      .withColumn("cluster", (array_position(col("_d"), array_min(col("_d"))) - 1)
-        .cast("long"))
-      .withColumn("d2", array_min(col("_d")))
-      .drop("_d")
+    q.withColumn("_ba", vec.qdist_argmin(col("_q"), cents))
+      .withColumn("cluster", col("_ba").getField("cluster"))
+      .withColumn("d2", col("_ba").getField("d2"))
+      .drop("_ba")
 
   /** Squared-L2 argmin assignment of quantized vectors to integer
     * centroids as UNROLLED broadcast literals: BIGINT distances (exact —
@@ -609,6 +609,21 @@ object Similarity {
     * the clustering-gate contract). */
   private def lloyd(embs: DataFrame, k: Int, iters: Int,
                     dim: Int): Array[Array[Long]] = {
+    val (cents, _, handle) = lloydKeep(embs, k, iters, dim)
+    handle.unpersist(true)
+    cents
+  }
+
+  /** [[lloyd]] that additionally RETURNS the persisted quantized frame
+    * `(vec_id, _q)` and its block handle, so a caller that immediately
+    * needs the final assignment (SemDeDup) derives it from the persisted
+    * blocks instead of re-reading + re-quantizing the source — one fewer
+    * full corpus pass. The caller owns the handle and MUST release it
+    * (`handle.unpersist(true)`) once its derived frames are
+    * materialized. */
+  private def lloydKeep(embs: DataFrame, k: Int, iters: Int, dim: Int)
+      : (Array[Array[Long]], DataFrame,
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
     val src = embs.select(col("vec_id"), quantized.as("_q"))
     val acc = new SeedAcc(k)
@@ -638,8 +653,12 @@ object Similarity {
         }
         cents = next
       }
-      cents
-    } finally { handle.unpersist(true); () }
+      (cents, q, handle)
+    } catch {
+      // a failed fit must not leave blocks pinned; success hands the
+      // handle to the caller
+      case t: Throwable => handle.unpersist(true); throw t
+    }
   }
 
   /**
@@ -670,10 +689,14 @@ object Similarity {
                     maxCluster: Long = 100000L, dim: Int = 64): DataFrame = {
     require(d2Max >= 0L, "d2Max must be >= 0")
     val spark = embs.sparkSession
-    val cents = lloyd(embs, k, iters, dim)
-    val (qa, qaHandle) = org.apache.spark.sql.classic.GraftBridge.persistedCopy(
-      assignLarge(embs.select(col("vec_id"), quantized.as("_q")), cents)
-        .select(col("vec_id"), col("cluster"), col("_q")))
+    // the fit's persisted quantized frame feeds the assignment persist
+    // directly (lloydKeep): no second source read + quantize pass
+    val (cents, qFit, qFitHandle) = lloydKeep(embs, k, iters, dim)
+    val (qa, qaHandle) =
+      try org.apache.spark.sql.classic.GraftBridge.persistedCopy(
+        assignLarge(qFit, cents)
+          .select(col("vec_id"), col("cluster"), col("_q")))
+      finally qFitHandle.unpersist(true)
     try {
       val dropped = semanticDedupDropped(qa, maxCluster, d2Max)
       val out = qa.select("vec_id", "cluster")
@@ -704,9 +727,11 @@ object Similarity {
       col("_q").as("_qa"))
     val b = eligible.select(col("cluster"), col("vec_id").as("b_id"),
       col("_q").as("_qb"))
-    val pairD2 = aggregate(
-      zip_with(col("_qa"), col("_qb"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    // codegen integer squared-L2 (SqDistLongCols): bit-identical to the
+    // aggregate(zip_with(...)) lambda form it replaces, ~an order of
+    // magnitude faster on the quadratic within-cluster pair volume —
+    // THE SemDeDup hot loop at any scale
+    val pairD2 = vec.sqdist_long(col("_qa"), col("_qb"))
     a.join(b, Seq("cluster"))
       .where(col("a_id") < col("b_id"))
       .where(pairD2 <= lit(d2Max))

@@ -104,6 +104,54 @@ class CellExpressionsSpec extends SparkFunSuite {
     }
   }
 
+  test("QDistArgmin / SqDistLongCols: codegen integer distances are " +
+       "bit-identical to the higher-order lambda forms, including " +
+       "length-mismatch and NULL-element semantics") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.vec
+    val cents = Array(Array(1L, 2L, 3L), Array(3L, 2L, 1L), Array(1L, 2L, 3L))
+    val rows = Seq(
+      (0L, Seq[java.lang.Long](1L, 2L, 3L)),      // exact hit, tie c0 vs c2
+      (1L, Seq[java.lang.Long](3L, 2L, 1L)),      // second centroid
+      (2L, Seq[java.lang.Long](2L, 2L, 2L)),      // equidistant tie -> c0
+      (3L, Seq[java.lang.Long](9L, -4L, 100L)),   // far away
+      (4L, Seq[java.lang.Long](1L, 2L)),          // LENGTH MISMATCH -> NULL
+      (5L, Seq[java.lang.Long](1L, null, 3L)))    // NULL element -> NULL
+    val df = rows.toDF("id", "q")
+    // the higher-order reference (zip_with pads/propagates nulls)
+    val hoDists = graft.operators.Similarity.largeDists(col("q"), cents)
+    val ho = df.select(col("id"),
+        (array_position(hoDists, array_min(hoDists)) - 1).cast("long").as("cl"),
+        array_min(hoDists).as("d2"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1),
+         if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    val cg = df.select(col("id"), vec.qdist_argmin(col("q"), cents).as("b"))
+      .select(col("id"), col("b").getField("cluster").as("cl"),
+        col("b").getField("d2").as("d2"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1),
+         if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    assert(cg == ho, s"argmin: $cg vs $ho")
+    assert(cg(2L) == ((0L, 2L)), "tie must pick the FIRST minimal centroid")
+    assert(cg(4L) == ((null, null)) && cg(5L) == ((null, null)))
+    // pair distance: codegen vs lambda over all row pairs
+    val a = df.select(col("id").as("ia"), col("q").as("qa"))
+    val b = df.select(col("id").as("ib"), col("q").as("qb"))
+    val pairs = a.crossJoin(b)
+    val lam = aggregate(zip_with(col("qa"), col("qb"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val got = pairs.select(col("ia"), col("ib"),
+        vec.sqdist_long(col("qa"), col("qb")).as("cgd"), lam.as("lamd"))
+      .collect()
+    got.foreach { r =>
+      val c = if (r.isNullAt(2)) null else r.getLong(2)
+      val l = if (r.isNullAt(3)) null else r.getLong(3)
+      assert(c == l, s"pair (${r.getLong(0)},${r.getLong(1)}): $c vs $l")
+    }
+    assert(got.exists(r => !r.isNullAt(2) && r.getLong(2) > 0))
+  }
+
   test("point_in_polygon: codegen path matches interpreted oracle on a concave polygon") {
     // concave "L" polygon
     val poly = Array(0.0, 0.0, 4.0, 0.0, 4.0, 1.0, 1.0, 1.0, 1.0, 4.0, 0.0, 4.0)
