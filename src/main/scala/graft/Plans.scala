@@ -341,9 +341,9 @@ object Plans {
         "HashAggregate on (cluster, d) BEFORE the exchange — map-side " +
         "combine ships at most k x 64 rows per task — and the argmin " +
         "assignment is ONE row-preserving projection over the scan: " +
-        "centroids ride as ONE array<array<bigint>> DATA literal with " +
-        "higher-order zip_with/aggregate distances, so plan/codegen cost " +
-        "is independent of k — no join, no second pass)" -> {
+        "the codegen qdist_argmin expression carries the centroids as a " +
+        "REFERENCE OBJECT, so plan/codegen cost is independent of k — " +
+        "no join, no second pass)" -> {
         val embs = spark.range(200000).selectExpr("id AS vec_id",
           "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
         val cents = Array.tabulate(8)(c => Array.tabulate(64)(d =>
@@ -360,7 +360,8 @@ object Plans {
         "it executes; expect: pair generation is an EQUI-join exchange " +
         "keyed on the cluster id — never all-pairs — with the <= k-row " +
         "eligible-cluster list BROADCAST onto both sides, and the " +
-        "zip_with pair distance evaluated inside WSCG after the join)" -> {
+        "sqdist_long_cols pair distance evaluated inside WSCG after " +
+        "the join)" -> {
         val embs = spark.range(200000).selectExpr("id AS vec_id",
           "transform(sequence(1, 64), i -> cast(sin(id * i) AS float)) AS embedding")
         val cents = Array.tabulate(8)(c => Array.tabulate(64)(d =>
