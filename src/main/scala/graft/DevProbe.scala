@@ -32,6 +32,32 @@ object DevProbe {
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    if (args.contains("pq")) {
+      // A/B: PQ encode per-row cost — codegen PqSubArgmin vs the
+      // higher-order zip_with reference, full-row eval via noop sink
+      // (guide §1.4) over the embeddings table replicated x200
+      import graft.operators.Similarity
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val (_, cbs) = Similarity.pqBuildPortable(e)
+      val big = e.crossJoin(spark.range(200).select(col("id").as("_rep")))
+        .select((col("vec_id") * 200 + col("_rep")).as("vec_id"),
+          col("embedding"))
+      val outCols = col("vec_id") +:
+        cbs.indices.map(s => col(s"code_$s"))
+      for (rep <- 1 to 3) {
+        t(s"BIG pqEncode codegen (noop) #$rep") {
+          Similarity.pqEncode(big, cbs).select(outCols: _*)
+            .write.format("noop").mode("overwrite").save()
+        }
+        t(s"BIG pqEncode higher-order (noop) #$rep") {
+          Similarity.pqEncodeHigherOrder(big, cbs).select(outCols: _*)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .where(col("doc_id") < 1000)
     t("pairs compute (count)") {

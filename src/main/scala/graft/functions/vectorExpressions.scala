@@ -239,6 +239,103 @@ case class SqDistLongCols(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** PQ subspace encode (the [[graft.operators.Similarity.pqEncode]] hot
+  * loop): squared-L2 argmin of `embedding[offset, offset+subDim)` against
+  * a CONSTANT per-subspace codebook, as one tight JIT'd double loop with
+  * the codebook as a codegen reference object. Bit-identical to the
+  * higher-order
+  * `transform(cbLit, cw -> aggregate(zip_with(slice(emb,...), cw,
+  * (x,y)->(x-y)*(x-y)), 0.0, +))` + `array_position(d, array_min(d))`
+  * form it replaces:
+  *  - each float element promotes to double before the subtract, and the
+  *    per-codeword sum is the same ascending-dim left fold — the doubles
+  *    are equal bit for bit;
+  *  - NULL result iff the vector is NULL, too short to fill the slice
+  *    (zip_with null-pads the short side, nulling every distance), or
+  *    any slice element is NULL — exactly the cases where the
+  *    higher-order form nulled all distances and array_position(x, NULL)
+  *    returned NULL;
+  *  - ties and NaN follow Spark's total order for doubles
+  *    (java.lang.Double.compare: NaN greatest, first minimum wins),
+  *    which is precisely array_min + first-match array_position. */
+case class PqSubArgmin(child: Expression, cb: Array[Array[Double]],
+                       offset: Int)
+    extends UnaryExpression {
+  require(cb.nonEmpty && cb.forall(_.length == cb(0).length),
+    "need >= 1 codewords of equal dim")
+  require(offset >= 0, "offset must be >= 0")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_sub_argmin"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val subDim = cb(0).length
+    if (q.numElements() < offset + subDim) return null
+    var j = 0
+    while (j < subDim) { if (q.isNullAt(offset + j)) return null; j += 1 }
+    var best = 0.0; var bestC = -1
+    var c = 0
+    while (c < cb.length) {
+      val cw = cb(c); var d = 0.0; var i = 0
+      while (i < subDim) {
+        val t = q.getFloat(offset + i).toDouble - cw(i)
+        d += t * t
+        i += 1
+      }
+      if (bestC < 0 || java.lang.Double.compare(d, best) < 0) {
+        best = d; bestC = c
+      }
+      c += 1
+    }
+    bestC
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, q => {
+      val cc = ctx.addReferenceObj("cb", cb, "double[][]")
+      val subDim = ctx.freshName("subDim"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val t = ctx.freshName("t")
+      val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $subDim = $cc[0].length;
+         |boolean $bad = ($q.numElements() < $offset + $subDim);
+         |if (!$bad) {
+         |  for (int $j = 0; $j < $subDim; $j++)
+         |    if ($q.isNullAt($offset + $j)) { $bad = true; break; }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $best = 0.0; int $bestC = -1;
+         |  for (int $c = 0; $c < $cc.length; $c++) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $t = (double) $q.getFloat($offset + $i) - $cc[$c][$i];
+         |      $d += $t * $t;
+         |    }
+         |    if ($bestC < 0 || java.lang.Double.compare($d, $best) < 0) {
+         |      $best = $d; $bestC = $c;
+         |    }
+         |  }
+         |  ${ev.value} = $bestC;
+         |}
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def equals(o: Any): Boolean = o match {
+    case e: PqSubArgmin => e.child == child && e.offset == offset &&
+      e.cb.length == cb.length &&
+      e.cb.indices.forall(i => java.util.Arrays.equals(e.cb(i), cb(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (child.hashCode() * 31 + offset) * 31 +
+      java.util.Arrays.deepHashCode(cb.asInstanceOf[Array[AnyRef]])
+}
+
 /** Random-hyperplane LSH signature: bit i = sign(dot(v, plane_i)), packed
   * into a long (up to 64 planes). Planes ride along as a reference object. */
 case class HyperplaneSig(child: Expression, planes: Array[Array[Float]])
@@ -296,6 +393,8 @@ object vec {
     col(QDistArgmin(ex(c), cents))
   def sqdist_long(a: Column, b: Column): Column =
     col(SqDistLongCols(ex(a), ex(b)))
+  def pq_sub_argmin(c: Column, cb: Array[Array[Double]], offset: Int): Column =
+    col(PqSubArgmin(ex(c), cb, offset))
   def hyperplane_sig(c: Column, planes: Array[Array[Float]]): Column =
     col(HyperplaneSig(ex(c), planes))
 

@@ -255,18 +255,34 @@ object Similarity {
   }
 
   /** PQ encode: code_s = argmin_c squaredL2(subvector_s, codebook(s)(c)).
-    * The argmin is the LINEAR array_min/array_position recipe (the
-    * [[assign]] family — never a nested when-fold), distances in double
-    * with ascending-dim accumulation (cross-engine exact: the zip_with
-    * lambda promotes each float element to double exactly as the explicit
-    * cast did, and aggregate's left fold is the same ascending-dim order).
-    * Codebooks ride as per-subspace DATA literals with higher-order
-    * zip_with/aggregate distances (the [[assignLarge]] recipe) — plan and
-    * codegen cost no longer scale with m x ksub x subDim unrolled terms
-    * (round 6: the unrolled form dominated the PQ gates' time via
-    * optimizer + janino work on ~1k-term trees). */
+    * Distances in double with ascending-dim accumulation (cross-engine
+    * exact), first-minimum ties. The shipping path is the codegen
+    * [[graft.functions.PqSubArgmin]] expression — one tight JIT'd double
+    * loop per subspace with the codebook as a reference object (the
+    * [[assignLarge]] treatment: plan/codegen cost independent of
+    * m x ksub x subDim, no per-element lambda dispatch on the full-corpus
+    * encode pass). Bit-identical to [[pqEncodeHigherOrder]], the
+    * spec-parity reference (PipelineOpsSpec pins the two on NULLs, short
+    * vectors, NaN, and ties). */
   def pqEncode(embs: DataFrame,
                codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val subDim = codebooks(0)(0).length
+    codebooks.zipWithIndex.foldLeft(embs) { case (df, (cb, s)) =>
+      df.withColumn(s"code_$s",
+        vec.pq_sub_argmin(col("embedding"),
+          cb.map(_.map(_.toDouble)), s * subDim))
+    }
+  }
+
+  /** The higher-order formulation of [[pqEncode]] (codebooks as
+    * per-subspace DATA literals, zip_with/aggregate distances, linear
+    * array_min/array_position argmin — never a nested when-fold): kept as
+    * the spec-parity reference for the codegen expression; the zip_with
+    * lambda promotes each float element to double exactly as the explicit
+    * cast did, and aggregate's left fold is the same ascending-dim
+    * accumulation order. */
+  private[graft] def pqEncodeHigherOrder(
+      embs: DataFrame, codebooks: Array[Array[Array[Float]]]): DataFrame = {
     val subDim = codebooks(0)(0).length
     codebooks.zipWithIndex.foldLeft(embs) { case (df, (cb, s)) =>
       val cbLit = typedLit(cb.map(_.map(_.toDouble).toSeq).toSeq)

@@ -973,6 +973,43 @@ class PipelineOpsSpec extends SparkFunSuite {
     }
   }
 
+  test("pqEncode: codegen pq_sub_argmin is bit-identical to the " +
+       "higher-order zip_with form, including short/NULL vectors, NULL " +
+       "elements, NaN, and first-minimum ties") {
+    // m=2 subspaces of subDim=2 over dim-4 vectors; codeword 2 duplicates
+    // codeword 0 in BOTH subspaces, so exact hits are genuine ties that
+    // must resolve to the FIRST minimal codeword on both paths
+    val cbs: Array[Array[Array[Float]]] = Array(
+      Array(Array(1f, 2f), Array(3f, 4f), Array(1f, 2f)),
+      Array(Array(0f, 0f), Array(5f, 5f), Array(0f, 0f)))
+    def fs(vs: java.lang.Float*): Seq[java.lang.Float] = vs
+    val rows = Seq(
+      (0L, fs(1f, 2f, 3f, 4f)),                  // plain
+      (1L, fs(1f, 2f, 0f, 0f)),                  // exact hits -> tie -> c0/c0
+      (2L, fs(Float.NaN, 2f, 3f, 4f)),           // NaN poisons every sub-0
+                                                 // distance: min NaN, first
+      (3L, fs(1f, 2f, 3f)),                      // subspace 1 short -> NULL
+      (4L, fs(1f, 2f)),                          // subspace 1 empty -> NULL
+      (5L, fs(1f, null, 3f, 4f)),                // NULL element -> NULL code_0
+      (6L, null.asInstanceOf[Seq[java.lang.Float]]), // NULL vector -> both NULL
+      (7L, fs(0.1f, 0.2f, 4.9f, 5.2f)))          // float->double rounding path
+    val df = rows.toDF("vec_id", "embedding")
+    def dump(out: org.apache.spark.sql.DataFrame) = out
+      .select(col("vec_id"), col("code_0"), col("code_1"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getInt(1).asInstanceOf[Any]),
+         (if (r.isNullAt(2)) null else r.getInt(2).asInstanceOf[Any]))).toMap
+    val cg = dump(Similarity.pqEncode(df, cbs))
+    val ho = dump(Similarity.pqEncodeHigherOrder(df, cbs))
+    assert(cg === ho, s"codegen vs higher-order: $cg vs $ho")
+    assert(cg(1L) === ((0, 0)), "exact-hit tie must pick the FIRST codeword")
+    assert(cg(2L)._1 === 0, "all-NaN distances resolve to the first codeword")
+    assert(cg(3L) === ((0, null)) && cg(4L) === ((0, null)),
+      "a vector too short for a subspace must NULL that code")
+    assert(cg(5L)._1 === null && cg(5L)._2 != null)
+    assert(cg(6L) === ((null, null)))
+  }
+
   test("axisTopK (oracle-checkable probe): finds self and planted partner; recall vs brute") {
     val q = vecRows.find(_._1 == 3L).get._2
     val brute = Similarity.bruteForceTopK(embs, q, 10).collect().map(_.getLong(0)).toSet
