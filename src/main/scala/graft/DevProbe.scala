@@ -32,6 +32,35 @@ object DevProbe {
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    if (args.contains("quant")) {
+      // quantize-pass share: the transform lambda vs the raw read, and
+      // the whole quantize+argmin assignment, all full-row via noop
+      import graft.operators.Similarity
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val big = e.crossJoin(spark.range(200).select(col("id").as("_rep")))
+        .select((col("vec_id") * 200 + col("_rep")).as("vec_id"),
+          col("embedding"))
+      val cents4 = Array.tabulate(4)(c => Array.tabulate(64)(d =>
+        1500L + c * 100L + d))
+      for (rep <- 1 to 3) {
+        t(s"BIG raw embedding (noop) #$rep") {
+          big.write.format("noop").mode("overwrite").save()
+        }
+        t(s"BIG quantized lambda (noop) #$rep") {
+          big.select(col("vec_id"), Similarity.quantized.as("_q"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        t(s"BIG quantize+argmin (noop) #$rep") {
+          Similarity.assignLarge(
+            big.select(col("vec_id"), Similarity.quantized.as("_q")), cents4)
+            .select("vec_id", "cluster", "d2")
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("pq")) {
       // A/B: PQ encode per-row cost — codegen PqSubArgmin vs the
       // higher-order zip_with reference, full-row eval via noop sink
