@@ -32,14 +32,19 @@ object DevProbe {
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    // embeddings replicated x200 with disjoint ids — the shared big-frame
+    // input of every per-row A/B probe (one definition so the probes can
+    // never drift to different row volumes)
+    def bigReplica(e: org.apache.spark.sql.DataFrame) =
+      e.crossJoin(spark.range(200).select(col("id").as("_rep")))
+        .select((col("vec_id") * 200 + col("_rep")).as("vec_id"),
+          col("embedding"))
+
     if (args.contains("quant")) {
       // quantize-pass share: the transform lambda vs the raw read, and
       // the whole quantize+argmin assignment, all full-row via noop
       import graft.operators.Similarity
-      val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      val big = e.crossJoin(spark.range(200).select(col("id").as("_rep")))
-        .select((col("vec_id") * 200 + col("_rep")).as("vec_id"),
-          col("embedding"))
+      val big = bigReplica(spark.read.parquet(s"$dir/embeddings.parquet"))
       val cents4 = Array.tabulate(4)(c => Array.tabulate(64)(d =>
         1500L + c * 100L + d))
       for (rep <- 1 to 3) {
@@ -68,9 +73,7 @@ object DevProbe {
       import graft.operators.Similarity
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val (_, cbs) = Similarity.pqBuildPortable(e)
-      val big = e.crossJoin(spark.range(200).select(col("id").as("_rep")))
-        .select((col("vec_id") * 200 + col("_rep")).as("vec_id"),
-          col("embedding"))
+      val big = bigReplica(e)
       val outCols = col("vec_id") +:
         cbs.indices.map(s => col(s"code_$s"))
       for (rep <- 1 to 3) {
@@ -224,8 +227,7 @@ object DevProbe {
       }
     }
     // per-row throughput at larger scale: replicate embeddings x200
-    val big = e.crossJoin(spark.range(200).select(col("id").as("_rep")))
-      .select((col("vec_id") * 200 + col("_rep")).as("vec_id"), col("embedding"))
+    val big = bigReplica(e)
     for (rep <- 1 to 2) {
       t(s"BIG assign literal (noop) #$rep") {
         Similarity.kmeansAssign(

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -116,6 +117,16 @@ case class QDistArgmin(child: Expression, cents: Array[Array[Long]])
     StructField("d2", LongType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "qdist_argmin"
+  // the eval/codegen loops read elements with getLong: reject any other
+  // element type at ANALYSIS time (ExpectsInputTypes is private[sql] in
+  // Spark 4, so the guard is a direct checkInputDataTypes override) —
+  // an unguarded getLong over e.g. array<int> would read garbage
+  // silently on the columnar path
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val q = input.asInstanceOf[ArrayData]
@@ -192,6 +203,13 @@ case class SqDistLongCols(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "sqdist_long_cols"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint>, got ${l.sql} / ${r.sql}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -267,6 +285,14 @@ case class PqSubArgmin(child: Expression, cb: Array[Array[Double]],
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "pq_sub_argmin"
+  // the loops read with getFloat: an array<double> input would silently
+  // yield garbage codes on the columnar path (the higher-order reference
+  // form handled any numeric array) — reject at analysis time instead
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val q = input.asInstanceOf[ArrayData]
